@@ -1,0 +1,86 @@
+"""Core operators: dedup (B3), latest-per-key (B4), fingerprint (B6/B14),
+salted repartition (B11)."""
+
+from pyspark.sql import functions as F
+
+from wprdc_etl_spark.operators import (
+    dedup_events,
+    latest_per_key,
+    salted_repartition,
+    state_fingerprint,
+    with_content_sha,
+)
+
+ROWS = [
+    # (seq, op, repo, path, commit, content)
+    (0, "I", "r1", "a", "c1", "v1"),
+    (0, "I", "r1", "a", "c1", "v1"),   # verbatim redelivery
+    (5, "U", "r1", "a", "c1", "v2"),   # same key, later → wins
+    (3, "I", "r2", "b", "c9", "x"),
+    (7, "D", "r2", "b", "c9", None),   # delete wins over seq 3
+    (2, "I", "r3", "c", "c3", "y"),
+]
+COLS = ["event_sequence", "op", "repo", "path", "commit", "content"]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, COLS)
+
+
+def test_dedup_events(spark):
+    out = dedup_events(_df(spark))
+    assert out.count() == 5  # one redelivery dropped
+
+
+def test_latest_per_key(spark):
+    out = latest_per_key(dedup_events(_df(spark)))
+    got = {(r["repo"], r["path"], r["commit"]): (r["event_sequence"], r["op"]) for r in out.collect()}
+    assert got == {
+        ("r1", "a", "c1"): (5, "U"),
+        ("r2", "b", "c9"): (7, "D"),
+        ("r3", "c", "c3"): (2, "I"),
+    }
+
+
+def test_latest_per_key_deterministic_tiebreak(spark):
+    # same sequence, different op: 'U' must beat 'I' on every run (§8.3 #3)
+    df = spark.createDataFrame(
+        [(1, "I", "r", "p", "c", "a"), (1, "U", "r", "p", "c", "b")], COLS
+    )
+    assert latest_per_key(df).collect()[0]["op"] == "U"
+
+
+def test_content_sha_matches_hashlib(spark):
+    import hashlib
+
+    row = with_content_sha(_df(spark).where(F.col("content") == "v1").limit(1)).collect()[0]
+    assert row["content_sha"] == hashlib.sha256(b"v1").hexdigest()
+
+
+def test_state_fingerprint_order_insensitive(spark):
+    a = _df(spark)
+    b = spark.createDataFrame(list(reversed(ROWS)), COLS).repartition(7)
+    cols = ["repo", "path", "commit", "content"]
+    assert state_fingerprint(a, cols) == state_fingerprint(b, cols)
+    assert state_fingerprint(a, cols) != state_fingerprint(a.limit(3), cols)
+
+
+def test_salted_repartition_preserves_key_colocation(spark):
+    from wprdc_etl_spark.testgen import gen_change_events
+
+    df = salted_repartition(gen_change_events(spark, 2000), 8)
+    spread = (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("repo", "path")
+        .agg(F.countDistinct("pid").alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert spread == 1  # every (repo, path) in exactly one partition
+    hot = (
+        df.where(F.col("repo") == "mega/monorepo")
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert hot > 1  # the hot repo fans out over multiple partitions

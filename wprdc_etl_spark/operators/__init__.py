@@ -1,0 +1,13 @@
+from wprdc_etl_spark.operators.dedup import dedup_events, dedup_events_streaming
+from wprdc_etl_spark.operators.latest import latest_per_key
+from wprdc_etl_spark.operators.fingerprint import with_content_sha, state_fingerprint
+from wprdc_etl_spark.operators.skew import salted_repartition
+
+__all__ = [
+    "dedup_events",
+    "dedup_events_streaming",
+    "latest_per_key",
+    "with_content_sha",
+    "state_fingerprint",
+    "salted_repartition",
+]

@@ -1,0 +1,623 @@
+"""B7/B8/B9/B10/B12 — the lake sink: keyed MERGE with exactly-once commit.
+
+Parity map (SURVEY.md §4.2): the reference's sink is the CKAN datastore HTTP
+API — ``pipeline/loaders.py``:
+
+- ``CKANLoader.resource_exists/get_resource_id``  → ``LakeTable.exists()``
+- ``CKANLoader.create_resource/create_datastore`` → ``LakeTable.ensure()``
+- ``CKANLoader.delete_datastore`` (insert mode)   → ``LakeTable.truncate()``
+- ``CKANLoader.upsert`` (``datastore_upsert`` with ``method='upsert'``,
+  primary-key update-else-insert, server-side)    → ``LakeTable.merge()``
+- ``CKANLoader.update_metadata``                  → manifest ``properties``
+- SQLite ``status`` row (``pipeline/status.py``)  → ``lineage`` table inside
+  the same atomic commit, + the ``committed`` batch guard (descendant of
+  ``DuplicateFileException``'s checksum skip).
+
+Two implementations share the contract:
+
+- ``IcebergTable`` (plans/iceberg.py): thin wrapper over ``MERGE INTO`` /
+  ``ALTER TABLE ADD COLUMNS`` — for real clusters with the Iceberg runtime
+  jar. Cannot run in this sandbox (no jar, no network — SURVEY §5 note).
+- ``ParquetSnapshotTable`` (here): copy-on-write bucketed parquet + JSON
+  manifest swapped atomically via ``os.replace``. Semantically a strict
+  subset of Iceberg MERGE so the two are drop-ins for each other.
+
+Layout::
+
+    root/
+      manifest.json                  ← the ONLY mutable path (atomic rename)
+      manifest.tmp.*                 ← staging for the swap
+      data/v{N}/_bucket_dir={b}/part-*.parquet
+      lineage/l{N}/part-*.parquet
+
+Scale design (the part that must survive 1000 executors / 10^10 events):
+
+- **Bucketed copy-on-write.** Rows hash into ``n_buckets`` by
+  ``xxhash64(repo, path)`` — (repo, path), NOT repo alone, so the hot
+  mega-repo spreads over all buckets (SURVEY §8.3 #4). A merge rewrites only
+  the buckets its batch touches; a micro-batch touching 3 of 4096 buckets
+  reads and rewrites ~0.07% of the table.
+- **Broadcast merge for small batches.** The typical CDC micro-batch is tiny
+  relative to the table, so the merge avoids shuffling current data at all:
+  two broadcast hash joins against the (reduced) batch — survivors filter +
+  winner resolution — then one repartition of the *affected buckets only*
+  for the write. For backfill-sized batches it falls back to a shuffled
+  window (last-writer-wins) plan. ``merge_strategy='auto'`` picks by reduced
+  batch size.
+- **Tombstones.** Deletes are retained as ``_op='D'`` rows, because a
+  redelivered old insert must not resurrect a deleted key: last-writer-wins
+  over ``(_seq, _op)`` needs the delete's sequence number to stay visible.
+  ``read()`` filters them; ``compact()`` garbage-collects them once older
+  than every possible redelivery.
+- **Exactly-once.** Data files and the lineage rows for a batch are written
+  to *unreferenced* paths first; the single ``os.replace`` of manifest.json
+  publishes both together. A crash at any point leaves the old manifest
+  intact (orphans are GC'd on the next commit), and a replayed batch is
+  skipped by the ``committed[job] >= batch_id`` guard — and would be a no-op
+  anyway because LWW-by-sequence is idempotent (SURVEY §4.4).
+
+Single-writer assumption: one streaming query owns a table (the reference is
+likewise a single cron process per pipeline). The manifest swap makes
+concurrent readers always see a consistent snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from abc import ABC, abstractmethod
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wprdc_etl_spark.exceptions import DuplicateBatchException, SinkCommitError
+
+MANIFEST_FORMAT = "wprdc-etl-spark/parquet-snapshot/v1"
+INTERNAL_COLS = ["_seq", "_op"]
+DEFAULT_KEYS = ["repo", "path", "commit"]
+
+
+@dataclass
+class MergeResult:
+    applied: bool
+    version: int
+    rows_upserted: int = 0
+    rows_deleted: int = 0
+    n_affected_buckets: int = 0
+    strategy: str = ""
+    skipped_reason: str = ""
+
+
+@dataclass
+class LineageCounts:
+    """Job-layer counts attached to the commit (FIXTURES.md §4)."""
+
+    rows_quarantined: int = 0
+    rows_late: int = 0
+    input_hash: str = ""
+    wall_ms: int = 0
+    extra: dict = field(default_factory=dict)
+
+
+class LakeTable(ABC):
+    """The sink contract both implementations satisfy."""
+
+    @abstractmethod
+    def exists(self) -> bool: ...
+
+    @abstractmethod
+    def ensure(self, schema: T.StructType) -> None: ...
+
+    @abstractmethod
+    def read(self) -> DataFrame: ...
+
+    @abstractmethod
+    def merge(self, batch_df: DataFrame, *, job: str, batch_id: int,
+              counts: LineageCounts | None = None) -> MergeResult: ...
+
+    @abstractmethod
+    def truncate(self) -> None: ...
+
+
+def bucket_of(n_buckets: int, keys: list[str] | None = None) -> Column:
+    """Bucket id for a row — xxhash64 over (repo, path) so hot repos spread."""
+    keys = keys or ["repo", "path"]
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+
+
+def _rank(op_col: Column) -> Column:
+    """Deterministic tiebreak when two events share a sequence number:
+    U > I > D (SURVEY §8.3 #3 — ties must break identically on every replay
+    and in the DuckDB oracle, which uses ORDER BY op DESC = same order).
+    """
+    return (
+        F.when(op_col == "U", F.lit(2))
+        .when(op_col == "I", F.lit(1))
+        .when(op_col == "D", F.lit(0))
+        .otherwise(F.lit(-1))
+    )
+
+
+class ParquetSnapshotTable(LakeTable):
+    LINEAGE_SCHEMA = T.StructType(
+        [
+            T.StructField("job", T.StringType()),
+            T.StructField("batch_id", T.LongType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("last_seq", T.LongType()),
+            T.StructField("rows_upserted", T.LongType()),
+            T.StructField("rows_deleted", T.LongType()),
+            T.StructField("rows_quarantined", T.LongType()),
+            T.StructField("rows_late", T.LongType()),
+            T.StructField("input_hash", T.StringType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("wall_ms", T.LongType()),
+            T.StructField("committed_ts", T.TimestampType()),
+        ]
+    )
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        *,
+        keys: list[str] | None = None,
+        n_buckets: int = 32,
+        merge_strategy: str = "auto",
+        broadcast_threshold_rows: int = 2_000_000,
+        write_partitions: int | None = None,
+        strict_duplicate_check: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.keys = keys or list(DEFAULT_KEYS)
+        self.n_buckets = n_buckets
+        self.merge_strategy = merge_strategy
+        self.broadcast_threshold_rows = broadcast_threshold_rows
+        self.write_partitions = write_partitions
+        self.strict_duplicate_check = strict_duplicate_check
+
+    # ---- manifest ---------------------------------------------------------
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def _read_manifest(self) -> dict | None:
+        if not os.path.exists(self._manifest_path):
+            return None
+        with open(self._manifest_path, "r", encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def _swap_manifest(self, manifest: dict) -> None:
+        """The commit point: write-then-rename is atomic on POSIX."""
+        tmp = os.path.join(self.root, f"manifest.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._manifest_path)
+
+    # ---- A18/A19/A20 ------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.exists(self._manifest_path)
+
+    def ensure(self, schema: T.StructType) -> None:
+        """CREATE TABLE IF NOT EXISTS (parity: ``CKANLoader.create_resource``
+        + ``create_datastore(fields, primary_key=key_fields)``)."""
+        if self.exists():
+            return
+        for k in self.keys:
+            if k not in schema.fieldNames():
+                raise SinkCommitError(f"key column {k!r} missing from schema {schema.fieldNames()}")
+        os.makedirs(self.root, exist_ok=True)
+        self._swap_manifest(
+            {
+                "format": MANIFEST_FORMAT,
+                "version": 0,
+                "n_buckets": self.n_buckets,
+                "keys": self.keys,
+                "schema": schema.jsonValue(),
+                "buckets": {},
+                "committed": {},
+                "state": {},
+                "lineage": [],
+                "properties": {},
+            }
+        )
+
+    def truncate(self) -> None:
+        """Full-refresh reset (parity: ``CKANLoader.delete_datastore`` used by
+        ``method='insert'``). Keeps the schema, drops data + guard state."""
+        man = self._require_manifest()
+        man["version"] += 1
+        man["buckets"] = {}
+        man["committed"] = {}
+        man["state"] = {}
+        man["lineage"] = []
+        self._swap_manifest(man)
+        self._gc_orphans(man)
+
+    def _require_manifest(self) -> dict:
+        man = self._read_manifest()
+        if man is None:
+            raise SinkCommitError(f"table does not exist at {self.root} (call ensure() first)")
+        return man
+
+    # ---- read paths ---------------------------------------------------------
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self._require_manifest()["schema"])
+
+    def _full_schema(self, man: dict) -> T.StructType:
+        s = T.StructType.fromJson(man["schema"])
+        return T.StructType(
+            list(s.fields)
+            + [T.StructField("_seq", T.LongType()), T.StructField("_op", T.StringType())]
+        )
+
+    def _read_buckets(self, man: dict, buckets: list[int] | None = None) -> DataFrame:
+        """Raw rows (incl. tombstones + internal cols) for the given buckets
+        (None = all). Old files missing newly-evolved columns are null-filled
+        by the explicit read schema — that is the additive-evolution read
+        path (B9).
+        """
+        full = self._full_schema(man)
+        sel = man["buckets"] if buckets is None else {
+            str(b): man["buckets"][str(b)] for b in buckets if str(b) in man["buckets"]
+        }
+        dirs = [os.path.join(self.root, rel) for rel in sel.values()]
+        if not dirs:
+            return self.spark.createDataFrame([], full)
+        return self.spark.read.schema(full).parquet(*dirs)
+
+    def read(self) -> DataFrame:
+        """Current table state: tombstones filtered, internal columns dropped."""
+        man = self._require_manifest()
+        return self._read_buckets(man).where(F.col("_op") != "D").drop(*INTERNAL_COLS)
+
+    def read_lineage(self) -> DataFrame:
+        man = self._require_manifest()
+        dirs = [os.path.join(self.root, rel) for rel in man["lineage"]]
+        if not dirs:
+            return self.spark.createDataFrame([], self.LINEAGE_SCHEMA)
+        return self.spark.read.schema(self.LINEAGE_SCHEMA).parquet(*dirs)
+
+    def last_committed_batch(self, job: str) -> int | None:
+        man = self._read_manifest()
+        if not man:
+            return None
+        return man["committed"].get(job)
+
+    def job_state(self, job: str) -> dict:
+        man = self._require_manifest()
+        return dict(man["state"].get(job, {}))
+
+    def properties(self) -> dict:
+        return dict(self._require_manifest()["properties"])
+
+    # ---- the MERGE (B7) -----------------------------------------------------
+
+    def merge(
+        self,
+        batch_df: DataFrame,
+        *,
+        job: str = "default",
+        batch_id: int = 0,
+        counts: LineageCounts | None = None,
+        job_state: dict | None = None,
+        properties: dict | None = None,
+    ) -> MergeResult:
+        """Apply one batch of change events, exactly once.
+
+        ``batch_df`` must carry the key columns, ``op`` ('I'|'U'|'D'),
+        ``event_sequence`` (long) and any payload columns. Payload columns
+        not yet in the table schema are added (additive evolution, B9);
+        table columns absent from the batch are null-filled for new rows and
+        untouched for survivors.
+        """
+        man = self._require_manifest()
+        last = man["committed"].get(job)
+        if last is not None and batch_id <= last:
+            if self.strict_duplicate_check:
+                raise DuplicateBatchException(
+                    f"batch {batch_id} for job {job!r} already committed (last={last})"
+                )
+            return MergeResult(applied=False, version=man["version"],
+                               skipped_reason=f"batch<=last_committed({last})")
+
+        counts = counts or LineageCounts()
+        table_schema = T.StructType.fromJson(man["schema"])
+
+        # --- normalize batch → internal shape: payload + _seq + _op + _bucket
+        batch = batch_df
+        payload_cols = [c for c in batch.columns if c not in ("op", "event_sequence", "event_ts")]
+        for k in self.keys:
+            if k not in payload_cols:
+                raise SinkCommitError(f"merge batch missing key column {k!r}")
+        new_cols = [c for c in payload_cols if c not in table_schema.fieldNames()]
+        evolved_schema = T.StructType(
+            list(table_schema.fields)
+            + [batch.schema[c] for c in new_cols]
+        )
+        aligned = batch.select(
+            *[
+                (F.col(f.name).cast(f.dataType) if f.name in batch.columns else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in evolved_schema.fields
+            ],
+            F.col("event_sequence").cast("long").alias("_seq"),
+            F.col("op").alias("_op"),
+        )
+        # Reduce to one row per key (B4 — idempotent if the job already did it).
+        w = Window.partitionBy(*self.keys).orderBy(F.col("_seq").desc(), _rank(F.col("_op")).desc())
+        reduced = (
+            aligned.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("_bucket", bucket_of(man["n_buckets"]))
+        )
+        reduced = reduced.persist()
+        try:
+            stats = reduced.groupBy("_bucket").agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("_op") == "D", 1).otherwise(0)).alias("n_del"),
+                F.max("_seq").alias("max_seq"),
+                F.sum(F.xxhash64(*self.keys, "_seq").cast("decimal(38,0)")).alias("h"),
+            ).collect()
+            if not stats:
+                return self._commit_empty(man, job, batch_id, counts, job_state, properties)
+
+            affected = sorted(int(r["_bucket"]) for r in stats)
+            batch_rows = sum(r["n"] for r in stats)
+            strategy = self.merge_strategy
+            if strategy == "auto":
+                strategy = "broadcast" if batch_rows <= self.broadcast_threshold_rows else "shuffle"
+
+            current = self._read_buckets(man, affected)
+            # evolve current to the new schema (missing new cols → null)
+            cur_aligned = current.select(
+                *[
+                    (F.col(f.name) if f.name in current.columns else F.lit(None).cast(f.dataType)).alias(f.name)
+                    for f in evolved_schema.fields
+                ],
+                "_seq",
+                "_op",
+            )
+            merged = self._resolve(cur_aligned, reduced.drop("_bucket"), strategy)
+
+            version = man["version"] + 1
+            data_rel = f"data/v{version}"
+            self._write_bucketed(merged, os.path.join(self.root, data_rel), man["n_buckets"])
+
+            lineage_rel = f"lineage/l{version}"
+            self._write_lineage(man, stats, job, batch_id, counts, os.path.join(self.root, lineage_rel))
+
+            new_buckets = dict(man["buckets"])
+            written = self._list_bucket_dirs(os.path.join(self.root, data_rel))
+            for b in affected:
+                if b in written:
+                    new_buckets[str(b)] = f"{data_rel}/_bucket_dir={b}"
+                else:
+                    # every current row of this bucket was superseded by
+                    # tombstoned... cannot happen (tombstones are kept), but
+                    # stay safe: keep the old dir.
+                    pass
+            man_new = dict(man)
+            man_new["version"] = version
+            man_new["schema"] = evolved_schema.jsonValue()
+            man_new["buckets"] = new_buckets
+            man_new["committed"] = {**man["committed"], job: batch_id}
+            if job_state is not None:
+                man_new["state"] = {**man["state"], job: job_state}
+            if properties is not None:
+                man_new["properties"] = {**man["properties"], **properties}
+            man_new["lineage"] = list(man["lineage"]) + [lineage_rel]
+            self._swap_manifest(man_new)
+            self._gc_orphans(man_new)
+            return MergeResult(
+                applied=True,
+                version=version,
+                rows_upserted=int(batch_rows - sum(r["n_del"] for r in stats)),
+                rows_deleted=int(sum(r["n_del"] for r in stats)),
+                n_affected_buckets=len(affected),
+                strategy=strategy,
+            )
+        finally:
+            reduced.unpersist()
+
+    # ---- merge internals ----------------------------------------------------
+
+    def _resolve(self, current: DataFrame, batch: DataFrame, strategy: str) -> DataFrame:
+        """Last-writer-wins union of current rows and batch rows per key.
+
+        broadcast: current is scanned twice but never shuffled — two
+        BroadcastHashJoins against the (small) batch. The standard CDC case.
+        shuffle: one window over the union — for backfill-sized batches.
+        """
+        keys = self.keys
+        if strategy == "broadcast":
+            b_meta = F.broadcast(
+                batch.select(*keys, F.col("_seq").alias("_bseq"), _rank(F.col("_op")).alias("_brank"))
+            )
+            survivors = (
+                current.join(b_meta, on=keys, how="left")
+                .where(
+                    F.col("_bseq").isNull()
+                    | (F.col("_seq") > F.col("_bseq"))
+                    | ((F.col("_seq") == F.col("_bseq")) & (_rank(F.col("_op")) > F.col("_brank")))
+                )
+                .drop("_bseq", "_brank")
+            )
+            c_meta = (
+                current.join(F.broadcast(batch.select(*keys)), on=keys, how="left_semi")
+                .select(*keys, F.col("_seq").alias("_cseq"), _rank(F.col("_op")).alias("_crank"))
+            )
+            winners = (
+                batch.join(F.broadcast(c_meta), on=keys, how="left")
+                .where(
+                    F.col("_cseq").isNull()
+                    | (F.col("_seq") > F.col("_cseq"))
+                    | ((F.col("_seq") == F.col("_cseq")) & (_rank(F.col("_op")) >= F.col("_crank")))
+                )
+                .drop("_cseq", "_crank")
+            )
+            return survivors.unionByName(winners)
+        # shuffle strategy: single LWW window over the union
+        unioned = current.unionByName(batch)
+        w = Window.partitionBy(*keys).orderBy(F.col("_seq").desc(), _rank(F.col("_op")).desc())
+        return unioned.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+    def _write_bucketed(self, df: DataFrame, abs_dir: str, n_buckets: int) -> None:
+        """Write merged rows of the affected buckets, one dir per bucket.
+
+        Salted repartition: hot buckets fan out over several write tasks
+        (B11); ``partitionBy`` still routes rows to the right bucket dir, and
+        AQE coalesces the small ones.
+        """
+        n_parts = self.write_partitions or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        salt = F.pmod(F.xxhash64(*self.keys), F.lit(8))
+        out = (
+            df.withColumn("_bucket_dir", bucket_of(n_buckets))
+            .repartition(n_parts, F.col("_bucket_dir"), salt)
+        )
+        out.write.mode("overwrite").partitionBy("_bucket_dir").parquet(abs_dir)
+
+    def _list_bucket_dirs(self, abs_dir: str) -> set[int]:
+        if not os.path.isdir(abs_dir):
+            return set()
+        return {
+            int(name.split("=", 1)[1])
+            for name in os.listdir(abs_dir)
+            if name.startswith("_bucket_dir=")
+        }
+
+    def _write_lineage(
+        self,
+        man: dict,
+        stats: list,
+        job: str,
+        batch_id: int,
+        counts: LineageCounts,
+        abs_dir: str,
+    ) -> None:
+        """One lineage row per affected bucket + one summary row
+        (partition=-1) carrying the batch-level quarantine/late counts and
+        input hash (descendant of ``pipeline/status.py::Status`` columns
+        ``input_checksum`` / ``num_lines``).
+        """
+        rows = [
+            {
+                "job": job,
+                "batch_id": batch_id,
+                "partition": int(r["_bucket"]),
+                "last_seq": int(r["max_seq"]),
+                "rows_upserted": int(r["n"] - r["n_del"]),
+                "rows_deleted": int(r["n_del"]),
+                "rows_quarantined": 0,
+                "rows_late": 0,
+                "input_hash": str(r["h"]),
+                "status": "success",
+                "wall_ms": 0,
+                "committed_ts": None,
+            }
+            for r in stats
+        ]
+        rows.append(
+            {
+                "job": job,
+                "batch_id": batch_id,
+                "partition": -1,
+                "last_seq": int(max((r["max_seq"] for r in stats), default=0)),
+                "rows_upserted": int(sum(r["n"] - r["n_del"] for r in stats)),
+                "rows_deleted": int(sum(r["n_del"] for r in stats)),
+                "rows_quarantined": counts.rows_quarantined,
+                "rows_late": counts.rows_late,
+                "input_hash": counts.input_hash or str(sum(int(r["h"]) for r in stats)),
+                "status": "success",
+                "wall_ms": counts.wall_ms,
+                "committed_ts": None,
+            }
+        )
+        df = self.spark.createDataFrame(rows, self.LINEAGE_SCHEMA).withColumn(
+            "committed_ts", F.current_timestamp()
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(abs_dir)
+
+    def _commit_empty(
+        self,
+        man: dict,
+        job: str,
+        batch_id: int,
+        counts: LineageCounts,
+        job_state: dict | None,
+        properties: dict | None,
+    ) -> MergeResult:
+        """An empty (or fully-quarantined) batch still advances the guard —
+        otherwise a restart would re-run it forever."""
+        version = man["version"] + 1
+        lineage_rel = f"lineage/l{version}"
+        self._write_lineage(man, [], job, batch_id, counts, os.path.join(self.root, lineage_rel))
+        man_new = dict(man)
+        man_new["version"] = version
+        man_new["committed"] = {**man["committed"], job: batch_id}
+        if job_state is not None:
+            man_new["state"] = {**man["state"], job: job_state}
+        if properties is not None:
+            man_new["properties"] = {**man["properties"], **properties}
+        man_new["lineage"] = list(man["lineage"]) + [lineage_rel]
+        self._swap_manifest(man_new)
+        return MergeResult(applied=True, version=version)
+
+    # ---- maintenance ----------------------------------------------------------
+
+    def _gc_orphans(self, man: dict) -> None:
+        """Drop data/lineage dirs not referenced by the committed manifest —
+        leftovers of crashed attempts. Best-effort; never fails a commit."""
+        live_data = {rel.split("/")[1] for rel in man["buckets"].values()}  # v{N}
+        live_lineage = {rel.split("/")[1] for rel in man["lineage"]}
+        try:
+            data_root = os.path.join(self.root, "data")
+            if os.path.isdir(data_root):
+                for name in os.listdir(data_root):
+                    if name not in live_data and self._version_of(name) < man["version"]:
+                        shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
+            lin_root = os.path.join(self.root, "lineage")
+            if os.path.isdir(lin_root):
+                for name in os.listdir(lin_root):
+                    if name not in live_lineage and self._version_of(name, "l") < man["version"]:
+                        shutil.rmtree(os.path.join(lin_root, name), ignore_errors=True)
+        except OSError:
+            pass
+
+    @staticmethod
+    def _version_of(dirname: str, prefix: str = "v") -> int:
+        try:
+            return int(dirname.lstrip(prefix))
+        except ValueError:
+            return 1 << 62
+
+    def compact(self, *, drop_tombstones_below_seq: int | None = None) -> int:
+        """Rewrite all buckets: coalesce small files and GC tombstones whose
+        sequence is below the given bound (i.e. no redelivery can still
+        reference them). Returns the new version."""
+        man = self._require_manifest()
+        df = self._read_buckets(man)
+        if drop_tombstones_below_seq is not None:
+            df = df.where(~((F.col("_op") == "D") & (F.col("_seq") < drop_tombstones_below_seq)))
+        version = man["version"] + 1
+        data_rel = f"data/v{version}"
+        self._write_bucketed(df, os.path.join(self.root, data_rel), man["n_buckets"])
+        written = self._list_bucket_dirs(os.path.join(self.root, data_rel))
+        man_new = dict(man)
+        man_new["version"] = version
+        man_new["buckets"] = {str(b): f"{data_rel}/_bucket_dir={b}" for b in sorted(written)}
+        self._swap_manifest(man_new)
+        self._gc_orphans(man_new)
+        return version

@@ -1,0 +1,8 @@
+from wprdc_etl_spark.sources.connectors import (
+    StagedRemoteConnector,
+    normalize_header,
+    read_csv_source,
+    read_source,
+)
+
+__all__ = ["read_csv_source", "read_source", "normalize_header", "StagedRemoteConnector"]

@@ -1,0 +1,254 @@
+"""A7/A1–A6 + B1/B2/B8/B12/B13 — the job orchestrator.
+
+Parity: ``pipeline/pipeline.py::Pipeline`` — a builder
+(``connect/extract/schema/load`` each storing a stage, ``run()`` executing
+the linear flow with a completeness check, duplicate-input guard and status
+logging, SURVEY §4.1). The engine version:
+
+    IngestJob("repo_ingest")
+        .source(log_dir)                      # A2/A3 → readStream/read parquet
+        .schema(payload_schema)               # A4    → vectorized validation
+        .sink(lake_table)                     # A5    → keyed MERGE
+        .build()                              # A6    → IncompletePipelineError
+    job.run_batch(...)        # batch replay (deterministic chunking)
+    job.start_stream(ckpt)    # Structured Streaming + foreachBatch
+
+Per micro-batch (``apply_batch``), the SURVEY §4.1 engine trace:
+dedup (B3) → late split (B2 analog) → validate/quarantine (B5) →
+content_sha (B6) → MERGE (B7) with lineage counts (B12), all committed
+atomically with the (job, batch_id) exactly-once guard (B8).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wprdc_etl_spark.exceptions import IncompletePipelineError
+from wprdc_etl_spark.operators.dedup import DEDUP_KEYS, dedup_events, dedup_events_streaming
+from wprdc_etl_spark.operators.fingerprint import with_content_sha
+from wprdc_etl_spark.plans.lake import LakeTable, LineageCounts
+from wprdc_etl_spark.schema import BaseSchema, event_payload_schema
+from wprdc_etl_spark.testgen import LANGS
+
+
+def event_struct(extra_fields: list[T.StructField] | None = None) -> T.StructType:
+    """The change-event envelope schema (FIXTURES.md §2). ``extra_fields``
+    appends evolved payload columns (e.g. license:string)."""
+    base = [
+        T.StructField("event_sequence", T.LongType()),
+        T.StructField("event_ts", T.TimestampType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+    return T.StructType(base + list(extra_fields or []))
+
+
+class IngestJob:
+    """Builder + runner for one CDC ingest pipeline."""
+
+    def __init__(
+        self,
+        name: str,
+        *,
+        lateness: str | None = None,
+        watermark_delay: str = "10 minutes",
+        max_files_per_trigger: int = 8,
+        compute_content_sha: bool = True,
+    ) -> None:
+        self.name = name
+        self.lateness = lateness  # None → late events are applied, not dropped
+        self.watermark_delay = watermark_delay
+        self.max_files_per_trigger = max_files_per_trigger
+        self.compute_content_sha = compute_content_sha
+        self._source_path: str | None = None
+        self._source_format: str = "parquet"
+        self._event_schema: T.StructType = event_struct()
+        self._payload_schema: BaseSchema | None = None
+        self._sink: LakeTable | None = None
+        self._built = False
+
+    # ---- builder (A1–A5) --------------------------------------------------
+
+    def source(self, path: str, fmt: str = "parquet", event_schema: T.StructType | None = None) -> "IngestJob":
+        self._source_path = path
+        self._source_format = fmt
+        if event_schema is not None:
+            self._event_schema = event_schema
+        return self
+
+    def schema(self, payload_schema: BaseSchema) -> "IngestJob":
+        self._payload_schema = payload_schema
+        return self
+
+    def sink(self, table: LakeTable) -> "IngestJob":
+        self._sink = table
+        return self
+
+    def build(self) -> "IngestJob":
+        """A6 — ``Pipeline.enforce_full_pipeline`` analog."""
+        missing = [
+            stage
+            for stage, ok in [
+                ("source", self._source_path is not None),
+                ("schema", self._payload_schema is not None),
+                ("sink", self._sink is not None),
+            ]
+            if not ok
+        ]
+        if missing:
+            raise IncompletePipelineError(f"pipeline incomplete, missing stages: {missing}")
+        self._built = True
+        return self
+
+    def _require_built(self) -> None:
+        if not self._built:
+            raise IncompletePipelineError("call .build() before running (stages unvalidated)")
+
+    @classmethod
+    def default_payload_schema(cls) -> BaseSchema:
+        return event_payload_schema(list(LANGS))
+
+    # ---- the per-batch core (§4.1 engine trace) ----------------------------
+
+    def target_schema(self) -> T.StructType:
+        assert self._payload_schema is not None
+        s = self._payload_schema.to_struct_type()
+        fields = list(s.fields)
+        if self.compute_content_sha:
+            fields.append(T.StructField("content_sha", T.StringType()))
+        return T.StructType(fields)
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Process one (micro-)batch end to end. Safe to re-run with the same
+        batch_id: the sink's guard makes it a no-op (B8)."""
+        self._require_built()
+        assert self._sink is not None and self._payload_schema is not None
+        t0 = time.monotonic()
+        sink = self._sink
+
+        batch = dedup_events(batch_df).persist()
+        try:
+            agg = batch.agg(
+                F.max("event_ts").alias("max_ts"),
+                F.coalesce(
+                    F.sum(F.xxhash64(*DEDUP_KEYS).cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("input_hash"),
+                F.count("*").alias("n"),
+            ).collect()[0]
+            if agg["n"] == 0:
+                sink.merge(
+                    batch.limit(0).withColumn("content_sha", F.lit(None).cast("string")),
+                    job=self.name,
+                    batch_id=batch_id,
+                    counts=LineageCounts(wall_ms=int((time.monotonic() - t0) * 1000)),
+                )
+                return
+
+            # late-event split (B2 analog at the apply layer; see SURVEY B2 —
+            # the rule is relative to the previous batch's high watermark, the
+            # same boundary semantics Spark's own watermark has).
+            n_late = 0
+            events = batch
+            state = {}
+            if hasattr(sink, "job_state"):
+                state = sink.job_state(self.name)
+            if self.lateness is not None:
+                prev_max = state.get("max_event_ts")
+                if prev_max is not None:
+                    bound = F.to_timestamp(F.lit(prev_max)) - F.expr(f"INTERVAL {self.lateness}")
+                    late = events.where(F.col("event_ts") < bound)
+                    n_late = late.count()
+                    events = events.where(~(F.col("event_ts") < bound))
+            new_state = dict(state)
+            if agg["max_ts"] is not None:
+                prev = state.get("max_event_ts")
+                cur = agg["max_ts"].isoformat(sep=" ")
+                new_state["max_event_ts"] = max(prev, cur) if prev else cur
+
+            # vectorized validation / quarantine (B5)
+            valid, quarantine = self._payload_schema.validate(events)
+            # row-level rule: content required unless op == 'D'
+            bad_content = (F.col("op") != "D") & F.col("content").isNull()
+            n_quarantined = quarantine.count() + valid.where(bad_content).count()
+            valid = valid.where(~bad_content)
+
+            if self.compute_content_sha:
+                valid = with_content_sha(valid)
+
+            sink.merge(
+                valid,
+                job=self.name,
+                batch_id=batch_id,
+                counts=LineageCounts(
+                    rows_quarantined=int(n_quarantined),
+                    rows_late=int(n_late),
+                    input_hash=str(agg["input_hash"]),
+                    wall_ms=int((time.monotonic() - t0) * 1000),
+                ),
+                job_state=new_state,
+            )
+        finally:
+            batch.unpersist()
+
+    # ---- batch replay (B13 replay windows) ---------------------------------
+
+    def run_batch(
+        self,
+        spark: SparkSession,
+        *,
+        n_chunks: int = 1,
+        start_batch_id: int = 0,
+        max_sequence_exclusive: int | None = None,
+    ) -> int:
+        """Replay the whole log in ``n_chunks`` deterministic sequence-range
+        batches (1 = one big batch). Returns the last batch_id applied.
+        Chunking by sequence range (not by file) makes replay results
+        batch-plan-independent and restartable mid-way."""
+        self._require_built()
+        df = spark.read.schema(self._event_schema).format(self._source_format).load(self._source_path)
+        if max_sequence_exclusive is None:
+            max_sequence_exclusive = (df.agg(F.max("event_sequence")).collect()[0][0] or 0) + 1
+        self._sink.ensure(self.target_schema())  # type: ignore[union-attr]
+        step = max(1, (max_sequence_exclusive + n_chunks - 1) // n_chunks)
+        last_id = start_batch_id - 1
+        for idx in range(n_chunks):
+            lo, hi = idx * step, min((idx + 1) * step, max_sequence_exclusive)
+            if lo >= max_sequence_exclusive:
+                break
+            chunk = df.where((F.col("event_sequence") >= lo) & (F.col("event_sequence") < hi))
+            last_id = start_batch_id + idx
+            self.apply_batch(chunk, last_id)
+        return last_id
+
+    # ---- streaming (B1/B2/B3/B13) ------------------------------------------
+
+    def start_stream(self, spark: SparkSession, checkpoint: str, *, available_now: bool = True):
+        """Tail the log dir as a Structured Streaming file source. The
+        checkpoint holds source offsets + dedup state (B13); the sink guard
+        covers the foreachBatch at-least-once gap (B8)."""
+        self._require_built()
+        self._sink.ensure(self.target_schema())  # type: ignore[union-attr]
+        stream = (
+            spark.readStream.schema(self._event_schema)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .format(self._source_format)
+            .load(self._source_path)
+        )
+        deduped = dedup_events_streaming(stream, watermark_delay=self.watermark_delay)
+        writer = (
+            deduped.writeStream.option("checkpointLocation", checkpoint)
+            .foreachBatch(lambda df, bid: self.apply_batch(df, bid))
+            .queryName(self.name)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
