@@ -1,0 +1,218 @@
+"""ParquetSnapshotTable — keyed MERGE semantics (SURVEY B7/B8/B9/B10),
+the engine analog of the reference's test_loaders upsert tests
+(``pipeline/loaders.py::CKANDatastoreLoader``, SURVEY §6.1)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wprdc_etl_spark.exceptions import DuplicateBatchException, SinkCommitError
+from wprdc_etl_spark.plans.lake import LineageCounts, ParquetSnapshotTable
+
+COLS = ["event_sequence", "op", "repo", "path", "commit", "lang", "content"]
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def mk_table(spark, tmp, **kw):
+    kw.setdefault("n_buckets", 4)
+    t = ParquetSnapshotTable(spark, str(tmp / "tbl"), **kw)
+    t.ensure(SCHEMA)
+    return t
+
+
+EV_SCHEMA = T.StructType(
+    [T.StructField("event_sequence", T.LongType()), T.StructField("op", T.StringType())]
+    + [T.StructField(c, T.StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+)
+
+
+def ev(spark, rows):
+    return spark.createDataFrame(rows, EV_SCHEMA)
+
+
+def state(t):
+    return {
+        (r["repo"], r["path"], r["commit"]): r["content"] for r in t.read().collect()
+    }
+
+
+def test_create_exists_read_empty(spark, tmp_path):
+    t = mk_table(spark, tmp_path)
+    assert t.exists()
+    assert t.read().count() == 0
+    assert t.read().columns == ["repo", "path", "commit", "lang", "content"]
+
+
+def test_ensure_requires_key_columns(spark, tmp_path):
+    t = ParquetSnapshotTable(spark, str(tmp_path / "bad"))
+    with pytest.raises(SinkCommitError):
+        t.ensure(T.StructType([T.StructField("x", T.StringType())]))
+
+
+def test_insert_update_delete(spark, tmp_path):
+    t = mk_table(spark, tmp_path)
+    t.merge(ev(spark, [
+        (0, "I", "r1", "a", "c1", "py", "v1"),
+        (1, "I", "r2", "b", "c2", "go", "w1"),
+    ]), job="j", batch_id=0)
+    assert state(t) == {("r1", "a", "c1"): "v1", ("r2", "b", "c2"): "w1"}
+
+    t.merge(ev(spark, [
+        (2, "U", "r1", "a", "c1", "py", "v2"),     # update existing key
+        (3, "D", "r2", "b", "c2", "go", None),     # delete existing key
+        (4, "I", "r3", "c", "c3", "rs", "z1"),     # insert new key
+    ]), job="j", batch_id=1)
+    assert state(t) == {("r1", "a", "c1"): "v2", ("r3", "c", "c3"): "z1"}
+
+
+def test_lww_within_batch_and_against_table(spark, tmp_path):
+    t = mk_table(spark, tmp_path)
+    t.merge(ev(spark, [(5, "I", "r", "p", "c", "py", "new")]), job="j", batch_id=0)
+    # stale event (seq 2) for the same key must NOT regress the row
+    r = t.merge(ev(spark, [(2, "U", "r", "p", "c", "py", "old")]), job="j", batch_id=1)
+    assert r.applied
+    assert state(t) == {("r", "p", "c"): "new"}
+
+
+def test_delete_tombstone_blocks_stale_resurrection(spark, tmp_path):
+    t = mk_table(spark, tmp_path)
+    t.merge(ev(spark, [(1, "I", "r", "p", "c", "py", "x"), (9, "D", "r", "p", "c", "py", None)]),
+            job="j", batch_id=0)
+    assert state(t) == {}
+    # redelivered old insert (seq 1) after the delete (seq 9): stays deleted
+    t.merge(ev(spark, [(1, "I", "r", "p", "c", "py", "x")]), job="j", batch_id=1)
+    assert state(t) == {}
+
+
+def test_delete_of_nonexistent_key_is_noop(spark, tmp_path):
+    t = mk_table(spark, tmp_path)
+    r = t.merge(ev(spark, [(0, "D", "ghost", "p", "c", "py", None)]), job="j", batch_id=0)
+    assert r.applied and state(t) == {}
+
+
+def test_exactly_once_guard(spark, tmp_path):
+    t = mk_table(spark, tmp_path)
+    df = ev(spark, [(0, "I", "r", "p", "c", "py", "x")])
+    assert t.merge(df, job="j", batch_id=0).applied
+    skip = t.merge(ev(spark, [(99, "U", "r", "p", "c", "py", "EVIL")]), job="j", batch_id=0)
+    assert not skip.applied and "last_committed" in skip.skipped_reason
+    assert state(t) == {("r", "p", "c"): "x"}
+    assert t.last_committed_batch("j") == 0
+    # other jobs are independent
+    assert t.last_committed_batch("other") is None
+
+
+def test_strict_duplicate_raises(spark, tmp_path):
+    """Descendant of the reference's DuplicateFileException (SURVEY A25)."""
+    t = mk_table(spark, tmp_path, strict_duplicate_check=True)
+    df = ev(spark, [(0, "I", "r", "p", "c", "py", "x")])
+    t.merge(df, job="j", batch_id=0)
+    with pytest.raises(DuplicateBatchException):
+        t.merge(df, job="j", batch_id=0)
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_strategies_agree(spark, tmp_path, strategy):
+    t = mk_table(spark, tmp_path / strategy, merge_strategy=strategy)
+    t.merge(ev(spark, [
+        (0, "I", "r1", "a", "c1", "py", "v1"),
+        (1, "I", "r2", "b", "c2", "go", "w1"),
+        (2, "D", "r1", "a", "c1", "py", None),
+        (3, "U", "r2", "b", "c2", "go", "w2"),
+    ]), job="j", batch_id=0)
+    assert state(t) == {("r2", "b", "c2"): "w2"}
+    r = t.merge(ev(spark, [(4, "U", "r2", "b", "c2", "go", "w3")]), job="j", batch_id=1)
+    assert r.strategy == strategy
+    assert state(t) == {("r2", "b", "c2"): "w3"}
+
+
+def test_only_affected_buckets_rewritten(spark, tmp_path):
+    t = mk_table(spark, tmp_path, n_buckets=8)
+    rows = [(i, "I", f"r{i}", f"p{i}", f"c{i}", "py", f"v{i}") for i in range(64)]
+    t.merge(ev(spark, rows), job="j", batch_id=0)
+    man0 = t._read_manifest()
+    r = t.merge(ev(spark, [(100, "U", "r1", "p1", "c1", "py", "new")]), job="j", batch_id=1)
+    man1 = t._read_manifest()
+    assert r.n_affected_buckets == 1
+    changed = [b for b in man0["buckets"] if man0["buckets"][b] != man1["buckets"][b]]
+    assert len(changed) == 1  # 7 of 8 bucket dirs untouched (copy-on-write)
+    assert state(t)[("r1", "p1", "c1")] == "new"
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """B9: new nullable column appears → added; old rows read as null."""
+    t = mk_table(spark, tmp_path)
+    t.merge(ev(spark, [(0, "I", "r", "p", "c", "py", "x")]), job="j", batch_id=0)
+    evolved = ev(spark, [(1, "I", "r2", "p2", "c2", "go", "y")]).withColumn(
+        "license", F.lit("MIT")
+    )
+    t.merge(evolved, job="j", batch_id=1)
+    got = {r["repo"]: r["license"] for r in t.read().collect()}
+    assert got == {"r": None, "r2": "MIT"}
+    assert "license" in [f.name for f in t.schema().fields]
+    # next batch without the column still works (null-filled)
+    t.merge(ev(spark, [(2, "I", "r3", "p3", "c3", "js", "z")]), job="j", batch_id=2)
+    assert state(t).keys() == {("r", "p", "c"), ("r2", "p2", "c2"), ("r3", "p3", "c3")}
+
+
+def test_lineage_rows(spark, tmp_path):
+    t = mk_table(spark, tmp_path)
+    t.merge(
+        ev(spark, [(0, "I", "r", "p", "c", "py", "x"), (1, "D", "r9", "p9", "c9", "py", None)]),
+        job="j",
+        batch_id=0,
+        counts=LineageCounts(rows_quarantined=3, rows_late=1, input_hash="h123", wall_ms=42),
+    )
+    lin = t.read_lineage()
+    summary = lin.where(F.col("partition") == -1).collect()[0]
+    assert summary["rows_upserted"] == 1 and summary["rows_deleted"] == 1
+    assert summary["rows_quarantined"] == 3 and summary["rows_late"] == 1
+    assert summary["input_hash"] == "h123" and summary["status"] == "success"
+    per_bucket = lin.where(F.col("partition") >= 0)
+    assert per_bucket.count() >= 1
+    assert per_bucket.agg(F.max("last_seq")).collect()[0][0] == 1
+
+
+def test_truncate_full_refresh(spark, tmp_path):
+    """A20 parity: method='insert' full refresh drops data + guard state."""
+    t = mk_table(spark, tmp_path)
+    t.merge(ev(spark, [(0, "I", "r", "p", "c", "py", "x")]), job="j", batch_id=0)
+    t.truncate()
+    assert t.read().count() == 0
+    assert t.last_committed_batch("j") is None
+    t.merge(ev(spark, [(0, "I", "r", "p", "c", "py", "y")]), job="j", batch_id=0)
+    assert state(t) == {("r", "p", "c"): "y"}
+
+
+def test_empty_batch_advances_guard(spark, tmp_path):
+    t = mk_table(spark, tmp_path)
+    r = t.merge(ev(spark, []), job="j", batch_id=5)
+    assert r.applied and t.last_committed_batch("j") == 5
+
+
+def test_compact_gc_tombstones(spark, tmp_path):
+    t = mk_table(spark, tmp_path)
+    t.merge(ev(spark, [(0, "I", "r", "p", "c", "py", "x"), (1, "D", "r", "p", "c", "py", None)]),
+            job="j", batch_id=0)
+    raw = t._read_buckets(t._read_manifest())
+    assert raw.count() == 1  # the tombstone
+    t.compact(drop_tombstones_below_seq=10)
+    assert t._read_buckets(t._read_manifest()).count() == 0
+    assert t.read().count() == 0
+
+
+def test_properties_touch(spark, tmp_path):
+    """A23 parity: update_metadata → manifest properties."""
+    t = mk_table(spark, tmp_path)
+    t.merge(ev(spark, [(0, "I", "r", "p", "c", "py", "x")]), job="j", batch_id=0,
+            properties={"last_modified_by": "job-j"})
+    assert t.properties()["last_modified_by"] == "job-j"
