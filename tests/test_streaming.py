@@ -1,0 +1,140 @@
+"""B1/B2/B3/B13 — Structured Streaming ingest: availableNow tail of the log
+dir, stateful dedup within watermark, checkpoint resume, and equality with
+both the batch replay and the DuckDB golden oracle."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from wprdc_etl_spark.plans.lake import ParquetSnapshotTable
+from wprdc_etl_spark.streaming.job import IngestJob
+from wprdc_etl_spark.testgen import gen_change_events, golden_final_state_sql, write_event_log
+
+N_EVENTS = 2500
+
+
+@pytest.fixture(scope="module")
+def log_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("slog") / "events"
+    write_event_log(gen_change_events(spark, N_EVENTS), str(d), n_files=12)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def golden(log_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        golden_final_state_sql(f"read_parquet('{log_dir}/*.parquet')")
+    ).fetchall()
+    con.close()
+    return {tuple(r) for r in rows}
+
+
+def engine_state(table):
+    return {
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content_sha"])
+        for r in table.read().select("repo", "path", "commit", "lang", "content_sha").collect()
+    }
+
+
+def make_job(spark, tmp, log_dir, name):
+    table = ParquetSnapshotTable(spark, str(tmp / "tbl"), n_buckets=8)
+    # watermark must cover the max event-time disorder in the log (the
+    # generator pulls late events a full day early); anything older than the
+    # watermark is dropped by the stateful dedup — that is the documented
+    # contract (B2), exercised separately in test_watermark_drops_very_late.
+    job = (
+        IngestJob(name, max_files_per_trigger=3, watermark_delay="48 hours")
+        .source(log_dir)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    return job, table
+
+
+def test_stream_matches_golden(spark, tmp_path, log_dir, golden):
+    job, table = make_job(spark, tmp_path, log_dir, "stream1")
+    q = job.start_stream(spark, str(tmp_path / "ckpt"))
+    q.awaitTermination(600)
+    assert engine_state(table) == golden
+    # multiple micro-batches actually ran (12 files / 3 per trigger)
+    n_batches = table.read_lineage().select("batch_id").distinct().count()
+    assert n_batches >= 4
+
+
+def test_stream_restart_from_checkpoint(spark, tmp_path, log_dir, golden):
+    """Kill after the stream has fully drained, append new log segments,
+    restart with the same checkpoint → only the new files are processed and
+    the final state reconverges (B13)."""
+    job, table = make_job(spark, tmp_path, log_dir, "stream2")
+    ckpt = str(tmp_path / "ckpt2")
+    job.start_stream(spark, ckpt).awaitTermination(600)
+    assert engine_state(table) == golden
+    last_batch = table.last_committed_batch("stream2")
+
+    # append a second wave of events to the same log dir
+    wave2 = gen_change_events(spark, 400, with_anomalies=False).withColumn(
+        "event_sequence", F.col("event_sequence") + 1_000_000
+    ).withColumn("event_ts", F.timestamp_seconds(F.lit(1_700_010_000) + F.col("event_sequence") / 1000))
+    wave2.repartitionByRange(4, "event_sequence").write.mode("append").parquet(log_dir)
+
+    job2, table2 = make_job(spark, tmp_path, log_dir, "stream2")
+    table2.root = table.root  # same table
+    q = job2.start_stream(spark, ckpt)
+    q.awaitTermination(600)
+    assert table.last_committed_batch("stream2") > last_batch
+
+    # golden for the union of both waves
+    con = duckdb.connect()
+    rows = con.execute(
+        golden_final_state_sql(f"read_parquet('{log_dir}/*.parquet')")
+    ).fetchall()
+    con.close()
+    assert engine_state(table) == {tuple(r) for r in rows}
+
+
+def test_late_events_dropped_in_streaming(spark, tmp_path):
+    """B2 at the apply layer: with ``lateness`` set, an event arriving in a
+    later micro-batch with event_ts far behind the job's high watermark is
+    dropped and counted in lineage (rows_late) — Spark's own watermark only
+    bounds dedup state; the engine's lateness rule is the deterministic
+    contract. Files process one per trigger, on-time wave first."""
+    log = str(tmp_path / "latelog")
+    on_time = gen_change_events(spark, 300, with_anomalies=False)
+    on_time.coalesce(1).write.parquet(log)  # part-0000… (first trigger)
+    # one very-late insert: event_ts 10 days before the wave, new key
+    late = spark.createDataFrame(
+        [(999_999, "I", "late/repo", "p", "c" * 40, "py", "late-content")],
+        ["event_sequence", "op", "repo", "path", "commit", "lang", "content"],
+    ).withColumn("event_ts", F.timestamp_seconds(F.lit(1_700_000_000 - 10 * 86_400)))
+    late.select(
+        "event_sequence", "event_ts", "op", "repo", "path", "commit", "lang", "content"
+    ).coalesce(1).write.mode("append").parquet(log)
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=4)
+    job = (
+        IngestJob("latejob", max_files_per_trigger=1, watermark_delay="48 hours",
+                  lateness="1 hour")
+        .source(log)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    job.start_stream(spark, str(tmp_path / "ckpt")).awaitTermination(600)
+    assert table.read().where(F.col("repo") == "late/repo").count() == 0
+    late_total = (
+        table.read_lineage().where(F.col("partition") == -1).agg(F.sum("rows_late")).collect()[0][0]
+    )
+    assert late_total >= 1
+
+
+def test_stream_then_rerun_is_noop(spark, tmp_path, log_dir):
+    """Re-starting a fully-drained stream applies nothing (source offsets in
+    the checkpoint + sink guard)."""
+    job, table = make_job(spark, tmp_path, log_dir, "stream3")
+    ckpt = str(tmp_path / "ckpt3")
+    job.start_stream(spark, ckpt).awaitTermination(600)
+    v = table._read_manifest()["version"]
+    job.start_stream(spark, ckpt).awaitTermination(600)
+    assert table._read_manifest()["version"] == v
