@@ -1,38 +1,300 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full CDC ingest (log → dedup → validate →
+LWW → MERGE → lineage) on an sf0.001-sized generated change log; returns the
+final table state.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §3 Table B (+ reference Table-A analogs over the driver's
+pre-registered tables). CDC operators run over a deterministic generated
+``change_events`` fixture written under ``/root/repo/.fixtures/<sf>/`` —
+the generator is closed-form and seeded (wprdc_etl_spark/testgen.py), so the
+parquet is identical however many times it is produced, and the DuckDB
+oracles read the very same files via read_parquet().
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in __import__("sys").path:
+    __import__("sys").path.insert(0, REPO)
+
+from wprdc_etl_spark.operators.dedup import dedup_events  # noqa: E402
+from wprdc_etl_spark.operators.latest import latest_per_key  # noqa: E402
+from wprdc_etl_spark.plans.lake import ParquetSnapshotTable  # noqa: E402
+from wprdc_etl_spark.streaming.job import IngestJob  # noqa: E402
+from wprdc_etl_spark.testgen import LANGS, gen_change_events, write_event_log  # noqa: E402
+
+FIXTURES = os.path.join(REPO, ".fixtures")
+_LANG_LIST = ", ".join(f"'{x}'" for x in LANGS)
+
+# events per scale factor: sf0.01 → 20k (correctness), sf0.001 → 2k (smoke)
+_SF_EVENTS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+
+
+def _sf_label(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def _fixture_log(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic change_events parquet for this scale (idempotent)."""
+    label = _sf_label(sf_dir)
+    n = _SF_EVENTS.get(label, 20_000)
+    path = os.path.join(FIXTURES, label, "change_events")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_event_log(gen_change_events(spark, n), path, n_files=8)
+    return path
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(_fixture_log(spark, sf_dir))
+
+
+def _oracle_log(sf: str = "sf0.01") -> str:
+    return f"read_parquet('{FIXTURES}/{sf}/change_events/*.parquet')"
+
+
+# The engine's validity rule, as SQL (must mirror schema.event_payload_schema
+# + the op-aware content rule in IngestJob.apply_batch).
+def _valid_pred() -> str:
+    return f"NOT (op <> 'D' AND (content IS NULL OR trim(lang) NOT IN ({_LANG_LIST})))"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+
+def _run_pipeline(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> ParquetSnapshotTable:
+    log = _fixture_log(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    target = os.path.join(FIXTURES, "_targets", label)
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16)
+    job = (
+        IngestJob(f"entry-{label}")
+        .source(log)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=n_chunks)
+    return table
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on an sf0.001-sized CDC replay; driver checks rows>0."""
+    # pre-generate the sf0.01 fixture too, so oracle_sql() paths always exist
+    _fixture_log(spark, "/root/testdata/sf0.01")
+    table = _run_pipeline(spark, "/root/testdata/sf0.001")
+    return table.read().select("repo", "path", "commit", "lang", "content_sha")
+
+
+# ---------------------------------------------------------------------------
+# queries (SURVEY Table B) + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_EVENT_PROJ = ["event_sequence", "op", "repo", "path", "commit", "lang", "content"]
+
+
+def _q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7/B8 + B3/B4/B5/B6 composed — the whole engine, vs the golden replay."""
+    table = _run_pipeline(spark, sf_dir)
+    return table.read().select("repo", "path", "commit", "lang", "content_sha")
+
+
+def _q_cdc_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 (batch replay path of the log-tail source)."""
+    return _events(spark, sf_dir).select(*_EVENT_PROJ)
+
+
+def _q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 — drop exact redeliveries by (key, event_sequence)."""
+    return dedup_events(_events(spark, sf_dir)).select(*_EVENT_PROJ)
+
+
+def _q_cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 — last-writer-wins reduction per (repo, path, commit)."""
+    out = latest_per_key(dedup_events(_events(spark, sf_dir)))
+    return out.select("repo", "path", "commit", "event_sequence", "op")
+
+
+def _q_cdc_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 — vectorized validation: valid/quarantine counts by op."""
+    job = IngestJob("validate-only").source(_fixture_log(spark, sf_dir)).schema(
+        IngestJob.default_payload_schema()
+    )
+    ev = dedup_events(_events(spark, sf_dir))
+    valid, quarantine = job._payload_schema.validate(ev)
+    bad_content = (F.col("op") != "D") & F.col("content").isNull()
+    n_q = quarantine.select("op").unionAll(valid.where(bad_content).select("op"))
+    ok = valid.where(~bad_content).select("op")
+    return (
+        ok.withColumn("is_valid", F.lit(True))
+        .unionAll(n_q.withColumn("is_valid", F.lit(False)))
+        .groupBy("op", "is_valid")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_cdc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 — per-row sha256(content), the BASELINE per-row invariant."""
+    ev = dedup_events(_events(spark, sf_dir)).where(F.col("content").isNotNull())
+    return ev.select("event_sequence", F.sha2(F.col("content"), 256).alias("content_sha"))
+
+
+def _q_cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 analog in pure SQL terms — per-op lineage-style metrics."""
+    ev = dedup_events(_events(spark, sf_dir))
+    return ev.groupBy("op").agg(
+        F.count("*").alias("n_events"),
+        F.max("event_sequence").alias("max_seq"),
+        F.countDistinct("repo", "path", "commit").alias("n_keys"),
+    )
+
+
+def _q_cdc_hot_repo_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 evidence — key-skew profile the salting is sized against."""
+    ev = dedup_events(_events(spark, sf_dir))
+    return (
+        ev.groupBy("repo")
+        .agg(F.count("*").alias("n_events"), F.countDistinct("path").alias("n_paths"))
+        .where(F.col("n_events") > 10)
+    )
+
+
+# ---- reference Table-A analogs over the driver's pre-registered tables ----
+
+
+def _q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 over the driver's events table (dedup by event_id, keep latest ts)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = latest_per_key(ev, keys=["event_id"], order_col="ts", op_col="event_type")
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+def _q_events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 over the driver's events table — latest event per user."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = latest_per_key(ev, keys=["user_id"], order_col="ts", op_col="event_id")
+    return out.select("user_id", "event_id", "event_type", "value")
+
+
+def _q_documents_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 over the documents table."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
+
+
+def _q_documents_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup removal on content hash (training-data op): keep the
+    lowest doc_id per distinct text."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("text_sha"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "text_sha", "n_copies")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_final_state": _q_cdc_final_state,
+        "cdc_log_scan": _q_cdc_log_scan,
+        "cdc_dedup": _q_cdc_dedup,
+        "cdc_latest_per_key": _q_cdc_latest_per_key,
+        "cdc_validate": _q_cdc_validate,
+        "cdc_fingerprint": _q_cdc_fingerprint,
+        "cdc_op_stats": _q_cdc_op_stats,
+        "cdc_hot_repo_profile": _q_cdc_hot_repo_profile,
+        "events_dedup": _q_events_dedup,
+        "events_latest_per_user": _q_events_latest_per_user,
+        "documents_fingerprint": _q_documents_fingerprint,
+        "documents_exact_dedup": _q_documents_exact_dedup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    log = _oracle_log()
+    dedup_cte = f"""
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY repo, path, commit, event_sequence ORDER BY op) AS rn
+    FROM {log}) t WHERE rn = 1
+)"""
+    return {
+        "cdc_final_state": f"""
+WITH {dedup_cte.lstrip()},
+valid AS (
+  SELECT event_sequence, op, repo, path, commit, trim(lang) AS lang, content
+  FROM dedup WHERE {_valid_pred()}
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY repo, path, commit
+        ORDER BY event_sequence DESC, op DESC) AS rn
+    FROM valid) t WHERE rn = 1
+)
+SELECT repo, path, commit, lang, sha256(content) AS content_sha
+FROM latest WHERE op <> 'D'
+""",
+        "cdc_log_scan": f"SELECT event_sequence, op, repo, path, commit, lang, content FROM {log}",
+        "cdc_dedup": f"""
+WITH {dedup_cte.lstrip()}
+SELECT event_sequence, op, repo, path, commit, lang, content FROM dedup
+""",
+        "cdc_latest_per_key": f"""
+WITH {dedup_cte.lstrip()}
+SELECT repo, path, commit, event_sequence, op FROM (
+  SELECT repo, path, commit, event_sequence, op, row_number() OVER (
+      PARTITION BY repo, path, commit
+      ORDER BY event_sequence DESC, op DESC) AS rn
+  FROM dedup) t WHERE rn = 1
+""",
+        "cdc_validate": f"""
+WITH {dedup_cte.lstrip()}
+SELECT op, ({_valid_pred()}) AS is_valid, count(*) AS n
+FROM dedup GROUP BY op, is_valid
+""",
+        "cdc_fingerprint": f"""
+WITH {dedup_cte.lstrip()}
+SELECT event_sequence, sha256(content) AS content_sha
+FROM dedup WHERE content IS NOT NULL
+""",
+        "cdc_op_stats": f"""
+WITH {dedup_cte.lstrip()}
+SELECT op, count(*) AS n_events, max(event_sequence) AS max_seq,
+       count(DISTINCT (repo, path, commit)) AS n_keys
+FROM dedup GROUP BY op
+""",
+        "cdc_hot_repo_profile": f"""
+WITH {dedup_cte.lstrip()}
+SELECT repo, count(*) AS n_events, count(DISTINCT path) AS n_paths
+FROM dedup GROUP BY repo HAVING count(*) > 10
+""",
+        "events_dedup": """
+SELECT event_id, user_id, event_type, value FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY event_id ORDER BY ts DESC, event_type DESC) AS rn
+  FROM events) t WHERE rn = 1
+""",
+        "events_latest_per_user": """
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t WHERE rn = 1
+""",
+        "documents_fingerprint": "SELECT doc_id, sha256(text) AS text_sha FROM documents",
+        "documents_exact_dedup": """
+SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha, count(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+""",
+    }
