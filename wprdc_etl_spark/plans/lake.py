@@ -224,6 +224,7 @@ class ParquetSnapshotTable(LakeTable):
                 "keys": self.keys,
                 "schema": schema.jsonValue(),
                 "buckets": {},
+                "bucket_rows": {},
                 "committed": {},
                 "state": {},
                 "lineage": [],
@@ -237,6 +238,7 @@ class ParquetSnapshotTable(LakeTable):
         man = self._require_manifest()
         man["version"] += 1
         man["buckets"] = {}
+        man["bucket_rows"] = {}
         man["committed"] = {}
         man["state"] = {}
         man["lineage"] = []
@@ -374,25 +376,36 @@ class ParquetSnapshotTable(LakeTable):
 
             affected = sorted(int(r["_bucket"]) for r in stats)
             batch_rows = sum(r["n"] for r in stats)
+            populated = [b for b in affected if str(b) in man["buckets"]]
             strategy = self.merge_strategy
             if strategy == "auto":
                 strategy = "broadcast" if batch_rows <= self.broadcast_threshold_rows else "shuffle"
 
-            current = self._read_buckets(man, affected)
-            # evolve current to the new schema (missing new cols → null)
-            cur_aligned = current.select(
-                *[
-                    (F.col(f.name) if f.name in current.columns else F.lit(None).cast(f.dataType)).alias(f.name)
-                    for f in evolved_schema.fields
-                ],
-                "_seq",
-                "_op",
-            )
-            merged = self._resolve(cur_aligned, reduced.drop("_bucket"), strategy)
+            if not populated:
+                # nothing to resolve against (initial load / all-new buckets):
+                # the reduced batch IS the new bucket contents — no join at all
+                merged = reduced.drop("_bucket")
+                strategy = "append-only"
+            else:
+                current = self._read_buckets(man, populated)
+                # evolve current to the new schema (missing new cols → null)
+                cur_aligned = current.select(
+                    *[
+                        (F.col(f.name) if f.name in current.columns else F.lit(None).cast(f.dataType)).alias(f.name)
+                        for f in evolved_schema.fields
+                    ],
+                    "_seq",
+                    "_op",
+                )
+                merged = self._resolve(cur_aligned, reduced.drop("_bucket"), strategy)
 
             version = man["version"] + 1
             data_rel = f"data/v{version}"
-            self._write_bucketed(merged, os.path.join(self.root, data_rel), man["n_buckets"])
+            old_rows = man.get("bucket_rows", {})
+            approx_rows = int(batch_rows) + sum(int(old_rows.get(str(b), 0)) for b in affected)
+            self._write_bucketed(
+                merged, os.path.join(self.root, data_rel), man["n_buckets"], approx_rows
+            )
 
             lineage_rel = f"lineage/l{version}"
             self._write_lineage(man, stats, job, batch_id, counts, os.path.join(self.root, lineage_rel))
@@ -407,10 +420,17 @@ class ParquetSnapshotTable(LakeTable):
                     # tombstoned... cannot happen (tombstones are kept), but
                     # stay safe: keep the old dir.
                     pass
+            new_bucket_rows = dict(old_rows)
+            for r in stats:
+                b = str(int(r["_bucket"]))
+                # upper-bound estimate (updates double-count until compact());
+                # only used to size output file counts, never for correctness
+                new_bucket_rows[b] = int(old_rows.get(b, 0)) + int(r["n"])
             man_new = dict(man)
             man_new["version"] = version
             man_new["schema"] = evolved_schema.jsonValue()
             man_new["buckets"] = new_buckets
+            man_new["bucket_rows"] = new_bucket_rows
             man_new["committed"] = {**man["committed"], job: batch_id}
             if job_state is not None:
                 man_new["state"] = {**man["state"], job: job_state}
@@ -472,21 +492,31 @@ class ParquetSnapshotTable(LakeTable):
         w = Window.partitionBy(*keys).orderBy(F.col("_seq").desc(), _rank(F.col("_op")).desc())
         return unioned.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
-    def _write_bucketed(self, df: DataFrame, abs_dir: str, n_buckets: int) -> None:
+    def _write_bucketed(
+        self, df: DataFrame, abs_dir: str, n_buckets: int, approx_rows: int | None = None
+    ) -> None:
         """Write merged rows of the affected buckets, one dir per bucket.
 
-        Salted repartition: hot buckets fan out over several write tasks
-        (B11); ``partitionBy`` still routes rows to the right bucket dir, and
-        AQE coalesces the small ones.
+        File-count control matters as much as parallelism: at 10^10 events a
+        commit that fans every bucket into `salt × buckets` files drowns in
+        metadata. Partitioning is sized from the expected row volume —
+        roughly one task per ROWS_PER_FILE rows — and only salted beyond the
+        bucket key when a single bucket would otherwise exceed one task's
+        worth of data (B11: the hot mega-repo spreads over buckets already,
+        since bucketing hashes (repo, path)).
         """
-        n_parts = self.write_partitions or int(
+        ROWS_PER_FILE = 1_500_000
+        max_parts = self.write_partitions or int(
             self.spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        salt = F.pmod(F.xxhash64(*self.keys), F.lit(8))
-        out = (
-            df.withColumn("_bucket_dir", bucket_of(n_buckets))
-            .repartition(n_parts, F.col("_bucket_dir"), salt)
-        )
+        out = df.withColumn("_bucket_dir", bucket_of(n_buckets))
+        if approx_rows is not None and approx_rows // ROWS_PER_FILE > max_parts:
+            # very large rewrite: salt within buckets for write parallelism
+            salt = F.pmod(F.xxhash64(*self.keys), F.lit(8))
+            out = out.repartition(max_parts, F.col("_bucket_dir"), salt)
+        else:
+            n_parts = max(1, min(max_parts, (approx_rows or 0) // ROWS_PER_FILE + 8))
+            out = out.repartition(n_parts, F.col("_bucket_dir"))
         out.write.mode("overwrite").partitionBy("_bucket_dir").parquet(abs_dir)
 
     def _list_bucket_dirs(self, abs_dir: str) -> set[int]:
@@ -511,7 +541,17 @@ class ParquetSnapshotTable(LakeTable):
         (partition=-1) carrying the batch-level quarantine/late counts and
         input hash (descendant of ``pipeline/status.py::Status`` columns
         ``input_checksum`` / ``num_lines``).
+
+        Written driver-side with pyarrow: lineage is O(n_buckets) metadata
+        rows per commit — spinning a Spark job for it would add a fixed
+        ~seconds of scheduling latency to every micro-batch.
         """
+        import datetime as _dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        now = _dt.datetime.now(_dt.timezone.utc)
         rows = [
             {
                 "job": job,
@@ -525,7 +565,7 @@ class ParquetSnapshotTable(LakeTable):
                 "input_hash": str(r["h"]),
                 "status": "success",
                 "wall_ms": 0,
-                "committed_ts": None,
+                "committed_ts": now,
             }
             for r in stats
         ]
@@ -542,13 +582,28 @@ class ParquetSnapshotTable(LakeTable):
                 "input_hash": counts.input_hash or str(sum(int(r["h"]) for r in stats)),
                 "status": "success",
                 "wall_ms": counts.wall_ms,
-                "committed_ts": None,
+                "committed_ts": now,
             }
         )
-        df = self.spark.createDataFrame(rows, self.LINEAGE_SCHEMA).withColumn(
-            "committed_ts", F.current_timestamp()
+        arrow_schema = pa.schema(
+            [
+                ("job", pa.string()),
+                ("batch_id", pa.int64()),
+                ("partition", pa.int32()),
+                ("last_seq", pa.int64()),
+                ("rows_upserted", pa.int64()),
+                ("rows_deleted", pa.int64()),
+                ("rows_quarantined", pa.int64()),
+                ("rows_late", pa.int64()),
+                ("input_hash", pa.string()),
+                ("status", pa.string()),
+                ("wall_ms", pa.int64()),
+                ("committed_ts", pa.timestamp("us", tz="UTC")),
+            ]
         )
-        df.coalesce(1).write.mode("overwrite").parquet(abs_dir)
+        tbl = pa.Table.from_pylist(rows, schema=arrow_schema)
+        os.makedirs(abs_dir, exist_ok=True)
+        pq.write_table(tbl, os.path.join(abs_dir, "part-00000.parquet"))
 
     def _commit_empty(
         self,
@@ -613,7 +668,9 @@ class ParquetSnapshotTable(LakeTable):
             df = df.where(~((F.col("_op") == "D") & (F.col("_seq") < drop_tombstones_below_seq)))
         version = man["version"] + 1
         data_rel = f"data/v{version}"
-        self._write_bucketed(df, os.path.join(self.root, data_rel), man["n_buckets"])
+        df = df.persist()
+        self._write_bucketed(df, os.path.join(self.root, data_rel), man["n_buckets"], df.count())
+        df.unpersist()
         written = self._list_bucket_dirs(os.path.join(self.root, data_rel))
         man_new = dict(man)
         man_new["version"] = version

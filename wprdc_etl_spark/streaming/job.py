@@ -128,76 +128,83 @@ class IngestJob:
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Process one (micro-)batch end to end. Safe to re-run with the same
-        batch_id: the sink's guard makes it a no-op (B8)."""
+        batch_id: the sink's guard makes it a no-op (B8).
+
+        Job-count discipline (scale note): a micro-batch pays fixed
+        scheduling latency per Spark action, so the whole accounting pass —
+        row count, max event time, late count, quarantine count, input hash —
+        is ONE aggregation over the validated batch; the only other actions
+        are the merge's per-bucket stats and the write itself.
+        """
         self._require_built()
         assert self._sink is not None and self._payload_schema is not None
         t0 = time.monotonic()
         sink = self._sink
 
-        batch = dedup_events(batch_df).persist()
+        state: dict = {}
+        if hasattr(sink, "job_state"):
+            state = sink.job_state(self.name)
+
+        # dedup (B3, batch analog) → validate (B5) → flag rows
+        applied = self._payload_schema.apply(dedup_events(batch_df))
+        # late-event rule (B2 analog at the apply layer): relative to the
+        # previous batch's high watermark — the same boundary semantics
+        # Spark's own watermark has (advances at batch boundaries).
+        late_flag = F.lit(False)
+        if self.lateness is not None and state.get("max_event_ts") is not None:
+            bound = F.to_timestamp(F.lit(state["max_event_ts"])) - F.expr(
+                f"INTERVAL {self.lateness}"
+            )
+            late_flag = F.col("event_ts") < bound
+        row_ok = (F.size(F.col("_errors")) == 0) & ~(
+            (F.col("op") != "D") & F.col("content").isNull()
+        )
+        applied = (
+            applied.withColumn("_late", late_flag)
+            .withColumn("_valid", row_ok)
+            .persist()
+        )
         try:
-            agg = batch.agg(
+            g = applied.agg(
+                F.count("*").alias("n"),
                 F.max("event_ts").alias("max_ts"),
+                F.coalesce(F.sum(F.when(F.col("_late"), 1).otherwise(0)), F.lit(0)).alias("n_late"),
+                F.coalesce(
+                    F.sum(F.when(~F.col("_valid") & ~F.col("_late"), 1).otherwise(0)), F.lit(0)
+                ).alias("n_quar"),
                 F.coalesce(
                     F.sum(F.xxhash64(*DEDUP_KEYS).cast("decimal(38,0)")),
                     F.lit(0).cast("decimal(38,0)"),
                 ).alias("input_hash"),
-                F.count("*").alias("n"),
             ).collect()[0]
-            if agg["n"] == 0:
-                sink.merge(
-                    batch.limit(0).withColumn("content_sha", F.lit(None).cast("string")),
-                    job=self.name,
-                    batch_id=batch_id,
-                    counts=LineageCounts(wall_ms=int((time.monotonic() - t0) * 1000)),
-                )
-                return
 
-            # late-event split (B2 analog at the apply layer; see SURVEY B2 —
-            # the rule is relative to the previous batch's high watermark, the
-            # same boundary semantics Spark's own watermark has).
-            n_late = 0
-            events = batch
-            state = {}
-            if hasattr(sink, "job_state"):
-                state = sink.job_state(self.name)
-            if self.lateness is not None:
-                prev_max = state.get("max_event_ts")
-                if prev_max is not None:
-                    bound = F.to_timestamp(F.lit(prev_max)) - F.expr(f"INTERVAL {self.lateness}")
-                    late = events.where(F.col("event_ts") < bound)
-                    n_late = late.count()
-                    events = events.where(~(F.col("event_ts") < bound))
-            new_state = dict(state)
-            if agg["max_ts"] is not None:
-                prev = state.get("max_event_ts")
-                cur = agg["max_ts"].isoformat(sep=" ")
-                new_state["max_event_ts"] = max(prev, cur) if prev else cur
-
-            # vectorized validation / quarantine (B5)
-            valid, quarantine = self._payload_schema.validate(events)
-            # row-level rule: content required unless op == 'D'
-            bad_content = (F.col("op") != "D") & F.col("content").isNull()
-            n_quarantined = quarantine.count() + valid.where(bad_content).count()
-            valid = valid.where(~bad_content)
-
+            counts = LineageCounts(
+                rows_quarantined=int(g["n_quar"]),
+                rows_late=int(g["n_late"]),
+                input_hash=str(g["input_hash"]),
+            )
+            valid = applied.where(F.col("_valid") & ~F.col("_late")).drop(
+                "_errors", "_valid", "_late"
+            )
             if self.compute_content_sha:
                 valid = with_content_sha(valid)
 
+            new_state = dict(state)
+            if g["max_ts"] is not None:
+                prev = state.get("max_event_ts")
+                cur = g["max_ts"].isoformat(sep=" ")
+                new_state["max_event_ts"] = max(prev, cur) if prev else cur
+
+            counts.wall_ms = int((time.monotonic() - t0) * 1000)
             sink.merge(
                 valid,
                 job=self.name,
                 batch_id=batch_id,
-                counts=LineageCounts(
-                    rows_quarantined=int(n_quarantined),
-                    rows_late=int(n_late),
-                    input_hash=str(agg["input_hash"]),
-                    wall_ms=int((time.monotonic() - t0) * 1000),
-                ),
+                counts=counts,
                 job_state=new_state,
             )
         finally:
-            batch.unpersist()
+            applied.unpersist()
 
     # ---- batch replay (B13 replay windows) ---------------------------------
 
