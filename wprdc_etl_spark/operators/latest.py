@@ -12,16 +12,20 @@ The op tiebreak ('U' > 'I' > 'D' by string order, DESC) only matters if two
 (SURVEY §8.3 #3), so ties break the same way on every run and in the DuckDB
 oracle.
 
-Physical note: one window = one shuffle by the merge key. This is the same
-key the merge itself shuffles by, so with AQE the exchange is reused; at
-10^10 events the per-key cardinality is tiny (a handful of revisions), so no
-single task sees a hot key here — skew bites at the *repo* level, which is
-why bucketing uses hash(repo, path), not repo (see plans/lake.py).
+Physical note — hash aggregate, NOT a window. ``max_by(struct(*row),
+struct(order, op))`` compiles to ObjectHashAggregate with a map-side partial
+aggregate: redundant versions of a key collapse *before* the shuffle and
+nothing is sorted, vs. a ``row_number`` window that shuffles every row and
+sorts each partition. At 10^10 events with a handful of revisions per key,
+the partial aggregation cuts shuffle volume by the revision factor. Per-key
+cardinality is tiny, so no hot key exists at this grain — skew bites at the
+*repo* level, which is why bucketing uses hash(repo, path), not repo
+(see plans/lake.py).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MERGE_KEYS = ["repo", "path", "commit"]
@@ -34,9 +38,9 @@ def latest_per_key(
     op_col: str = "op",
 ) -> DataFrame:
     keys = keys or MERGE_KEYS
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc(), F.col(op_col).desc())
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    ordering = F.struct(F.col(order_col), F.col(op_col))
+    payload = [c for c in df.columns if c not in keys]
+    agg = df.groupBy(*keys).agg(
+        F.max_by(F.struct(*payload), ordering).alias("_row")
     )
+    return agg.select(*keys, "_row.*").select(*df.columns)

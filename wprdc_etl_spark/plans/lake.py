@@ -69,8 +69,9 @@ import shutil
 import uuid
 from abc import ABC, abstractmethod
 from dataclasses import dataclass, field
+from typing import Callable, Optional
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -127,6 +128,17 @@ def bucket_of(n_buckets: int, keys: list[str] | None = None) -> Column:
     """Bucket id for a row — xxhash64 over (repo, path) so hot repos spread."""
     keys = keys or ["repo", "path"]
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+
+
+def _lww_reduce(df: DataFrame, keys: list[str]) -> DataFrame:
+    """One row per key: the greatest (_seq, op-rank) wins — the engine's
+    single deterministic total order (SURVEY §8.3 #3). Hash aggregate with
+    map-side partial combine (see operators/latest.py for the physical
+    rationale vs a row_number window)."""
+    ordering = F.struct(F.col("_seq"), _rank(F.col("_op")))
+    payload = [c for c in df.columns if c not in keys]
+    agg = df.groupBy(*keys).agg(F.max_by(F.struct(*payload), ordering).alias("_row"))
+    return agg.select(*keys, "_row.*").select(*df.columns)
 
 
 def _rank(op_col: Column) -> Column:
@@ -314,6 +326,7 @@ class ParquetSnapshotTable(LakeTable):
         counts: LineageCounts | None = None,
         job_state: dict | None = None,
         properties: dict | None = None,
+        finalize: Optional[Callable[[], tuple["LineageCounts", dict | None]]] = None,
     ) -> MergeResult:
         """Apply one batch of change events, exactly once.
 
@@ -322,6 +335,11 @@ class ParquetSnapshotTable(LakeTable):
         not yet in the table schema are added (additive evolution, B9);
         table columns absent from the batch are null-filled for new rows and
         untouched for survivors.
+
+        ``finalize``: optional callable resolved right after the first action
+        on the batch — lets the caller derive (counts, job_state) from an
+        ``Observation`` attached upstream, so batch accounting costs zero
+        extra scans (see IngestJob.apply_batch).
         """
         man = self._require_manifest()
         last = man["committed"].get(job)
@@ -333,7 +351,6 @@ class ParquetSnapshotTable(LakeTable):
             return MergeResult(applied=False, version=man["version"],
                                skipped_reason=f"batch<=last_committed({last})")
 
-        counts = counts or LineageCounts()
         table_schema = T.StructType.fromJson(man["schema"])
 
         # --- normalize batch → internal shape: payload + _seq + _op + _bucket
@@ -355,13 +372,11 @@ class ParquetSnapshotTable(LakeTable):
             F.col("event_sequence").cast("long").alias("_seq"),
             F.col("op").alias("_op"),
         )
-        # Reduce to one row per key (B4 — idempotent if the job already did it).
-        w = Window.partitionBy(*self.keys).orderBy(F.col("_seq").desc(), _rank(F.col("_op")).desc())
-        reduced = (
-            aligned.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-            .withColumn("_bucket", bucket_of(man["n_buckets"]))
+        # Reduce to one row per key (B4 — idempotent if the job already did
+        # it). max_by hash-aggregate: map-side partial combine collapses
+        # multi-version keys before the shuffle, and nothing is sorted.
+        reduced = _lww_reduce(aligned, self.keys).withColumn(
+            "_bucket", bucket_of(man["n_buckets"])
         )
         reduced = reduced.persist()
         try:
@@ -371,6 +386,9 @@ class ParquetSnapshotTable(LakeTable):
                 F.max("_seq").alias("max_seq"),
                 F.sum(F.xxhash64(*self.keys, "_seq").cast("decimal(38,0)")).alias("h"),
             ).collect()
+            if finalize is not None:
+                counts, job_state = finalize()
+            counts = counts or LineageCounts()
             if not stats:
                 return self._commit_empty(man, job, batch_id, counts, job_state, properties)
 
@@ -487,10 +505,8 @@ class ParquetSnapshotTable(LakeTable):
                 .drop("_cseq", "_crank")
             )
             return survivors.unionByName(winners)
-        # shuffle strategy: single LWW window over the union
-        unioned = current.unionByName(batch)
-        w = Window.partitionBy(*keys).orderBy(F.col("_seq").desc(), _rank(F.col("_op")).desc())
-        return unioned.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+        # shuffle strategy: single LWW hash-aggregate over the union
+        return _lww_reduce(current.unionByName(batch), keys)
 
     def _write_bucketed(
         self, df: DataFrame, abs_dir: str, n_buckets: int, approx_rows: int | None = None

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -159,52 +159,45 @@ class IngestJob:
         row_ok = (F.size(F.col("_errors")) == 0) & ~(
             (F.col("op") != "D") & F.col("content").isNull()
         )
-        applied = (
-            applied.withColumn("_late", late_flag)
-            .withColumn("_valid", row_ok)
-            .persist()
+        applied = applied.withColumn("_late", late_flag).withColumn("_valid", row_ok)
+        # Accounting rides the merge's own first action via an Observation —
+        # no extra scan, no cache of the raw batch.
+        obs = Observation()
+        applied = applied.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.max("event_ts").alias("max_ts"),
+            F.coalesce(F.sum(F.when(F.col("_late"), 1).otherwise(0)), F.lit(0)).alias("n_late"),
+            F.coalesce(
+                F.sum(F.when(~F.col("_valid") & ~F.col("_late"), 1).otherwise(0)), F.lit(0)
+            ).alias("n_quar"),
+            F.coalesce(
+                F.sum(F.xxhash64(*DEDUP_KEYS).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("input_hash"),
         )
-        try:
-            g = applied.agg(
-                F.count("*").alias("n"),
-                F.max("event_ts").alias("max_ts"),
-                F.coalesce(F.sum(F.when(F.col("_late"), 1).otherwise(0)), F.lit(0)).alias("n_late"),
-                F.coalesce(
-                    F.sum(F.when(~F.col("_valid") & ~F.col("_late"), 1).otherwise(0)), F.lit(0)
-                ).alias("n_quar"),
-                F.coalesce(
-                    F.sum(F.xxhash64(*DEDUP_KEYS).cast("decimal(38,0)")),
-                    F.lit(0).cast("decimal(38,0)"),
-                ).alias("input_hash"),
-            ).collect()[0]
+        valid = applied.where(F.col("_valid") & ~F.col("_late")).drop(
+            "_errors", "_valid", "_late"
+        )
+        if self.compute_content_sha:
+            valid = with_content_sha(valid)
 
+        def finalize() -> tuple[LineageCounts, dict]:
+            g = obs.get
             counts = LineageCounts(
                 rows_quarantined=int(g["n_quar"]),
                 rows_late=int(g["n_late"]),
                 input_hash=str(g["input_hash"]),
+                wall_ms=int((time.monotonic() - t0) * 1000),
             )
-            valid = applied.where(F.col("_valid") & ~F.col("_late")).drop(
-                "_errors", "_valid", "_late"
-            )
-            if self.compute_content_sha:
-                valid = with_content_sha(valid)
-
             new_state = dict(state)
             if g["max_ts"] is not None:
                 prev = state.get("max_event_ts")
                 cur = g["max_ts"].isoformat(sep=" ")
                 new_state["max_event_ts"] = max(prev, cur) if prev else cur
+            return counts, new_state
 
-            counts.wall_ms = int((time.monotonic() - t0) * 1000)
-            sink.merge(
-                valid,
-                job=self.name,
-                batch_id=batch_id,
-                counts=counts,
-                job_state=new_state,
-            )
-        finally:
-            applied.unpersist()
+        sink.merge(valid, job=self.name, batch_id=batch_id, finalize=finalize)
 
     # ---- batch replay (B13 replay windows) ---------------------------------
 
