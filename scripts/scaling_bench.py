@@ -35,9 +35,11 @@ def worker(cpus: int, n_events: int) -> None:
     from wprdc_etl_spark.streaming.job import IngestJob
     from wprdc_etl_spark.testgen import gen_change_events, write_event_log
 
+    # Identical logical plan at both levels: same shuffle partitioning, same
+    # chunking — ONLY the executor-thread count differs (the N-vs-4N analog).
     cfg = EngineConfig(
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 16),
+        shuffle_partitions=64,
         app_name=f"scaling-bench-{cpus}",
     )
     spark = build_session(cfg)
@@ -58,7 +60,7 @@ def worker(cpus: int, n_events: int) -> None:
         .build()
     )
     t0 = time.monotonic()
-    job.run_batch(spark, n_chunks=4)
+    job.run_batch(spark, n_chunks=2)
     wall = time.monotonic() - t0
     n_final = table.read().count()
     print(json.dumps({
@@ -75,7 +77,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--cpus", type=int, default=32)
-    ap.add_argument("--events", type=int, default=2_000_000)
+    ap.add_argument("--events", type=int, default=10_000_000)
     args = ap.parse_args()
     if args.worker:
         worker(args.cpus, args.events)

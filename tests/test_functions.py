@@ -1,0 +1,223 @@
+"""Training-data pipeline ops: text analysis, dedup tiers, similarity
+search, multimodal plumbing."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from wprdc_etl_spark.functions import (
+    ann_topk_lsh,
+    bpe_ish_token_count,
+    cosine_topk,
+    exact_dedup,
+    lang_id,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_score,
+    rolling_fingerprint,
+    simhash,
+    token_count,
+)
+from wprdc_etl_spark.functions.multimodal import (
+    decode_media,
+    frame_sample_plan,
+    gen_media,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+# ---- text ------------------------------------------------------------------
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("one two  three",), ("",), ("  ",), ("a-b c3 x!",)], ["text"]
+    )
+    got = df.select(
+        token_count(F.col("text")).alias("ws"),
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).collect()
+    assert [r["ws"] for r in got] == [3, 0, 0, 3]
+    # "a-b c3 x!" → a, -, b, c, 3, x, ! = 7 BPE-ish pieces
+    assert got[3]["bpe"] == 7
+
+
+def test_quality_score_bounds_and_determinism(spark, docs):
+    s = docs.select(quality_score(F.col("text")).alias("q"))
+    mm = s.agg(F.min("q"), F.max("q")).collect()[0]
+    assert 0.0 <= mm[0] <= mm[1] <= 1.0
+    a = [r["q"] for r in s.collect()]
+    b = [r["q"] for r in docs.select(quality_score(F.col("text")).alias("q")).collect()]
+    assert a == b
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is on the mat and it is flat",),
+            ("der hund ist nicht da und die katze",),
+            ("el perro es una mascota que ladra",),
+            ("le chat est dans la maison les jours",),
+            ("你好世界",),
+            ("zzz qqq",),
+        ],
+        ["text"],
+    )
+    got = [r[0] for r in df.select(lang_id(F.col("text"))).collect()]
+    assert got == ["en", "de", "es", "fr", "zh", "und"]
+
+
+def test_rolling_fingerprint_pandas_udf(spark):
+    df = spark.createDataFrame([("hello world",), ("hello world",), ("x",), (None,)], ["text"])
+    got = [r[0] for r in df.select(rolling_fingerprint(F.col("text")).alias("fp")).collect()]
+    assert got[0] == got[1] != got[2]
+    assert got[3] == 0
+
+
+# ---- dedup -----------------------------------------------------------------
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], ["doc_id", "text"]
+    )
+    got = {r["text_sha"]: (r["doc_id"], r["n_copies"]) for r in exact_dedup(df).collect()}
+    assert got[hashlib.sha256(b"aaa").hexdigest()] == (1, 3)
+    assert got[hashlib.sha256(b"bbb").hexdigest()] == (2, 1)
+
+
+@pytest.fixture(scope="module")
+def neardup_docs(spark):
+    """Synthetic near-dups: doc 101 is doc 1 with a tiny edit; doc 102 is
+    unrelated; doc 103 is an exact copy of doc 2."""
+    base1 = "the quick brown fox jumps over the lazy dog " * 20
+    base2 = "pack my box with five dozen liquor jugs today " * 20
+    rows = [
+        (1, base1, "s0"),
+        (2, base2, "s0"),
+        (101, base1.replace("lazy", "sleepy", 3), "s0"),
+        (102, "completely different text about spark shuffles " * 20, "s0"),
+        (103, base2, "s0"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_minhash_lsh_finds_neardups(spark, neardup_docs):
+    sigs = minhash_signatures(neardup_docs, n_hashes=64, shingle_k=5)
+    assert sigs.select(F.size("signature")).distinct().collect()[0][0] == 64
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in lsh_candidate_pairs(sigs, n_bands=16).collect()
+    }
+    assert (1, 101) in pairs and pairs[(1, 101)] > 0.5   # near-dup found
+    assert (2, 103) in pairs and pairs[(2, 103)] == 1.0  # exact dup found
+    assert (1, 102) not in pairs and (2, 102) not in pairs
+
+
+def test_minhash_deterministic(spark, neardup_docs):
+    a = minhash_signatures(neardup_docs).collect()
+    b = minhash_signatures(neardup_docs).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_simhash_neardups_close(spark, neardup_docs):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(neardup_docs).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(fp[1], fp[101]) < 12   # near-dups: close
+    assert hamming(fp[2], fp[103]) == 0   # exact dup: identical
+    assert hamming(fp[1], fp[102]) > 20   # unrelated: far
+
+
+def test_ngram_jaccard(spark, neardup_docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(neardup_docs, n=3, threshold=0.05).collect()
+    }
+    assert got[(2, 103)] == 1.0
+    assert 0.5 < got[(1, 101)] < 1.0
+    assert (1, 102) not in got
+
+
+# ---- similarity ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+def test_cosine_topk_exact(spark, emb):
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = cosine_topk(emb, queries, k=5)
+    rows = got.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["_rank"] if "_rank" in r else r["rank"], r["cosine"]))
+    for q, lst in by_q.items():
+        ranks = sorted(lst)
+        assert len(ranks) == 5
+        coss = [c for _, c in ranks]
+        assert coss == sorted(coss, reverse=True)
+        assert all(-1.0001 <= c <= 1.0001 for c in coss)
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, emb):
+    # NOTE the fixture embeddings are isotropic noise — the hardest case for
+    # hyperplane LSH (no cluster structure, top-k is near-arbitrary). The
+    # floor asserts the mechanism works (candidates from matching buckets
+    # overlap exact top-k far above the ~n_candidates/n chance line), not
+    # production recall, which needs real (clustered) embeddings.
+    dim = 64
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ann_topk_lsh(emb, queries, dim=dim, k=5, n_bits=4, multiprobe=True).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2
+    # sanity: the approximate result is a strict subset of scored candidates
+    assert len(approx_set) <= 25
+
+
+# ---- multimodal ------------------------------------------------------------
+
+
+def test_media_decode_plumbing(spark):
+    media = gen_media(spark, 60)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    feats = decode_media(media, codec="fake")
+    rows = feats.collect()
+    assert len(rows) == 60
+    by_id = {r["media_id"]: r for r in rows}
+    assert set(r["kind"] for r in rows) == {"image", "audio", "video"}
+    assert all(8 <= r["width"] <= 512 and 8 <= r["height"] <= 512 for r in rows)
+    assert all(r["n_bytes"] > 16 for r in rows)
+    # deterministic: regenerate → same shas
+    again = {r["media_id"]: r["byte_sha"] for r in decode_media(gen_media(spark, 60)).collect()}
+    assert {k: v["byte_sha"] for k, v in by_id.items()} == again
+
+
+def test_media_real_codec_is_marked_stub(spark):
+    media = gen_media(spark, 3)
+    with pytest.raises(NotImplementedError):
+        decode_media(media, codec="real")
+
+
+def test_frame_sample_plan(spark):
+    media = gen_media(spark, 90)
+    sampled = frame_sample_plan(media, every_n=10)
+    rows = sampled.select("media_id", "kind").collect()
+    assert all(r["kind"] == "video" and r["media_id"] % 10 == 0 for r in rows)
+    assert len(rows) > 0

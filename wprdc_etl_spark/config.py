@@ -84,11 +84,16 @@ def build_session(cfg: EngineConfig | None = None, cpus: int | None = None) -> S
         "spark.sql.autoBroadcastJoinThreshold": cfg.auto_broadcast_threshold,
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
-        # Deterministic parquet output (no committer-side randomness needed,
-        # but keep summary files off: at 10^10 events metadata churn matters).
-        "spark.sql.parquet.compression.codec": "zstd",
+        # snappy: the merge path is write-throughput-bound; zstd costs ~2×
+        # CPU on the hot copy-on-write rewrites for ~25% smaller files —
+        # flip per-table via extra_conf when storage dominates.
+        "spark.sql.parquet.compression.codec": "snappy",
         "spark.ui.enabled": "false",
-        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "8g"),
+        # In local mode the driver JVM IS the executor: size its heap for the
+        # workload (the box has 128 GiB; an 8g default heap evicts cached
+        # merge batches mid-job at 10^7-event scale).
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g"),
+        "spark.sql.shuffle.spill.compress": "true",
     }
     conf.update(cfg.extra_conf)
     for k, v in conf.items():

@@ -1,0 +1,37 @@
+from wprdc_etl_spark.functions.text import (
+    bpe_ish_token_count,
+    lang_id,
+    quality_score,
+    rolling_fingerprint,
+    token_count,
+)
+from wprdc_etl_spark.functions.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from wprdc_etl_spark.functions.similarity import (
+    cosine_similarity_col,
+    cosine_topk,
+    rp_lsh_bucket,
+    ann_topk_lsh,
+)
+
+__all__ = [
+    "token_count",
+    "bpe_ish_token_count",
+    "quality_score",
+    "lang_id",
+    "rolling_fingerprint",
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "cosine_similarity_col",
+    "cosine_topk",
+    "rp_lsh_bucket",
+    "ann_topk_lsh",
+]

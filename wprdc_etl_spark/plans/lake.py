@@ -395,9 +395,19 @@ class ParquetSnapshotTable(LakeTable):
             affected = sorted(int(r["_bucket"]) for r in stats)
             batch_rows = sum(r["n"] for r in stats)
             populated = [b for b in affected if str(b) in man["buckets"]]
+            old_rows = man.get("bucket_rows", {})
+            current_rows = sum(int(old_rows.get(str(b), 0)) for b in affected)
             strategy = self.merge_strategy
             if strategy == "auto":
-                strategy = "broadcast" if batch_rows <= self.broadcast_threshold_rows else "shuffle"
+                # broadcast pays off when the batch is small in absolute terms
+                # AND small relative to the current data it joins against
+                # (steady-state CDC); bulk loads/backfills shuffle instead.
+                strategy = (
+                    "broadcast"
+                    if batch_rows <= self.broadcast_threshold_rows
+                    and batch_rows * 4 <= current_rows
+                    else "shuffle"
+                )
 
             if not populated:
                 # nothing to resolve against (initial load / all-new buckets):
@@ -419,8 +429,7 @@ class ParquetSnapshotTable(LakeTable):
 
             version = man["version"] + 1
             data_rel = f"data/v{version}"
-            old_rows = man.get("bucket_rows", {})
-            approx_rows = int(batch_rows) + sum(int(old_rows.get(str(b), 0)) for b in affected)
+            approx_rows = int(batch_rows) + current_rows
             self._write_bucketed(
                 merged, os.path.join(self.root, data_rel), man["n_buckets"], approx_rows
             )
