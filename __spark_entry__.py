@@ -30,6 +30,7 @@ from wprdc_etl_spark.operators.dedup import dedup_events  # noqa: E402
 from wprdc_etl_spark.operators.latest import latest_per_key  # noqa: E402
 from wprdc_etl_spark.plans.lake import ParquetSnapshotTable  # noqa: E402
 from wprdc_etl_spark.streaming.job import IngestJob  # noqa: E402
+from wprdc_etl_spark.functions import text as _text_sql  # noqa: E402
 from wprdc_etl_spark.testgen import LANGS, gen_change_events, write_event_log  # noqa: E402
 
 FIXTURES = os.path.join(REPO, ".fixtures")
@@ -204,6 +205,92 @@ def _q_documents_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- training-data pipeline ops (documents / embeddings tables) -----------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wprdc_etl_spark.functions.text import bpe_ish_token_count, token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wprdc_etl_spark.functions.text import quality_score
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+
+
+def _q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wprdc_etl_spark.functions.text import lang_id
+
+    return _docs(spark, sf_dir).select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wprdc_etl_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=2, threshold=0.05)
+
+
+def _q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wprdc_etl_spark.functions.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries_df, k=10)
+    return out.withColumnRenamed("_rank", "rank")
+
+
+def _q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (xxhash64-based — no SQL twin →
+    rows-only driver check; exact verification lives in
+    tests/test_functions.py against synthetic near-dups)."""
+    from wprdc_etl_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(_docs(spark, sf_dir), n_hashes=32, shingle_k=5)
+    return lsh_candidate_pairs(sigs, n_bands=8, est_threshold=0.3)
+
+
+def _q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only: xxhash64 has no DuckDB twin)."""
+    from wprdc_etl_spark.functions.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_doc_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/pandas-UDF rolling-hash fingerprint (rows-only)."""
+    from wprdc_etl_spark.functions.text import rolling_fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing over synthetic binary media (rows-only)."""
+    from wprdc_etl_spark.functions.multimodal import decode_media, gen_media
+
+    return decode_media(gen_media(spark, 200))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_final_state": _q_cdc_final_state,
@@ -218,6 +305,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_latest_per_user": _q_events_latest_per_user,
         "documents_fingerprint": _q_documents_fingerprint,
         "documents_exact_dedup": _q_documents_exact_dedup,
+        "doc_token_counts": _q_doc_token_counts,
+        "doc_quality": _q_doc_quality,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
+        "emb_cosine_topk": _q_emb_cosine_topk,
+        "doc_minhash_pairs": _q_doc_minhash_pairs,
+        "doc_simhash": _q_doc_simhash,
+        "doc_rolling_fp": _q_doc_rolling_fp,
+        "media_features": _q_media_features,
     }
 
 
@@ -296,5 +392,47 @@ SELECT user_id, event_id, event_type, value FROM (
         "documents_exact_dedup": """
 SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha, count(*) AS n_copies
 FROM documents GROUP BY sha256(text)
+""",
+        "doc_token_counts": r"""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+FROM documents
+""",
+        "doc_quality": f"SELECT doc_id, {_text_sql.quality_score_sql('text')} AS quality FROM documents",
+        "doc_lang_id": f"SELECT doc_id, {_text_sql.lang_id_sql('text')} AS lang_pred FROM documents",
+        "doc_ngram_jaccard": r"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t FROM documents
+), ng AS (
+  SELECT DISTINCT doc_id, source, array_to_string(t[i:i+1], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id
+), inter AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+  FROM ng l JOIN ng r ON l.source = r.source AND l.g = r.g AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(i / (sa.n + sb.n - i), 4) >= 0.05
+""",
+        "emb_cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    list_sum(list_transform(list_zip(e.embedding, q.qe),
+                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <= 10
 """,
     }
