@@ -131,8 +131,23 @@ def test_strategies_agree(spark, tmp_path, strategy):
     ]), job="j", batch_id=0)
     assert state(t) == {("r2", "b", "c2"): "w2"}
     r = t.merge(ev(spark, [(4, "U", "r2", "b", "c2", "go", "w3")]), job="j", batch_id=1)
-    assert r.strategy == strategy
+    assert r.strategy.endswith(strategy)
     assert state(t) == {("r2", "b", "c2"): "w3"}
+
+
+def test_anti_strategy_agrees(spark, tmp_path):
+    t = mk_table(spark, tmp_path, merge_strategy="anti")
+    t.merge(ev(spark, [
+        (0, "I", "r1", "a", "c1", "py", "v1"),
+        (0, "I", "r1", "a", "c1", "py", "v1"),   # redelivery
+        (1, "I", "r2", "b", "c2", "go", "w1"),
+    ]), job="j", batch_id=0)
+    r = t.merge(ev(spark, [
+        (2, "D", "r1", "a", "c1", "py", None),
+        (3, "U", "r2", "b", "c2", "go", "w2"),
+    ]), job="j", batch_id=1)
+    assert "anti" in r.strategy
+    assert state(t) == {("r2", "b", "c2"): "w2"}
 
 
 def test_only_affected_buckets_rewritten(spark, tmp_path):

@@ -134,8 +134,11 @@ def _lww_reduce(df: DataFrame, keys: list[str]) -> DataFrame:
     """One row per key: the greatest (_seq, op-rank) wins — the engine's
     single deterministic total order (SURVEY §8.3 #3). Hash aggregate with
     map-side partial combine (see operators/latest.py for the physical
-    rationale vs a row_number window)."""
-    ordering = F.struct(F.col("_seq"), _rank(F.col("_op")))
+    rationale vs a row_number window). The ordering is encoded as ONE bigint
+    (_seq·4 + rank, rank ∈ 0..3) — a struct ordering would demote max_by to
+    SortAggregate (observed via explain); a flat long keeps it hash-based
+    and sort-free. Safe: _seq < 2^61 at any conceivable log length."""
+    ordering = F.col("_seq") * 4 + _rank(F.col("_op")) + 1
     payload = [c for c in df.columns if c not in keys]
     agg = df.groupBy(*keys).agg(F.max_by(F.struct(*payload), ordering).alias("_row"))
     return agg.select(*keys, "_row.*").select(*df.columns)
@@ -364,6 +367,20 @@ class ParquetSnapshotTable(LakeTable):
             list(table_schema.fields)
             + [batch.schema[c] for c in new_cols]
         )
+        # ---- LATE MATERIALIZATION (the 10^10-event design) ----------------
+        # Wide payloads (content can be KBs/row) must never ride a shuffle or
+        # a sort they don't have to. The LWW resolution runs entirely on
+        # NARROW metadata (keys, _seq, _op, a synthetic row id); the winning
+        # row ids then join back (broadcast, or shuffle-hash for huge
+        # batches) to late-materialize payloads — so payload bytes cross
+        # exactly ONE exchange: the final bucketed write. Observed on a 10M-
+        # event replay: the previous payload-through-sort plan got *slower*
+        # with more cores (spill thrash); this plan scales.
+        #
+        # Row ids are monotonically_increasing_id over a shuffle-free,
+        # deterministic subtree (scan → narrow projections), so the meta pass
+        # and the materialization pass compute identical ids; batch ids are
+        # odd and current-row ids even so the two sides never collide.
         aligned = batch.select(
             *[
                 (F.col(f.name).cast(f.dataType) if f.name in batch.columns else F.lit(None).cast(f.dataType)).alias(f.name)
@@ -372,15 +389,17 @@ class ParquetSnapshotTable(LakeTable):
             F.col("event_sequence").cast("long").alias("_seq"),
             F.col("op").alias("_op"),
         )
-        # Reduce to one row per key (B4 — idempotent if the job already did
-        # it). max_by hash-aggregate: map-side partial combine collapses
-        # multi-version keys before the shuffle, and nothing is sorted.
-        reduced = _lww_reduce(aligned, self.keys).withColumn(
-            "_bucket", bucket_of(man["n_buckets"])
-        )
-        reduced = reduced.persist()
+        brows = aligned.withColumn("_rid", F.monotonically_increasing_id() * 2 + 1)
+        bmeta = brows.select(*self.keys, "_seq", "_op", "_rid")
+        # Batch-local LWW on metadata (B4; also subsumes exact-redelivery
+        # dedup — identical rows tie on the order key and max_by keeps one).
+        # LWW is associative, so batch-local reduce then reduce-vs-current
+        # equals one global reduce.
+        bwin = _lww_reduce(bmeta, self.keys).withColumn("_bucket", bucket_of(man["n_buckets"]))
+        bwin = bwin.persist()
+        extra_persists: list[DataFrame] = []
         try:
-            stats = reduced.groupBy("_bucket").agg(
+            stats = bwin.groupBy("_bucket").agg(
                 F.count("*").alias("n"),
                 F.sum(F.when(F.col("_op") == "D", 1).otherwise(0)).alias("n_del"),
                 F.max("_seq").alias("max_seq"),
@@ -397,26 +416,9 @@ class ParquetSnapshotTable(LakeTable):
             populated = [b for b in affected if str(b) in man["buckets"]]
             old_rows = man.get("bucket_rows", {})
             current_rows = sum(int(old_rows.get(str(b), 0)) for b in affected)
-            strategy = self.merge_strategy
-            if strategy == "auto":
-                # broadcast pays off when the batch is small in absolute terms
-                # AND small relative to the current data it joins against
-                # (steady-state CDC); bulk loads/backfills shuffle instead.
-                strategy = (
-                    "broadcast"
-                    if batch_rows <= self.broadcast_threshold_rows
-                    and batch_rows * 4 <= current_rows
-                    else "shuffle"
-                )
 
-            if not populated:
-                # nothing to resolve against (initial load / all-new buckets):
-                # the reduced batch IS the new bucket contents — no join at all
-                merged = reduced.drop("_bucket")
-                strategy = "append-only"
-            else:
+            if populated:
                 current = self._read_buckets(man, populated)
-                # evolve current to the new schema (missing new cols → null)
                 cur_aligned = current.select(
                     *[
                         (F.col(f.name) if f.name in current.columns else F.lit(None).cast(f.dataType)).alias(f.name)
@@ -425,7 +427,49 @@ class ParquetSnapshotTable(LakeTable):
                     "_seq",
                     "_op",
                 )
-                merged = self._resolve(cur_aligned, reduced.drop("_bucket"), strategy)
+                crows = cur_aligned.withColumn("_rid", F.monotonically_increasing_id() * 2)
+                cmeta = crows.select(*self.keys, "_seq", "_op", "_rid")
+                # final winners: batch winners vs current rows, narrow only
+                fwin = _lww_reduce(bwin.drop("_bucket").unionByName(cmeta), self.keys)
+                all_rows = brows.unionByName(crows)
+                strategy_base = "latemat"
+            else:
+                fwin = bwin.drop("_bucket")
+                all_rows = brows
+                strategy_base = "append-only"
+
+            # Materialization join, by expected set sizes:
+            # - 'broadcast': winners fit a broadcast → semi join on _rid.
+            # - 'anti': winners are huge (bulk replay) but LOSERS (superseded
+            #   versions, redeliveries, overwritten current rows) are few →
+            #   broadcast the loser rids, anti join. Payloads still cross
+            #   zero exchanges before the write.
+            # - 'shuffle': both sets huge → shuffle-hash on _rid (uniform
+            #   synthetic key: no skew, no sort).
+            strategy = self.merge_strategy
+            if strategy == "auto":
+                strategy = (
+                    "broadcast"
+                    if (batch_rows + current_rows) <= self.broadcast_threshold_rows
+                    else "anti"
+                )
+            rid_set = fwin.select("_rid")
+            if strategy == "anti":
+                all_rids = bmeta.select("_rid")
+                if populated:
+                    all_rids = all_rids.unionAll(cmeta.select("_rid"))
+                losers = all_rids.join(rid_set, "_rid", "left_anti").persist()
+                extra_persists.append(losers)
+                n_losers = losers.count()
+                if n_losers <= max(4 * self.broadcast_threshold_rows, 8_000_000):
+                    merged = all_rows.join(F.broadcast(losers), "_rid", "left_anti").drop("_rid")
+                else:
+                    strategy = "shuffle"
+            if strategy == "broadcast":
+                merged = all_rows.join(F.broadcast(rid_set), "_rid").drop("_rid")
+            elif strategy == "shuffle":
+                merged = all_rows.join(rid_set.hint("SHUFFLE_HASH"), "_rid").drop("_rid")
+            strategy = f"{strategy_base}-{strategy}"
 
             version = man["version"] + 1
             data_rel = f"data/v{version}"
@@ -475,16 +519,17 @@ class ParquetSnapshotTable(LakeTable):
                 strategy=strategy,
             )
         finally:
-            reduced.unpersist()
+            bwin.unpersist()
+            for df in extra_persists:
+                df.unpersist()
 
     # ---- merge internals ----------------------------------------------------
 
-    def _resolve(self, current: DataFrame, batch: DataFrame, strategy: str) -> DataFrame:
-        """Last-writer-wins union of current rows and batch rows per key.
-
-        broadcast: current is scanned twice but never shuffled — two
-        BroadcastHashJoins against the (small) batch. The standard CDC case.
-        shuffle: one window over the union — for backfill-sized batches.
+    def _resolve_legacy(self, current: DataFrame, batch: DataFrame, strategy: str) -> DataFrame:
+        """(kept for reference/AB-testing) Wide-row LWW resolution. The
+        broadcast variant scans current twice with BroadcastHashJoins; the
+        shuffle variant aggregates the union. Superseded by the late-
+        materialization plan in merge(), which never shuffles payloads.
         """
         keys = self.keys
         if strategy == "broadcast":

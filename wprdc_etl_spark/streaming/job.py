@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from wprdc_etl_spark.exceptions import IncompletePipelineError
-from wprdc_etl_spark.operators.dedup import DEDUP_KEYS, dedup_events, dedup_events_streaming
+from wprdc_etl_spark.operators.dedup import DEDUP_KEYS, dedup_events_streaming
 from wprdc_etl_spark.operators.fingerprint import with_content_sha
 from wprdc_etl_spark.plans.lake import LakeTable, LineageCounts
 from wprdc_etl_spark.schema import BaseSchema, event_payload_schema
@@ -145,8 +145,13 @@ class IngestJob:
         if hasattr(sink, "job_state"):
             state = sink.job_state(self.name)
 
-        # dedup (B3, batch analog) → validate (B5) → flag rows
-        applied = self._payload_schema.apply(dedup_events(batch_df))
+        # validate (B5) → flag rows. Exact-redelivery dedup (B3) needs no
+        # shuffle of its own here: in streaming it is the stateful
+        # dropDuplicatesWithinWatermark upstream; in batch replay the merge's
+        # metadata LWW subsumes it (identical rows tie on the order key and
+        # exactly one materializes) — a separate dropDuplicates would shuffle
+        # full payloads once more for nothing.
+        applied = self._payload_schema.apply(batch_df)
         # late-event rule (B2 analog at the apply layer): relative to the
         # previous batch's high watermark — the same boundary semantics
         # Spark's own watermark has (advances at batch boundaries).
