@@ -1,0 +1,78 @@
+"""CLI entry point for cluster submission (north_rule: run via
+``spark-submit --py-files``).
+
+Package and submit:
+
+    cd /root/repo && zip -r /tmp/wprdc_etl_spark.zip wprdc_etl_spark
+    spark-submit --py-files /tmp/wprdc_etl_spark.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        wprdc_etl_spark/__main__.py \
+        --name repo_ingest --source /logs/change_events \
+        --target /lake/source_code --checkpoint /ckpt/repo_ingest \
+        --mode stream --n-buckets 4096
+
+(or ``python -m wprdc_etl_spark ...`` locally; see scripts/submit.sh).
+
+On a cluster with the Iceberg runtime jar, pass ``--sink iceberg
+--target catalog.db.source_code`` and the IcebergTable drop-in is used.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from wprdc_etl_spark.config import EngineConfig, build_session
+from wprdc_etl_spark.plans.lake import ParquetSnapshotTable
+from wprdc_etl_spark.streaming.job import IngestJob
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="wprdc_etl_spark")
+    ap.add_argument("--name", required=True, help="job name (lineage / guard key)")
+    ap.add_argument("--source", required=True, help="change-event log directory")
+    ap.add_argument("--target", required=True, help="lake table root (or Iceberg table name)")
+    ap.add_argument("--checkpoint", help="streaming checkpoint location (stream mode)")
+    ap.add_argument("--mode", choices=["stream", "batch"], default="stream")
+    ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
+    ap.add_argument("--n-buckets", type=int, default=4096)
+    ap.add_argument("--n-chunks", type=int, default=1, help="batch mode: replay chunks")
+    ap.add_argument("--watermark-delay", default="48 hours")
+    ap.add_argument("--lateness", default=None)
+    ap.add_argument("--max-files-per-trigger", type=int, default=64)
+    ap.add_argument("--continuous", action="store_true",
+                    help="stream mode: keep tailing instead of availableNow-drain")
+    args = ap.parse_args()
+
+    spark = build_session(EngineConfig(app_name=f"wprdc-etl-spark::{args.name}"))
+    if args.sink == "iceberg":
+        from wprdc_etl_spark.plans.iceberg import IcebergTable
+
+        table = IcebergTable(spark, args.target)
+    else:
+        table = ParquetSnapshotTable(spark, args.target, n_buckets=args.n_buckets)
+
+    job = (
+        IngestJob(
+            args.name,
+            watermark_delay=args.watermark_delay,
+            lateness=args.lateness,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        .source(args.source)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    if args.mode == "batch":
+        last = job.run_batch(spark, n_chunks=args.n_chunks)
+        print(f"batch replay complete, last batch_id={last}")
+    else:
+        if not args.checkpoint:
+            ap.error("--checkpoint is required in stream mode")
+        q = job.start_stream(spark, args.checkpoint, available_now=not args.continuous)
+        q.awaitTermination()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
