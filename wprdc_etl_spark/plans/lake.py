@@ -407,6 +407,18 @@ class ParquetSnapshotTable(LakeTable):
         # dedup — identical rows tie on the order key and max_by keeps one).
         # LWW is associative, so batch-local reduce then reduce-vs-current
         # equals one global reduce.
+        import time as _time
+
+        _dbg = os.environ.get("LAKE_DEBUG") == "1"
+        _t0 = _time.monotonic()
+
+        def _mark(label: str) -> None:
+            nonlocal _t0
+            if _dbg:
+                now = _time.monotonic()
+                print(f"[lake] {label}: {now - _t0:.1f}s", flush=True)
+                _t0 = now
+
         bwin = _lww_reduce(bmeta, self.keys).withColumn("_bucket", bucket_of(man["n_buckets"]))
         bwin = bwin.persist()
         extra_persists: list[DataFrame] = []
@@ -417,6 +429,7 @@ class ParquetSnapshotTable(LakeTable):
                 F.max("_seq").alias("max_seq"),
                 F.sum(F.xxhash64(*self.keys, "_seq").cast("decimal(38,0)")).alias("h"),
             ).collect()
+            _mark("stats(narrow LWW)")
             if finalize is not None:
                 counts, job_state = finalize()
             counts = counts or LineageCounts()
@@ -475,6 +488,7 @@ class ParquetSnapshotTable(LakeTable):
                 losers = all_rids.join(rid_set, "_rid", "left_anti").persist()
                 extra_persists.append(losers)
                 n_losers = losers.count()
+                _mark(f"losers({n_losers})")
                 if n_losers <= max(4 * self.broadcast_threshold_rows, 8_000_000):
                     merged = all_rows.join(F.broadcast(losers), "_rid", "left_anti").drop("_rid")
                 else:
@@ -491,6 +505,7 @@ class ParquetSnapshotTable(LakeTable):
             self._write_bucketed(
                 merged, os.path.join(self.root, data_rel), man["n_buckets"], approx_rows
             )
+            _mark(f"write({strategy})")
 
             lineage_rel = f"lineage/l{version}"
             self._write_lineage(man, stats, job, batch_id, counts, os.path.join(self.root, lineage_rel))
@@ -589,17 +604,22 @@ class ParquetSnapshotTable(LakeTable):
         worth of data (B11: the hot mega-repo spreads over buckets already,
         since bucketing hashes (repo, path)).
         """
-        ROWS_PER_FILE = 1_500_000
+        # Rows here can carry multi-KB payloads, so size write parallelism by
+        # row count aggressively (≈250k rows ≈ a few hundred MB compressed
+        # per task): too few tasks leaves the disks idle (observed 38% CPU at
+        # ~15 tasks on a 24 GB rewrite), too many sprays small files.
+        ROWS_PER_TASK = 250_000
         max_parts = self.write_partitions or int(
             self.spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
         out = df.withColumn("_bucket_dir", bucket_of(n_buckets))
-        if approx_rows is not None and approx_rows // ROWS_PER_FILE > max_parts:
-            # very large rewrite: salt within buckets for write parallelism
+        n_parts = max(4, min(max_parts, (approx_rows or 0) // ROWS_PER_TASK + 4))
+        if n_parts >= max_parts:
+            # large rewrite: salt within buckets so a handful of hot buckets
+            # can't serialize the write (B11)
             salt = F.pmod(F.xxhash64(*self.keys), F.lit(8))
-            out = out.repartition(max_parts, F.col("_bucket_dir"), salt)
+            out = out.repartition(n_parts, F.col("_bucket_dir"), salt)
         else:
-            n_parts = max(1, min(max_parts, (approx_rows or 0) // ROWS_PER_FILE + 8))
             out = out.repartition(n_parts, F.col("_bucket_dir"))
         out.write.mode("overwrite").partitionBy("_bucket_dir").parquet(abs_dir)
 
