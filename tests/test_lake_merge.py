@@ -225,6 +225,18 @@ def test_compact_gc_tombstones(spark, tmp_path):
     assert t.read().count() == 0
 
 
+def test_lookup_bucket_pruned(spark, tmp_path):
+    t = mk_table(spark, tmp_path, n_buckets=8)
+    rows = [(i, "I", f"r{i}", f"p{i}", f"c{i}", "py", f"v{i}") for i in range(32)]
+    rows.append((99, "D", "r5", "p5", "c5", "py", None))
+    t.merge(ev(spark, rows), job="j", batch_id=0)
+    got = t.lookup("r3", "p3").collect()
+    assert len(got) == 1 and got[0]["content"] == "v3"
+    assert t.lookup("r5", "p5").count() == 0       # deleted key invisible
+    assert t.lookup("ghost", "nope").count() == 0  # absent key
+    assert t.lookup("r3", "p3", commit="c3").count() == 1
+
+
 def test_properties_touch(spark, tmp_path):
     """A23 parity: update_metadata → manifest properties."""
     t = mk_table(spark, tmp_path)
