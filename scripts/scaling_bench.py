@@ -94,22 +94,28 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=10_000_000)
     ap.add_argument("--storage", choices=["tmpfs", "disk"], default="tmpfs")
     ap.add_argument("--levels", default="2,8,32", help="comma-separated core counts")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="runs per level, interleaved; best wall kept (the box "
+                         "has heavy noisy-neighbor variance — same job varies ±2×)")
     args = ap.parse_args()
     if args.worker:
         worker(args.cpus, args.events, args.storage)
         return
 
     levels = [int(x) for x in args.levels.split(",")]
-    results = {}
-    for cpus in levels:
-        out = subprocess.run(
-            [sys.executable, __file__, "--worker", "--cpus", str(cpus),
-             "--events", str(args.events), "--storage", args.storage],
-            capture_output=True, text=True, check=True,
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
-        print(line)
+    results: dict[int, dict] = {}
+    for rep in range(args.repeats):
+        for cpus in levels:
+            out = subprocess.run(
+                [sys.executable, __file__, "--worker", "--cpus", str(cpus),
+                 "--events", str(args.events), "--storage", args.storage],
+                capture_output=True, text=True, check=True,
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            r = json.loads(line)
+            print(f"rep{rep} {line}")
+            if cpus not in results or r["wall_sec"] < results[cpus]["wall_sec"]:
+                results[cpus] = r
 
     finals = {r["final_rows"] for r in results.values()}
     assert len(finals) == 1, "parallelism changed the result!"
@@ -144,7 +150,10 @@ same {report['n_events']:,}-event generated change log — at several
 parallelism levels, fresh JVM each, identical logical plan and shuffle
 partitioning (64); ONLY the executor-thread count differs. Storage:
 **{args.storage}** (table + shuffle on /dev/shm so the single shared
-~700 MB/s disk doesn't cap the higher levels).
+~700 MB/s disk doesn't cap the higher levels). Each level ran
+{args.repeats}× interleaved and the BEST wall is kept — this sandbox VM
+shows ±2× noisy-neighbor variance on identical runs, and min-of-N is the
+least-interfered estimate.
 
 | level | wall (s) | events/sec |
 |---|---|---|
