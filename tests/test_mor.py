@@ -1,0 +1,99 @@
+"""Merge-on-read deltas (LSM-style write path) — write amplification bounded
+by O(batch), read amplification bounded by inline compaction."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wprdc_etl_spark.plans.lake import ParquetSnapshotTable
+
+from tests.test_lake_merge import EV_SCHEMA, SCHEMA, ev, state
+
+
+def mk(spark, tmp, **kw):
+    kw.setdefault("n_buckets", 4)
+    kw.setdefault("write_mode", "mor")
+    t = ParquetSnapshotTable(spark, str(tmp / "tbl"), **kw)
+    t.ensure(SCHEMA)
+    return t
+
+
+def test_mor_delta_append_leaves_base_untouched(spark, tmp_path):
+    t = mk(spark, tmp_path, write_mode="auto", mor_batch_fraction=0.5)
+    rows = [(i, "I", f"r{i}", f"p{i}", f"c{i}", "py", f"v{i}") for i in range(32)]
+    t.merge(ev(spark, rows), job="j", batch_id=0)  # initial load → cow
+    man0 = t._read_manifest()
+    r = t.merge(ev(spark, [(100, "U", "r1", "p1", "c1", "py", "new")]), job="j", batch_id=1)
+    assert r.strategy.startswith("mor-delta")
+    man1 = t._read_manifest()
+    # the affected bucket gained a delta; its base dir is untouched
+    changed = [b for b in man0["buckets"] if man0["buckets"][b] != man1["buckets"][b]]
+    assert len(changed) == 1
+    b = changed[0]
+    assert man1["buckets"][b][0] == man0["buckets"][b][0]  # base kept
+    assert len(man1["buckets"][b]) == 2                     # + delta
+    # read resolves the delta over the base
+    assert state(t)[("r1", "p1", "c1")] == "new"
+    assert len(state(t)) == 32
+
+
+def test_mor_semantics_match_cow(spark, tmp_path):
+    """The same batch sequence through MOR and COW converges to the same
+    state (MOR is a physical layout choice, not a semantic one)."""
+    batches = [
+        [(0, "I", "r1", "a", "c1", "py", "v1"), (1, "I", "r2", "b", "c2", "go", "w1")],
+        [(2, "U", "r1", "a", "c1", "py", "v2"), (3, "D", "r2", "b", "c2", "go", None)],
+        [(1, "I", "r2", "b", "c2", "go", "w1")],  # stale redelivery after delete
+        [(4, "I", "r3", "c", "c3", "rs", "z1")],
+    ]
+    t_mor = mk(spark, tmp_path / "mor", write_mode="mor")
+    t_cow = mk(spark, tmp_path / "cow", write_mode="cow")
+    for i, b in enumerate(batches):
+        t_mor.merge(ev(spark, b), job="j", batch_id=i)
+        t_cow.merge(ev(spark, b), job="j", batch_id=i)
+    assert state(t_mor) == state(t_cow) == {
+        ("r1", "a", "c1"): "v2",
+        ("r3", "c", "c3"): "z1",
+    }
+
+
+def test_mor_inline_compaction_bounds_chain(spark, tmp_path):
+    t = mk(spark, tmp_path, write_mode="mor", max_deltas=3, n_buckets=1)
+    for i in range(8):
+        t.merge(ev(spark, [(i, "I" if i == 0 else "U", "r", "p", "c", "py", f"v{i}")]),
+                job="j", batch_id=i)
+    man = t._read_manifest()
+    chain = man["buckets"]["0"]
+    assert len(chain) <= 4  # never exceeds max_deltas+1 for long
+    assert any("compact" in d for d in chain) or len(chain) <= 3
+    assert state(t) == {("r", "p", "c"): "v7"}
+
+
+def test_mor_lookup_resolves_deltas(spark, tmp_path):
+    t = mk(spark, tmp_path, write_mode="mor")
+    t.merge(ev(spark, [(0, "I", "r", "p", "c", "py", "old")]), job="j", batch_id=0)
+    t.merge(ev(spark, [(5, "U", "r", "p", "c", "py", "new")]), job="j", batch_id=1)
+    got = t.lookup("r", "p").collect()
+    assert len(got) == 1 and got[0]["content"] == "new"
+
+
+def test_mor_schema_evolution(spark, tmp_path):
+    t = mk(spark, tmp_path, write_mode="mor")
+    t.merge(ev(spark, [(0, "I", "r", "p", "c", "py", "x")]), job="j", batch_id=0)
+    evolved = ev(spark, [(1, "I", "r2", "p2", "c2", "go", "y")]).withColumn("license", F.lit("MIT"))
+    t.merge(evolved, job="j", batch_id=1)
+    got = {r["repo"]: r["license"] for r in t.read().collect()}
+    assert got == {"r": None, "r2": "MIT"}
+
+
+def test_mor_then_full_compact(spark, tmp_path):
+    t = mk(spark, tmp_path, write_mode="mor")
+    t.merge(ev(spark, [(0, "I", "r", "p", "c", "py", "x"),
+                       (1, "I", "r2", "p2", "c2", "go", "y")]), job="j", batch_id=0)
+    t.merge(ev(spark, [(2, "D", "r", "p", "c", "py", None)]), job="j", batch_id=1)
+    t.compact(drop_tombstones_below_seq=100)
+    man = t._read_manifest()
+    assert all(len(d) == 1 for d in man["buckets"].values())
+    assert t._read_buckets(man).count() == 1  # tombstone GC'd
+    assert state(t) == {("r2", "p2", "c2"): "y"}

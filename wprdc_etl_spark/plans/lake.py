@@ -186,7 +186,25 @@ class ParquetSnapshotTable(LakeTable):
         broadcast_threshold_rows: int = 2_000_000,
         write_partitions: int | None = None,
         strict_duplicate_check: bool = False,
+        write_mode: str = "auto",
+        max_deltas: int = 8,
+        mor_batch_fraction: float = 0.1,
     ) -> None:
+        """``write_mode`` — the write-amplification control (LSM-style):
+
+        - 'cow': copy-on-write — every merge rewrites the affected buckets
+          fully. Best read performance (one sorted-resolution-free file set
+          per bucket); catastrophic for steady-state CDC where a small batch
+          touches most buckets (write amplification ≈ table/batch per batch).
+        - 'mor': merge-on-read — the batch's winners append as a bucketed
+          DELTA dir; last-writer-wins resolution happens at read time (the
+          same LWW the merge already defines). Write cost = O(batch).
+          Buckets whose delta chain exceeds ``max_deltas`` are compacted
+          inline within the same atomic commit, bounding read amplification.
+        - 'auto': 'mor' when the batch is below ``mor_batch_fraction`` of
+          the affected current rows (steady-state CDC), else 'cow'
+          (bulk loads / backfills).
+        """
         self.spark = spark
         self.root = root
         self.keys = keys or list(DEFAULT_KEYS)
@@ -195,6 +213,19 @@ class ParquetSnapshotTable(LakeTable):
         self.broadcast_threshold_rows = broadcast_threshold_rows
         self.write_partitions = write_partitions
         self.strict_duplicate_check = strict_duplicate_check
+        if write_mode not in ("auto", "cow", "mor"):
+            raise SinkCommitError(f"unknown write_mode {write_mode!r}")
+        self.write_mode = write_mode
+        self.max_deltas = max_deltas
+        self.mor_batch_fraction = mor_batch_fraction
+
+    @staticmethod
+    def _dirs_of(man: dict, b) -> list[str]:
+        """Manifest bucket value → list of dirs (str legacy / list current)."""
+        v = man["buckets"].get(str(b))
+        if v is None:
+            return []
+        return [v] if isinstance(v, str) else list(v)
 
     # ---- manifest ---------------------------------------------------------
 
@@ -279,24 +310,37 @@ class ParquetSnapshotTable(LakeTable):
         )
 
     def _read_buckets(self, man: dict, buckets: list[int] | None = None) -> DataFrame:
-        """Raw rows (incl. tombstones + internal cols) for the given buckets
-        (None = all). Old files missing newly-evolved columns are null-filled
-        by the explicit read schema — that is the additive-evolution read
-        path (B9).
+        """Raw rows (incl. tombstones, superseded delta versions and internal
+        cols) for the given buckets (None = all). Old files missing
+        newly-evolved columns are null-filled by the explicit read schema —
+        that is the additive-evolution read path (B9).
         """
         full = self._full_schema(man)
-        sel = man["buckets"] if buckets is None else {
-            str(b): man["buckets"][str(b)] for b in buckets if str(b) in man["buckets"]
-        }
-        dirs = [os.path.join(self.root, rel) for rel in sel.values()]
+        ids = list(man["buckets"]) if buckets is None else [
+            str(b) for b in buckets if str(b) in man["buckets"]
+        ]
+        dirs = [os.path.join(self.root, rel) for b in ids for rel in self._dirs_of(man, b)]
         if not dirs:
             return self.spark.createDataFrame([], full)
         return self.spark.read.schema(full).parquet(*dirs)
 
+    def _has_deltas(self, man: dict, buckets: list[int] | None = None) -> bool:
+        ids = man["buckets"] if buckets is None else [str(b) for b in buckets]
+        return any(len(self._dirs_of(man, b)) > 1 for b in ids)
+
+    def _resolved(self, man: dict, buckets: list[int] | None = None) -> DataFrame:
+        """One live version per key: LWW across base+delta dirs. The LWW
+        shuffle is skipped entirely when no read bucket carries deltas
+        (pure-COW tables read resolution-free)."""
+        df = self._read_buckets(man, buckets)
+        if self._has_deltas(man, buckets):
+            df = _lww_reduce(df, self.keys)
+        return df
+
     def read(self) -> DataFrame:
         """Current table state: tombstones filtered, internal columns dropped."""
         man = self._require_manifest()
-        return self._read_buckets(man).where(F.col("_op") != "D").drop(*INTERNAL_COLS)
+        return self._resolved(man).where(F.col("_op") != "D").drop(*INTERNAL_COLS)
 
     def lookup(self, repo: str, path: str, commit: str | None = None) -> DataFrame:
         """Point lookup by key prefix — reads ONLY the one bucket the key
@@ -314,6 +358,8 @@ class ParquetSnapshotTable(LakeTable):
         out = self._read_buckets(man, [bucket]).where(
             (F.col("repo") == repo) & (F.col("path") == path)
         )
+        if self._has_deltas(man, [bucket]):
+            out = _lww_reduce(out, self.keys)
         if commit is not None:
             out = out.where(F.col("commit") == commit)
         return out.where(F.col("_op") != "D").drop(*INTERNAL_COLS)
@@ -462,6 +508,25 @@ class ParquetSnapshotTable(LakeTable):
             old_rows = man.get("bucket_rows", {})
             current_rows = sum(int(old_rows.get(str(b), 0)) for b in affected)
 
+            mode = self.write_mode
+            if mode == "auto":
+                mode = (
+                    "mor"
+                    if populated
+                    and current_rows > 0
+                    and batch_rows <= self.mor_batch_fraction * current_rows
+                    else "cow"
+                )
+
+            if mode == "mor":
+                return self._commit_mor(
+                    man=man, job=job, batch_id=batch_id, counts=counts,
+                    job_state=job_state, properties=properties,
+                    brows=brows, bwin=bwin, stats=stats, affected=affected,
+                    batch_rows=int(batch_rows), old_rows=old_rows,
+                    evolved_schema=evolved_schema, mark=_mark,
+                )
+
             if populated:
                 current = self._read_buckets(man, populated)
                 cur_aligned = current.select(
@@ -534,12 +599,9 @@ class ParquetSnapshotTable(LakeTable):
             written = self._list_bucket_dirs(os.path.join(self.root, data_rel))
             for b in affected:
                 if b in written:
-                    new_buckets[str(b)] = f"{data_rel}/_bucket_dir={b}"
-                else:
-                    # every current row of this bucket was superseded by
-                    # tombstoned... cannot happen (tombstones are kept), but
-                    # stay safe: keep the old dir.
-                    pass
+                    # copy-on-write: the fresh dir REPLACES the bucket's whole
+                    # base+delta chain
+                    new_buckets[str(b)] = [f"{data_rel}/_bucket_dir={b}"]
             new_bucket_rows = dict(old_rows)
             for r in stats:
                 b = str(int(r["_bucket"]))
@@ -571,6 +633,89 @@ class ParquetSnapshotTable(LakeTable):
             bwin.unpersist()
             for df in extra_persists:
                 df.unpersist()
+
+    def _commit_mor(
+        self,
+        *,
+        man: dict,
+        job: str,
+        batch_id: int,
+        counts: LineageCounts,
+        job_state: dict | None,
+        properties: dict | None,
+        brows: DataFrame,
+        bwin: DataFrame,
+        stats: list,
+        affected: list[int],
+        batch_rows: int,
+        old_rows: dict,
+        evolved_schema: T.StructType,
+        mark,
+    ) -> MergeResult:
+        """Merge-on-read commit: write ONLY the batch winners as a bucketed
+        delta (LSM memtable-flush analog — the current table is never read),
+        then inline-compact any bucket whose delta chain exceeds
+        ``max_deltas``. Both writes publish in the same atomic manifest swap.
+        Write cost: O(batch) + amortized O(bucket/max_deltas) — vs COW's
+        O(affected buckets) per batch.
+        """
+        version = man["version"] + 1
+        data_rel = f"data/v{version}"
+        merged = brows.join(F.broadcast(bwin.select("_rid")), "_rid").drop("_rid")
+        self._write_bucketed(merged, os.path.join(self.root, data_rel), man["n_buckets"], batch_rows)
+        mark("write(mor-delta)")
+
+        written = self._list_bucket_dirs(os.path.join(self.root, data_rel))
+        new_buckets = {k: self._dirs_of(man, k) for k in man["buckets"]}
+        for b in affected:
+            if b in written:
+                new_buckets[str(b)] = new_buckets.get(str(b), []) + [f"{data_rel}/_bucket_dir={b}"]
+
+        overfull = [b for b, dirs in new_buckets.items() if len(dirs) > self.max_deltas]
+        if overfull:
+            full = T.StructType(
+                list(evolved_schema.fields)
+                + [T.StructField("_seq", T.LongType()), T.StructField("_op", T.StringType())]
+            )
+            dirs = [os.path.join(self.root, rel) for b in overfull for rel in new_buckets[b]]
+            resolved = _lww_reduce(self.spark.read.schema(full).parquet(*dirs), self.keys)
+            comp_rel = f"data/v{version}_compact"
+            est = sum(int(old_rows.get(b, 0)) for b in overfull) + batch_rows
+            self._write_bucketed(resolved, os.path.join(self.root, comp_rel), man["n_buckets"], est)
+            cwritten = self._list_bucket_dirs(os.path.join(self.root, comp_rel))
+            for b in overfull:
+                if int(b) in cwritten:
+                    new_buckets[b] = [f"{comp_rel}/_bucket_dir={b}"]
+            mark(f"inline-compact({len(overfull)} buckets)")
+
+        lineage_rel = f"lineage/l{version}"
+        self._write_lineage(man, stats, job, batch_id, counts, os.path.join(self.root, lineage_rel))
+
+        new_bucket_rows = dict(old_rows)
+        for r in stats:
+            b = str(int(r["_bucket"]))
+            new_bucket_rows[b] = int(old_rows.get(b, 0)) + int(r["n"])
+        man_new = dict(man)
+        man_new["version"] = version
+        man_new["schema"] = evolved_schema.jsonValue()
+        man_new["buckets"] = new_buckets
+        man_new["bucket_rows"] = new_bucket_rows
+        man_new["committed"] = {**man["committed"], job: batch_id}
+        if job_state is not None:
+            man_new["state"] = {**man["state"], job: job_state}
+        if properties is not None:
+            man_new["properties"] = {**man["properties"], **properties}
+        man_new["lineage"] = list(man["lineage"]) + [lineage_rel]
+        self._swap_manifest(man_new)
+        self._gc_orphans(man_new)
+        return MergeResult(
+            applied=True,
+            version=version,
+            rows_upserted=int(batch_rows - sum(r["n_del"] for r in stats)),
+            rows_deleted=int(sum(r["n_del"] for r in stats)),
+            n_affected_buckets=len(affected),
+            strategy=f"mor-delta+compact{len(overfull)}" if overfull else "mor-delta",
+        )
 
     # ---- merge internals ----------------------------------------------------
 
@@ -759,7 +904,11 @@ class ParquetSnapshotTable(LakeTable):
     def _gc_orphans(self, man: dict) -> None:
         """Drop data/lineage dirs not referenced by the committed manifest —
         leftovers of crashed attempts. Best-effort; never fails a commit."""
-        live_data = {rel.split("/")[1] for rel in man["buckets"].values()}  # v{N}
+        live_data = {
+            rel.split("/")[1]
+            for b in man["buckets"]
+            for rel in self._dirs_of(man, b)
+        }  # v{N} / v{N}_compact
         live_lineage = {rel.split("/")[1] for rel in man["lineage"]}
         try:
             data_root = os.path.join(self.root, "data")
@@ -778,27 +927,36 @@ class ParquetSnapshotTable(LakeTable):
     @staticmethod
     def _version_of(dirname: str, prefix: str = "v") -> int:
         try:
-            return int(dirname.lstrip(prefix))
+            return int(dirname.lstrip(prefix).split("_")[0])
         except ValueError:
             return 1 << 62
 
     def compact(self, *, drop_tombstones_below_seq: int | None = None) -> int:
-        """Rewrite all buckets: coalesce small files and GC tombstones whose
-        sequence is below the given bound (i.e. no redelivery can still
-        reference them). Returns the new version."""
+        """Full rewrite: fold every bucket's delta chain into one base dir,
+        coalesce small files, and GC tombstones whose sequence is below the
+        given bound (i.e. no redelivery can still reference them). Returns
+        the new version. Resets the bucket_rows estimates to exact counts."""
         man = self._require_manifest()
-        df = self._read_buckets(man)
+        df = self._resolved(man)
         if drop_tombstones_below_seq is not None:
             df = df.where(~((F.col("_op") == "D") & (F.col("_seq") < drop_tombstones_below_seq)))
         version = man["version"] + 1
         data_rel = f"data/v{version}"
         df = df.persist()
-        self._write_bucketed(df, os.path.join(self.root, data_rel), man["n_buckets"], df.count())
+        counts_by_bucket = {
+            int(r["_b"]): int(r["n"])
+            for r in df.groupBy(bucket_of(man["n_buckets"]).alias("_b")).count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        self._write_bucketed(
+            df, os.path.join(self.root, data_rel), man["n_buckets"], sum(counts_by_bucket.values())
+        )
         df.unpersist()
         written = self._list_bucket_dirs(os.path.join(self.root, data_rel))
         man_new = dict(man)
         man_new["version"] = version
-        man_new["buckets"] = {str(b): f"{data_rel}/_bucket_dir={b}" for b in sorted(written)}
+        man_new["buckets"] = {str(b): [f"{data_rel}/_bucket_dir={b}"] for b in sorted(written)}
+        man_new["bucket_rows"] = {str(b): counts_by_bucket.get(b, 0) for b in sorted(written)}
         self._swap_manifest(man_new)
         self._gc_orphans(man_new)
         return version
