@@ -81,7 +81,8 @@ def test_orphan_dirs_gced_after_crash(spark, tmp_path):
     fresh = ParquetSnapshotTable(spark, root, n_buckets=4)
     fresh.merge(ev(spark, [(1, "U", "r", "p", "c", "py", "y")]), job="j", batch_id=1)
     fresh.merge(ev(spark, [(2, "I", "r3", "p3", "c3", "js", "w")]), job="j", batch_id=2)
-    live = {rel.split("/")[1] for rel in fresh._read_manifest()["buckets"].values()}
+    man = fresh._read_manifest()
+    live = {rel.split("/")[1] for b in man["buckets"] for rel in fresh._dirs_of(man, b)}
     on_disk = set(os.listdir(os.path.join(root, "data")))
     assert live <= on_disk
     # the crashed v2 must be gone once a later commit GC'd it
