@@ -1,0 +1,76 @@
+"""Property-based invariants (hypothesis) — beyond the reference's test
+strategy (SURVEY §6.1: plain unittest only), these pin the engine's core
+algebraic claims:
+
+1. batching-invariance: ANY chunking of an event log converges to the same
+   final state as a single-batch apply (LWW is associative, the merge
+   composes) — the property behind checkpoint-resume correctness (B13).
+2. redelivery-idempotence: duplicating arbitrary events verbatim never
+   changes the final state (B3/B8).
+
+Examples are kept small and few — each example spins real Spark jobs.
+"""
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+from pyspark.sql import types as T
+
+from wprdc_etl_spark.plans.lake import ParquetSnapshotTable
+
+EV_SCHEMA = T.StructType(
+    [T.StructField("event_sequence", T.LongType()), T.StructField("op", T.StringType())]
+    + [T.StructField(c, T.StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+)
+
+PAYLOAD = T.StructType(
+    [T.StructField(c, T.StringType()) for c in ["repo", "path", "commit", "lang", "content"]]
+)
+
+# small closed world: 2 repos × 2 paths × 2 commits, ops I/U/D
+keys = st.tuples(
+    st.sampled_from(["rA", "rB"]), st.sampled_from(["p1", "p2"]), st.sampled_from(["c1", "c2"])
+)
+events = st.lists(
+    st.tuples(keys, st.sampled_from(["I", "U", "D"]), st.text("xyz", min_size=0, max_size=3)),
+    min_size=1,
+    max_size=10,
+)
+
+
+def to_rows(log):
+    return [
+        (seq, op, k[0], k[1], k[2], "py", None if op == "D" else content)
+        for seq, (k, op, content) in enumerate(log)
+    ]
+
+
+def apply_rows(spark, tmp, rows, cuts):
+    t = ParquetSnapshotTable(spark, str(tmp), n_buckets=2)
+    t.ensure(PAYLOAD)
+    max_seq = max(r[0] for r in rows) + 1
+    bounds = [0] + sorted(min(c, max_seq) for c in cuts) + [max_seq]
+    for bid, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        batch = [r for r in rows if lo <= r[0] < hi]
+        t.merge(spark.createDataFrame(batch, EV_SCHEMA), job="prop", batch_id=bid)
+    return {(r["repo"], r["path"], r["commit"]): r["content"] for r in t.read().collect()}
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(log=events, cut=st.integers(min_value=0, max_value=9))
+def test_batching_invariance(spark, tmp_path_factory, log, cut):
+    rows = to_rows(log)
+    tmp = tmp_path_factory.mktemp("prop")
+    assert apply_rows(spark, tmp / "one", rows, cuts=[]) == apply_rows(
+        spark, tmp / "two", rows, cuts=[cut]
+    )
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(log=events, dup_idx=st.integers(min_value=0, max_value=9))
+def test_redelivery_idempotence(spark, tmp_path_factory, log, dup_idx):
+    rows = to_rows(log)
+    redelivered = rows + [rows[min(dup_idx, len(rows) - 1)]]  # verbatim copy, same seq
+    tmp = tmp_path_factory.mktemp("prop")
+    assert apply_rows(spark, tmp / "a", rows, cuts=[]) == apply_rows(
+        spark, tmp / "b", redelivered, cuts=[]
+    )
