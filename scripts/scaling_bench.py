@@ -44,14 +44,32 @@ def worker(cpus: int, n_events: int, storage: str = "tmpfs") -> None:
     # engine — a real 4N-executor cluster brings 4× disks. tmpfs emulates
     # cluster-aggregate bandwidth; the disk-backed numbers are reported too.
     scratch = "/dev/shm/wprdc_scale" if storage == "tmpfs" else os.path.join(REPO, ".bench_tmp")
-    cfg = EngineConfig(
-        master=f"local[{cpus}]",
-        shuffle_partitions=64,
-        app_name=f"scaling-bench-{cpus}",
-        extra_conf={"spark.local.dir": os.path.join(scratch, f"sparktmp_{cpus}")}
-        if storage == "tmpfs"
-        else {},
-    )
+    topology = os.environ.get("SCALING_TOPOLOGY", "threads")
+    if topology == "executors":
+        # Faithful multi-executor emulation: local-cluster[N, cores, mem]
+        # spawns N real executor JVMs (cores each) — the same process
+        # topology a cluster N→4N scale-out changes. cpus here = total
+        # cores; executors get EXEC_CORES (default 2) each.
+        exec_cores = int(os.environ.get("SCALING_EXEC_CORES", "2"))
+        n_exec = max(1, cpus // exec_cores)
+        os.environ.setdefault("SPARK_HOME", "/opt/spark")
+        os.environ["SPARK_LOCAL_DIRS"] = os.path.join(scratch, f"sparktmp_{cpus}")
+        cfg = EngineConfig(
+            master=f"local-cluster[{n_exec},{exec_cores},14336]",
+            shuffle_partitions=64,
+            app_name=f"scaling-bench-{n_exec}x{exec_cores}",
+            extra_conf={"spark.executor.memory": "13g",
+                        "spark.driver.memory": "8g"},
+        )
+    else:
+        cfg = EngineConfig(
+            master=f"local[{cpus}]",
+            shuffle_partitions=64,
+            app_name=f"scaling-bench-{cpus}",
+            extra_conf={"spark.local.dir": os.path.join(scratch, f"sparktmp_{cpus}")}
+            if storage == "tmpfs"
+            else {},
+        )
     spark = build_session(cfg)
     spark.sparkContext.setLogLevel("ERROR")
     log = os.path.join(REPO, ".fixtures", "bench", f"events_{n_events}")

@@ -85,6 +85,7 @@ def gen_change_events(
     include_license: bool = False,
     with_anomalies: bool = True,
     n_entities: int | None = None,
+    content_reps_max: int = 150,
 ) -> DataFrame:
     """The ordered CDC log (FIXTURES.md §2). Closed-form per event index.
 
@@ -108,7 +109,7 @@ def gen_change_events(
     commit = F.substring(F.sha2(F.concat_ws(":", F.lit("c"), e, v), 256), 1, 40)
     chunk = F.substring(F.sha2(F.concat_ws(":", F.lit("x"), e, v, i), 256), 1, 32)
     content = F.when(op == "D", F.lit(None).cast("string")).otherwise(
-        F.repeat(chunk, (_pm("len", 150, i) + 2).cast("int"))
+        F.repeat(chunk, (_pm("len", content_reps_max, i) + 2).cast("int"))
     )
     lang = ent["lang"]
 
