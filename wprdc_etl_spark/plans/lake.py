@@ -567,17 +567,31 @@ class ParquetSnapshotTable(LakeTable):
                 )
             rid_set = fwin.select("_rid")
             if strategy == "anti":
+                loser_limit = max(4 * self.broadcast_threshold_rows, 8_000_000)
                 all_rids = bmeta.select("_rid")
                 if populated:
                     all_rids = all_rids.unionAll(cmeta.select("_rid"))
-                losers = all_rids.join(rid_set, "_rid", "left_anti").persist()
-                extra_persists.append(losers)
-                n_losers = losers.count()
-                _mark(f"losers({n_losers})")
-                if n_losers <= max(4 * self.broadcast_threshold_rows, 8_000_000):
+                losers = all_rids.join(rid_set, "_rid", "left_anti")
+                # An upper bound on |losers| is often known without a count:
+                # batch-side losers = raw − reduced; current-side losers ≤
+                # min(current, reduced batch keys). When the bound fits the
+                # broadcast limit, skip the counting action entirely — one
+                # fewer narrow pass per micro-batch.
+                n_raw = (counts.extra or {}).get("n_raw")
+                bound = None
+                if n_raw is not None:
+                    bound = (int(n_raw) - int(batch_rows)) + min(int(current_rows), int(batch_rows))
+                if bound is not None and bound <= loser_limit:
                     merged = all_rows.join(F.broadcast(losers), "_rid", "left_anti").drop("_rid")
                 else:
-                    strategy = "shuffle"
+                    losers = losers.persist()
+                    extra_persists.append(losers)
+                    n_losers = losers.count()
+                    _mark(f"losers({n_losers})")
+                    if n_losers <= loser_limit:
+                        merged = all_rows.join(F.broadcast(losers), "_rid", "left_anti").drop("_rid")
+                    else:
+                        strategy = "shuffle"
             if strategy == "broadcast":
                 merged = all_rows.join(F.broadcast(rid_set), "_rid").drop("_rid")
             elif strategy == "shuffle":

@@ -194,6 +194,7 @@ class IngestJob:
                 rows_late=int(g["n_late"]),
                 input_hash=str(g["input_hash"]),
                 wall_ms=int((time.monotonic() - t0) * 1000),
+                extra={"n_raw": int(g["n"])},
             )
             new_state = dict(state)
             if g["max_ts"] is not None:
