@@ -188,6 +188,20 @@ def _q_events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "event_type", "value")
 
 
+def _q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 analog — parse the events table's JSON props column (from_json,
+    JVM-side) and aggregate the extracted field per event_type."""
+    from wprdc_etl_spark.sources import parse_json_column
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    parsed = parse_json_column(ev, "props", "k BIGINT")
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("_json.k")).alias("sum_k"),
+        F.max(F.col("_json.k")).alias("max_k"),
+    )
+
+
 def _q_documents_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6 over the documents table."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -303,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_hot_repo_profile": _q_cdc_hot_repo_profile,
         "events_dedup": _q_events_dedup,
         "events_latest_per_user": _q_events_latest_per_user,
+        "events_props_json": _q_events_props_json,
         "documents_fingerprint": _q_documents_fingerprint,
         "documents_exact_dedup": _q_documents_exact_dedup,
         "doc_token_counts": _q_doc_token_counts,
@@ -387,6 +402,12 @@ SELECT user_id, event_id, event_type, value FROM (
   SELECT *, row_number() OVER (
       PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
   FROM events) t WHERE rn = 1
+""",
+        "events_props_json": """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
 """,
         "documents_fingerprint": "SELECT doc_id, sha256(text) AS text_sha FROM documents",
         "documents_exact_dedup": """

@@ -129,6 +129,32 @@ def test_late_events_dropped_and_counted(spark, tmp_path, log_dir):
     assert late_total > 0
 
 
+def test_quarantine_persisted(spark, tmp_path, log_dir):
+    """B5: quarantined rows land in a per-batch parquet dir with their error
+    report — the distributed marshmallow-errors analog — and re-replays
+    don't duplicate them (idempotent per-batch overwrite)."""
+    table = ParquetSnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=8)
+    qdir = str(tmp_path / "quarantine")
+    job = (
+        IngestJob("qjob", quarantine_dir=qdir)
+        .source(log_dir)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=2)
+    q = spark.read.parquet(qdir)
+    n_q = q.count()
+    lineage_q = (
+        table.read_lineage().where(F.col("partition") == -1).agg(F.sum("rows_quarantined")).collect()[0][0]
+    )
+    assert n_q == lineage_q > 0
+    assert q.where(F.col("_errors") == "").count() == 0  # every row says why
+    # replay: guard skips batches → quarantine unchanged
+    job.run_batch(spark, n_chunks=2)
+    assert spark.read.parquet(qdir).count() == n_q
+
+
 def test_incomplete_pipeline_raises(spark):
     """A6 parity: Pipeline.enforce_full_pipeline → RuntimeError."""
     with pytest.raises(IncompletePipelineError):

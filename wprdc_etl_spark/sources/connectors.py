@@ -77,6 +77,16 @@ def read_source(spark: SparkSession, path: str, fmt: str = "parquet", **options)
     return spark.read.options(**options).format(fmt).load(path)
 
 
+def parse_json_column(
+    df: DataFrame, col: str, schema: "str | object", out_col: str = "_json"
+) -> DataFrame:
+    """A11 analog (``HTTPConnector`` returning parsed JSON): parse a JSON
+    string column into a typed struct with ``from_json`` — JVM-side, no
+    Python. ``schema`` is a DDL string ('k BIGINT, name STRING') or a
+    StructType; malformed rows yield null struct (quarantine upstream)."""
+    return df.withColumn(out_col, F.from_json(F.col(col), schema))
+
+
 class StagedRemoteConnector:
     """A10–A12 pattern: fetch a remote object into a local staging dir, then
     scan the staged copy with Spark. The fetch step is injectable; in this

@@ -62,12 +62,17 @@ class IngestJob:
         watermark_delay: str = "10 minutes",
         max_files_per_trigger: int = 8,
         compute_content_sha: bool = True,
+        quarantine_dir: str | None = None,
     ) -> None:
         self.name = name
         self.lateness = lateness  # None → late events are applied, not dropped
         self.watermark_delay = watermark_delay
         self.max_files_per_trigger = max_files_per_trigger
         self.compute_content_sha = compute_content_sha
+        # B5: persist quarantined rows (with their per-field error report)
+        # for inspection — the distributed descendant of marshmallow's
+        # returned ``errors`` dict. None → count-only (lineage).
+        self.quarantine_dir = quarantine_dir
         self._source_path: str | None = None
         self._source_format: str = "parquet"
         self._event_schema: T.StructType = event_struct()
@@ -203,7 +208,25 @@ class IngestJob:
                 new_state["max_event_ts"] = max(prev, cur) if prev else cur
             return counts, new_state
 
-        sink.merge(valid, job=self.name, batch_id=batch_id, finalize=finalize)
+        result = sink.merge(valid, job=self.name, batch_id=batch_id, finalize=finalize)
+
+        if self.quarantine_dir is not None and result.applied:
+            # idempotent: one overwritten dir per batch — a replayed batch
+            # (which the sink guard skips) never duplicates quarantine rows,
+            # and a retried batch rewrites the same dir.
+            bad = (
+                applied.where(~F.col("_valid") & ~F.col("_late"))
+                .withColumn(
+                    "_errors",
+                    F.when(
+                        F.size(F.col("_errors")) == 0,
+                        F.array(F.lit("content: required unless op='D'")),
+                    ).otherwise(F.col("_errors")),
+                )
+                .withColumn("_errors", F.concat_ws("; ", F.col("_errors")))
+                .drop("_valid", "_late")
+            )
+            bad.write.mode("overwrite").parquet(f"{self.quarantine_dir}/batch_id={batch_id}")
 
     # ---- batch replay (B13 replay windows) ---------------------------------
 
