@@ -29,10 +29,10 @@ from wprdc_etl_spark.streaming.job import IngestJob
 def main() -> None:
     ap = argparse.ArgumentParser(prog="wprdc_etl_spark")
     ap.add_argument("--name", required=True, help="job name (lineage / guard key)")
-    ap.add_argument("--source", required=True, help="change-event log directory")
+    ap.add_argument("--source", help="change-event log directory (stream/batch modes)")
     ap.add_argument("--target", required=True, help="lake table root (or Iceberg table name)")
     ap.add_argument("--checkpoint", help="streaming checkpoint location (stream mode)")
-    ap.add_argument("--mode", choices=["stream", "batch"], default="stream")
+    ap.add_argument("--mode", choices=["stream", "batch", "compact"], default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
     ap.add_argument("--n-chunks", type=int, default=1, help="batch mode: replay chunks")
@@ -58,7 +58,18 @@ def main() -> None:
             lateness=args.lateness,
             max_files_per_trigger=args.max_files_per_trigger,
         )
-        .source(args.source)
+    )
+    if args.mode == "compact":
+        if args.sink == "iceberg":
+            ap.error("compact applies to the parquet-snapshot sink (Iceberg compaction is a table service)")
+        v = table.compact()
+        print(f"compacted to version {v}")
+        spark.stop()
+        return
+    if not args.source:
+        ap.error("--source is required in stream/batch modes")
+    job = (
+        job.source(args.source)
         .schema(IngestJob.default_payload_schema())
         .sink(table)
         .build()
