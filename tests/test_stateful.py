@@ -1,0 +1,47 @@
+"""Custom stateful operator (applyInPandasWithState) — per-key stale-event
+suppression across micro-batches."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wprdc_etl_spark.streaming.stateful import drop_stale_per_key
+from wprdc_etl_spark.testgen import gen_change_events, write_event_log
+
+
+def test_drop_stale_per_key_across_batches(spark, tmp_path):
+    log = str(tmp_path / "log")
+    # two files → two triggers at maxFilesPerTrigger=1; same key appears in
+    # both, the second file carrying a STALE (lower-sequence) event
+    rows1 = [(5, "2024-01-01 00:00:05", "U", "r", "p", "c", "py", "v5"),
+             (1, "2024-01-01 00:00:01", "I", "r2", "p2", "c2", "go", "w1")]
+    rows2 = [(3, "2024-01-01 00:00:03", "U", "r", "p", "c", "py", "v3"),   # stale
+             (7, "2024-01-01 00:00:07", "U", "r", "p", "c", "py", "v7"),   # fresh
+             (1, "2024-01-01 00:00:01", "I", "r2", "p2", "c2", "go", "w1")]  # redelivery
+    cols = ["event_sequence", "event_ts", "op", "repo", "path", "commit", "lang", "content"]
+    df1 = spark.createDataFrame(rows1, cols).withColumn("event_ts", F.to_timestamp("event_ts"))
+    df2 = spark.createDataFrame(rows2, cols).withColumn("event_ts", F.to_timestamp("event_ts"))
+    df1.coalesce(1).write.parquet(log)
+    df2.coalesce(1).write.mode("append").parquet(log)
+
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log)
+    )
+    out_rows = []
+
+    def sink(batch_df, bid):
+        out_rows.extend(batch_df.collect())
+
+    q = (
+        drop_stale_per_key(stream)
+        .writeStream.option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    got = sorted((r["repo"], r["event_sequence"]) for r in out_rows)
+    # v3 (stale) and the redelivered w1 must be suppressed
+    assert got == [("r", 5), ("r", 7), ("r2", 1)]
