@@ -30,6 +30,8 @@ from wprdc_etl_spark.operators.dedup import dedup_events  # noqa: E402
 from wprdc_etl_spark.operators.latest import latest_per_key  # noqa: E402
 from wprdc_etl_spark.plans.lake import ParquetSnapshotTable  # noqa: E402
 from wprdc_etl_spark.streaming.job import IngestJob  # noqa: E402
+from wprdc_etl_spark.functions import dedup as _dedup_sql  # noqa: E402
+from wprdc_etl_spark.functions import multimodal as _media_sql  # noqa: E402
 from wprdc_etl_spark.functions import text as _text_sql  # noqa: E402
 from wprdc_etl_spark.testgen import LANGS, gen_change_events, write_event_log  # noqa: E402
 
@@ -171,6 +173,53 @@ def _q_cdc_hot_repo_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 — two-phase replay with additive evolution: phase 1 merges WITHOUT
+    the ``license`` column (the files on disk genuinely lack it), phase 2
+    arrives with it; the merge widens the table schema and the read path
+    null-backfills the untouched phase-1 buckets."""
+    from pyspark.sql import types as T
+
+    label = _sf_label(sf_dir)
+    n = _SF_EVENTS.get(label, 20_000)
+    cut = int(n * 0.9)  # same boundary testgen uses for license onset
+    path = os.path.join(FIXTURES, label, "change_events_lic")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_event_log(
+            gen_change_events(spark, n, include_license=True), path, n_files=8
+        )
+    ev = dedup_events(spark.read.parquet(path)).withColumn("lang", F.trim("lang"))
+    valid = ev.where(
+        ~((F.col("op") != "D") & (F.col("content").isNull() | ~F.col("lang").isin(list(LANGS))))
+    )
+    target = os.path.join(FIXTURES, "_targets", f"{label}_evo")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16)
+    table.ensure(
+        T.StructType(
+            [
+                T.StructField("repo", T.StringType()),
+                T.StructField("path", T.StringType()),
+                T.StructField("commit", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("content", T.StringType()),
+            ]
+        )
+    )
+    table.merge(
+        valid.where(F.col("event_sequence") < cut).drop("license", "event_ts"),
+        job="evo", batch_id=0,
+    )
+    table.merge(
+        valid.where(F.col("event_sequence") >= cut).drop("event_ts"),
+        job="evo", batch_id=1,
+    )
+    return table.read().select(
+        "repo", "path", "commit", "lang", "license",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    )
+
+
 # ---- reference Table-A analogs over the driver's pre-registered tables ----
 
 
@@ -273,24 +322,26 @@ def _q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (xxhash64-based — no SQL twin →
-    rows-only driver check; exact verification lives in
-    tests/test_functions.py against synthetic near-dups)."""
+    """MinHash+LSH near-dup candidates, oracle-parity variant: the sha2 leaf
+    hash (hash_fn='sha2') is bit-identical in DuckDB, so the full
+    shingle→minhash→band→bucket-join pipeline has an exact SQL twin.
+    Production default stays xxhash64 (same operator, faster leaf)."""
     from wprdc_etl_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures
 
-    sigs = minhash_signatures(_docs(spark, sf_dir), n_hashes=32, shingle_k=5)
+    sigs = minhash_signatures(_docs(spark, sf_dir), n_hashes=32, shingle_k=5, hash_fn="sha2")
     return lsh_candidate_pairs(sigs, n_bands=8, est_threshold=0.3)
 
 
 def _q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (rows-only: xxhash64 has no DuckDB twin)."""
+    """SimHash fingerprints, oracle-parity variant (sha2 leaf, 60 bits)."""
     from wprdc_etl_spark.functions.dedup import simhash
 
-    return simhash(_docs(spark, sf_dir))
+    return simhash(_docs(spark, sf_dir), hash_fn="sha2", n_bits=60)
 
 
 def _q_doc_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow/pandas-UDF rolling-hash fingerprint (rows-only)."""
+    """Arrow/pandas-UDF rolling-hash fingerprint (code-point Horner mod 2^64;
+    DuckDB twin reproduces it with HUGEINT arithmetic)."""
     from wprdc_etl_spark.functions.text import rolling_fingerprint
 
     return _docs(spark, sf_dir).select(
@@ -298,11 +349,24 @@ def _q_doc_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing over synthetic binary media (rows-only)."""
-    from wprdc_etl_spark.functions.multimodal import decode_media, gen_media
+def _fixture_media(spark: SparkSession, n_rows: int = 200) -> str:
+    """Deterministic synthetic media parquet (idempotent) — persisted so the
+    DuckDB oracle can re-derive the features from the very same blobs."""
+    from wprdc_etl_spark.functions.multimodal import gen_media
 
-    return decode_media(gen_media(spark, 200))
+    path = os.path.join(FIXTURES, "media")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        gen_media(spark, n_rows).coalesce(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing over synthetic binary media; the feature
+    extraction (header parse + byte stats + hex-sha) has an exact DuckDB twin
+    over the persisted blobs (media_features_sql)."""
+    from wprdc_etl_spark.functions.multimodal import decode_media
+
+    return decode_media(spark.read.parquet(_fixture_media(spark)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -315,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_fingerprint": _q_cdc_fingerprint,
         "cdc_op_stats": _q_cdc_op_stats,
         "cdc_hot_repo_profile": _q_cdc_hot_repo_profile,
+        "cdc_schema_evolution": _q_cdc_schema_evolution,
         "events_dedup": _q_events_dedup,
         "events_latest_per_user": _q_events_latest_per_user,
         "events_props_json": _q_events_props_json,
@@ -391,6 +456,25 @@ WITH {dedup_cte.lstrip()}
 SELECT repo, count(*) AS n_events, count(DISTINCT path) AS n_paths
 FROM dedup GROUP BY repo HAVING count(*) > 10
 """,
+        "cdc_schema_evolution": f"""
+WITH dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY repo, path, commit, event_sequence ORDER BY op) AS rn
+    FROM read_parquet('{FIXTURES}/sf0.01/change_events_lic/*.parquet')) t WHERE rn = 1
+), valid AS (
+  SELECT event_sequence, op, repo, path, commit, trim(lang) AS lang, content, license
+  FROM dedup WHERE {_valid_pred()}
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY repo, path, commit
+        ORDER BY event_sequence DESC, op DESC) AS rn
+    FROM valid) t WHERE rn = 1
+)
+SELECT repo, path, commit, lang, license, sha256(content) AS content_sha
+FROM latest WHERE op <> 'D'
+""",
         "events_dedup": """
 SELECT event_id, user_id, event_type, value FROM (
   SELECT *, row_number() OVER (
@@ -405,7 +489,7 @@ SELECT user_id, event_id, event_type, value FROM (
 """,
         "events_props_json": """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """,
@@ -456,4 +540,14 @@ scored AS (
 )
 SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <= 10
 """,
+        "doc_minhash_pairs": _dedup_sql.lsh_pairs_sql(
+            n_hashes=32, shingle_k=5, n_bands=8, est_threshold=0.3
+        ),
+        "doc_simhash": _dedup_sql.simhash_sql(n_bits=60),
+        "doc_rolling_fp": (
+            f"SELECT doc_id, {_text_sql.rolling_fp_sql('text')} AS fp FROM documents"
+        ),
+        "media_features": _media_sql.media_features_sql(
+            f"read_parquet('{FIXTURES}/media/*.parquet')"
+        ),
     }

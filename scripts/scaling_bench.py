@@ -27,7 +27,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def worker(cpus: int, n_events: int, storage: str = "tmpfs") -> None:
+def worker(cpus: int, n_events: int, storage: str = "tmpfs",
+           content_reps: int = 150, n_chunks: int = 1) -> None:
     from pyspark.sql import functions as F  # noqa: F401
 
     from wprdc_etl_spark.config import EngineConfig, build_session
@@ -51,14 +52,16 @@ def worker(cpus: int, n_events: int, storage: str = "tmpfs") -> None:
         # topology a cluster N→4N scale-out changes. cpus here = total
         # cores; executors get EXEC_CORES (default 2) each.
         exec_cores = int(os.environ.get("SCALING_EXEC_CORES", "2"))
+        exec_mem = os.environ.get("SCALING_EXEC_MEM", "13g")
+        exec_mem_mb = int(exec_mem.rstrip("g")) * 1024
         n_exec = max(1, cpus // exec_cores)
         os.environ.setdefault("SPARK_HOME", "/opt/spark")
         os.environ["SPARK_LOCAL_DIRS"] = os.path.join(scratch, f"sparktmp_{cpus}")
         cfg = EngineConfig(
-            master=f"local-cluster[{n_exec},{exec_cores},14336]",
+            master=f"local-cluster[{n_exec},{exec_cores},{exec_mem_mb}]",
             shuffle_partitions=64,
             app_name=f"scaling-bench-{n_exec}x{exec_cores}",
-            extra_conf={"spark.executor.memory": "13g",
+            extra_conf={"spark.executor.memory": exec_mem,
                         "spark.driver.memory": "8g"},
         )
     else:
@@ -72,9 +75,12 @@ def worker(cpus: int, n_events: int, storage: str = "tmpfs") -> None:
         )
     spark = build_session(cfg)
     spark.sparkContext.setLogLevel("ERROR")
-    log = os.path.join(REPO, ".fixtures", "bench", f"events_{n_events}")
+    suffix = f"events_{n_events}" if content_reps == 150 else f"events_{n_events}_r{content_reps}"
+    log = os.path.join(REPO, ".fixtures", "bench", suffix)
     if not os.path.exists(os.path.join(log, "_SUCCESS")):
-        write_event_log(gen_change_events(spark, n_events), log, n_files=64)
+        write_event_log(
+            gen_change_events(spark, n_events, content_reps_max=content_reps), log, n_files=64
+        )
     total = spark.read.parquet(log).count()
 
     target = os.path.join(scratch, f"scale_{cpus}")
@@ -88,7 +94,7 @@ def worker(cpus: int, n_events: int, storage: str = "tmpfs") -> None:
         .build()
     )
     t0 = time.monotonic()
-    job.run_batch(spark, n_chunks=2)
+    job.run_batch(spark, n_chunks=n_chunks)
     wall = time.monotonic() - t0
     n_final = table.read().count()
     print(json.dumps({
@@ -115,42 +121,69 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=3,
                     help="runs per level, interleaved; best wall kept (the box "
                          "has heavy noisy-neighbor variance — same job varies ±2×)")
+    ap.add_argument("--content-reps", type=int, default=150,
+                    help="content_reps_max for the generated log (smaller → "
+                         "lighter rows → more events fit tmpfs)")
+    ap.add_argument("--n-chunks", type=int, default=1)
     args = ap.parse_args()
     if args.worker:
-        worker(args.cpus, args.events, args.storage)
+        worker(args.cpus, args.events, args.storage, args.content_reps, args.n_chunks)
         return
 
     levels = [int(x) for x in args.levels.split(",")]
     results: dict[int, dict] = {}
+    per_rep: list[dict[int, dict]] = []
     for rep in range(args.repeats):
+        rep_res: dict[int, dict] = {}
         for cpus in levels:
             out = subprocess.run(
                 [sys.executable, __file__, "--worker", "--cpus", str(cpus),
-                 "--events", str(args.events), "--storage", args.storage],
+                 "--events", str(args.events), "--storage", args.storage,
+                 "--content-reps", str(args.content_reps),
+                 "--n-chunks", str(args.n_chunks)],
                 capture_output=True, text=True, check=True,
             )
             line = out.stdout.strip().splitlines()[-1]
             r = json.loads(line)
-            print(f"rep{rep} {line}")
+            print(f"rep{rep} {line}", flush=True)
+            rep_res[cpus] = r
             if cpus not in results or r["wall_sec"] < results[cpus]["wall_sec"]:
                 results[cpus] = r
+        per_rep.append(rep_res)
 
     finals = {r["final_rows"] for r in results.values()}
     assert len(finals) == 1, "parallelism changed the result!"
     effs = {}
+    rep_effs: dict[str, list[float]] = {}
     for lo, hi in zip(levels, levels[1:]):
         ratio = hi / lo
         effs[f"{lo}->{hi}"] = round(
             results[hi]["events_per_sec"] / (ratio * results[lo]["events_per_sec"]), 3
         )
+        # rep-paired efficiencies: both legs from the SAME interleaved rep,
+        # so a noisy-neighbor episode hits numerator and denominator alike
+        rep_effs[f"{lo}->{hi}"] = [
+            round(rr[hi]["events_per_sec"] / (ratio * rr[lo]["events_per_sec"]), 3)
+            for rr in per_rep
+        ]
     report = {
         "n_events": results[levels[0]]["events"],
         "storage": args.storage,
+        "topology": os.environ.get("SCALING_TOPOLOGY", "threads"),
+        "exec_cores": os.environ.get("SCALING_EXEC_CORES"),
         "levels": results,
-        "scaling_efficiency": effs,
+        "scaling_efficiency_best": effs,
+        "scaling_efficiency_per_rep": rep_effs,
+        "scaling_efficiency_mean": {
+            k: round(sum(v) / len(v), 3) for k, v in rep_effs.items()
+        },
         "final_rows_identical": True,
     }
     print(json.dumps(report))
+    with open(os.path.join(REPO, "BENCH", "scaling_last.json"), "w", encoding="utf-8") as fh:
+        json.dump(report, fh, indent=1)
+    if os.environ.get("SCALING_WRITE_MD", "0") != "1":
+        return
 
     rows = "\n".join(
         f"| local[{c}] | {results[c]['wall_sec']} | {results[c]['events_per_sec']:,} |"

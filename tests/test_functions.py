@@ -221,3 +221,47 @@ def test_frame_sample_plan(spark):
     rows = sampled.select("media_id", "kind").collect()
     assert all(r["kind"] == "video" and r["media_id"] % 10 == 0 for r in rows)
     assert len(rows) > 0
+
+
+def test_ngram_jaccard_candidates_mode_matches_full(spark, neardup_docs):
+    """Verifier mode: restricted to LSH candidate pairs, the quadratic
+    self-join never runs — and the Jaccard values agree with the full mode
+    on the pairs both compute."""
+    sigs = minhash_signatures(neardup_docs, n_hashes=64, shingle_k=5)
+    cands = lsh_candidate_pairs(sigs, n_bands=16)
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(neardup_docs, n=3, threshold=0.05).collect()
+    }
+    restricted = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            neardup_docs, n=3, threshold=0.05, candidates=cands
+        ).collect()
+    }
+    assert set(restricted) <= set(full)
+    for pair, j in restricted.items():
+        assert j == full[pair]
+    assert (2, 103) in restricted and restricted[(2, 103)] == 1.0
+
+
+def test_ngram_max_doc_freq_caps_pathological_block(spark):
+    """A stop-ngram present in EVERY doc of one block must not produce the
+    d·(d−1)/2 all-pairs blowup: with the document-frequency cutoff, the
+    shared ngram is dropped before the self-join and only genuinely similar
+    pairs survive."""
+    n_docs = 60
+    rows = [
+        (i, "common stop phrase " + f"unique{i} text{i} body{i} words{i} " * 5, "blk")
+        for i in range(n_docs)
+    ]
+    # two real near-dups sharing distinctive trigrams
+    rows.append((1000, "alpha beta gamma delta epsilon zeta " * 10, "blk"))
+    rows.append((1001, "alpha beta gamma delta epsilon zeta " * 10, "blk"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = ngram_jaccard_pairs(df, n=3, threshold=0.05, max_doc_freq=5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert (1000, 1001) in got and got[(1000, 1001)] == 1.0
+    # the 60 stop-phrase docs share ONLY capped ngrams → no pair emitted
+    assert all(a == 1000 or a > n_docs or b > n_docs for a, b in got if (a, b) != (1000, 1001)), got
+    assert len(got) == 1

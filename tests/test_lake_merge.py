@@ -243,3 +243,108 @@ def test_properties_touch(spark, tmp_path):
     t.merge(ev(spark, [(0, "I", "r", "p", "c", "py", "x")]), job="j", batch_id=0,
             properties={"last_modified_by": "job-j"})
     assert t.properties()["last_modified_by"] == "job-j"
+
+
+# ---- round-2 hardening: rid pinning, strategy validation, custom keys ------
+
+
+def _formatted_plan(df) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_rid_unsafe_detection(spark, tmp_path):
+    t = mk_table(spark, tmp_path)
+    src = str(tmp_path / "src")
+    ev(spark, [(0, "I", "r", "p", "c", "py", "x")]).write.parquet(src)
+    scan = spark.read.parquet(src)
+    assert not ParquetSnapshotTable._rid_unsafe(scan)
+    assert not ParquetSnapshotTable._rid_unsafe(scan.where(F.col("op") == "I"))
+    assert ParquetSnapshotTable._rid_unsafe(scan.repartition(4))
+    assert ParquetSnapshotTable._rid_unsafe(
+        scan.groupBy("repo").agg(F.max("event_sequence"))
+    )
+    assert ParquetSnapshotTable._rid_unsafe(scan.dropDuplicates(["repo", "path"]))
+
+
+@pytest.mark.parametrize("shaper", ["repartition", "aggregate", "sort"])
+def test_merge_correct_on_shuffled_batch(spark, tmp_path, shaper):
+    """A batch whose plan carries a shuffle (non-deterministic row order
+    across actions) must still merge correctly — the pin guard materializes
+    one rid assignment instead of silently correlating divergent ids."""
+    t = mk_table(spark, tmp_path)
+    rows = [(i, "I", f"r{i % 7}", f"p{i}", "c", "py", f"v{i}") for i in range(200)]
+    rows += [(1000 + i, "U", f"r{i % 7}", f"p{i}", "c", "py", f"new{i}") for i in range(0, 200, 3)]
+    src = str(tmp_path / f"src_{shaper}")
+    ev(spark, rows).write.parquet(src)
+    batch = spark.read.parquet(src)
+    if shaper == "repartition":
+        batch = batch.repartition(16)
+    elif shaper == "aggregate":
+        batch = batch.groupBy("repo", "path", "commit", "event_sequence", "op").agg(
+            F.first("lang").alias("lang"), F.first("content").alias("content")
+        )
+    else:
+        batch = batch.sortWithinPartitions("content").repartition(8, "repo")
+    t.merge(batch, job="j", batch_id=0)
+    got = state(t)
+    assert len(got) == 200
+    for i in range(200):
+        expect = f"new{i}" if i % 3 == 0 else f"v{i}"
+        assert got[(f"r{i % 7}", f"p{i}", "c")] == expect
+
+
+def test_invalid_merge_strategy_rejected(spark, tmp_path):
+    with pytest.raises(SinkCommitError):
+        ParquetSnapshotTable(spark, str(tmp_path / "x"), merge_strategy="bogus")
+
+
+def test_custom_keys_and_bucket_keys(spark, tmp_path):
+    """Non-default primary key: bucketing/lookup derive from the table's own
+    keys instead of hardcoded (repo, path)."""
+    schema = T.StructType(
+        [T.StructField("user_id", T.StringType()), T.StructField("balance", T.StringType())]
+    )
+    t = ParquetSnapshotTable(spark, str(tmp_path / "tbl"), keys=["user_id"], n_buckets=4)
+    t.ensure(schema)
+    evs = spark.createDataFrame(
+        [(0, "I", "u1", "10"), (1, "I", "u2", "20"), (2, "U", "u1", "15")],
+        T.StructType(
+            [T.StructField("event_sequence", T.LongType()), T.StructField("op", T.StringType()),
+             T.StructField("user_id", T.StringType()), T.StructField("balance", T.StringType())]
+        ),
+    )
+    t.merge(evs, job="j", batch_id=0)
+    got = {r["user_id"]: r["balance"] for r in t.read().collect()}
+    assert got == {"u1": "15", "u2": "20"}
+    hit = t.lookup(user_id="u1").collect()
+    assert len(hit) == 1 and hit[0]["balance"] == "15"
+    with pytest.raises(SinkCommitError):
+        t.lookup()  # bucket key value missing
+
+
+def test_bucket_keys_must_be_subset_of_keys(spark, tmp_path):
+    with pytest.raises(SinkCommitError):
+        ParquetSnapshotTable(spark, str(tmp_path / "x"), keys=["a"], bucket_keys=["b"])
+
+
+def test_mor_read_plan_prunes_clean_buckets_and_payload(spark, tmp_path):
+    """With 1 of N buckets carrying a delta, read() must (a) union the clean
+    buckets around the LWW instead of reducing everything, and (b) keep the
+    payload column out of every exchange (late materialization)."""
+    t = mk_table(spark, tmp_path, n_buckets=8, write_mode="cow")
+    rows = [(i, "I", f"r{i}", f"p{i}", f"c{i}", "py", f"v{i}") for i in range(64)]
+    t.merge(ev(spark, rows), job="j", batch_id=0)
+    t.write_mode = "mor"
+    t.merge(ev(spark, [(100, "U", "r1", "p1", "c1", "py", "new")]), job="j", batch_id=1)
+    man = t._read_manifest()
+    n_delta = sum(1 for b in man["buckets"] if len(t._dirs_of(man, b)) > 1)
+    assert n_delta == 1
+    plan = _formatted_plan(t.read())
+    # (b): no Exchange carries the payload column
+    import re
+    for m in re.finditer(r"\(\d+\) (\w*Exchange\w*)[^\n]*\n((?:[A-Za-z][^\n]*\n)*)", plan):
+        assert "content#" not in m.group(2), f"payload crossed {m.group(1)}:\n{m.group(2)}"
+    # (a): correctness — every row present, the delta resolved
+    got = state(t)
+    assert len(got) == 64 and got[("r1", "p1", "c1")] == "new"

@@ -84,3 +84,31 @@ def test_salted_repartition_preserves_key_colocation(spark):
         .count()
     )
     assert hot > 1  # the hot repo fans out over multiple partitions
+
+
+def test_xxhash64_matches_spark(spark):
+    """Driver-side XXH64 parity (operators/xxhash.py): every tail path
+    (0/4/8/31/32/45 bytes), longs incl. negatives, null skip, multi-column
+    seed chaining — bit-identical with F.xxhash64."""
+    from pyspark.sql import functions as F
+
+    from wprdc_etl_spark.operators.xxhash import bucket_of_py, spark_xxhash64
+
+    rows = [
+        ("", 0), ("a", 1), ("abcd", 7), ("hello-wo", -5), ("x" * 31, 7),
+        ("y" * 32, 123_456_789_012_345), ("z" * 45, -9_999_999),
+        ("mega/monorepo", 2**62), ("src/d3/f77.py", None),
+    ]
+    df = spark.createDataFrame(rows, ["s", "l"])
+    got = df.select(
+        "s", "l",
+        F.xxhash64("s").alias("hs"),
+        F.xxhash64("l").alias("hl"),
+        F.xxhash64("s", "l").alias("hsl"),
+        F.pmod(F.xxhash64("s", "l"), F.lit(32)).alias("b"),
+    ).collect()
+    for r in got:
+        assert spark_xxhash64(r["s"]) == r["hs"]
+        assert spark_xxhash64(r["l"]) == r["hl"]
+        assert spark_xxhash64(r["s"], r["l"]) == r["hsl"]
+        assert bucket_of_py(32, r["s"], r["l"]) == r["b"]

@@ -118,3 +118,28 @@ def test_serialize_to_ddl():
 def test_unknown_type_rejected():
     with pytest.raises(InvalidConfigException):
         FieldSpec("x", "decimal")
+
+
+def test_uncastable_with_default_is_error_not_silently_defaulted(spark):
+    """A non-null garbage value must be flagged uncastable even when the
+    field has a default — defaults fill genuine nulls only."""
+    df = spark.createDataFrame(
+        [("banana",), (None,), ("true",)], ["Flag"]
+    )
+    schema = BaseSchema(fields=[FieldSpec("flag", "boolean", load_from="Flag", default=False)])
+    valid, quarantine = schema.validate(df)
+    assert valid.count() == 2  # null→default(False) and 'true'
+    bad = quarantine.collect()
+    assert len(bad) == 1
+    assert "flag: uncastable to boolean" in bad[0]["_errors"][0]
+    vals = sorted((r["flag"] for r in valid.collect()))
+    assert vals == [False, True]
+
+
+def test_time_field_type(spark):
+    df = spark.createDataFrame([("13:45:02",), ("bogus",)], ["T"])
+    schema = BaseSchema(fields=[FieldSpec("t", "time", load_from="T")])
+    valid, quarantine = schema.validate(df)
+    assert valid.count() == 1 and quarantine.count() == 1
+    assert valid.schema["t"].dataType.typeName().startswith("time")
+    assert schema.serialize_to_ckan_fields() == [{"id": "t", "type": "time"}]

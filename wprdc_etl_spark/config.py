@@ -84,6 +84,9 @@ def build_session(cfg: EngineConfig | None = None, cpus: int | None = None) -> S
         "spark.sql.autoBroadcastJoinThreshold": cfg.auto_broadcast_threshold,
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
+        # marshmallow `Time` parity (schema._TYPE_MAP['time']): Spark 4.1's
+        # native TIME type ships behind this flag
+        "spark.sql.timeType.enabled": "true",
         # snappy: the merge path is write-throughput-bound; zstd costs ~2×
         # CPU on the hot copy-on-write rewrites for ~25% smaller files —
         # flip per-table via extra_conf when storage dominates.

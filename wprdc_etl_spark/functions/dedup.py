@@ -41,6 +41,26 @@ def _perm_coeffs(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(rnd.randrange(1, _MERSENNE_P), rnd.randrange(0, _MERSENNE_P)) for _ in range(n_hashes)]
 
 
+def _leaf_hash(col: Column, hash_fn: str) -> Column:
+    """64/60-bit hash of a string column.
+
+    - ``xxhash64`` (default): fastest JVM hash — the 100-TB production path.
+    - ``sha2``: first 15 hex chars (60 bits) of sha256 — bit-identical in
+      DuckDB (``CAST('0x'||substr(sha256(s),1,15) AS BIGINT)``), so pipelines
+      built on it carry exact SQL oracles. Same operator, slower leaf.
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "sha2":
+        return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (expected 'xxhash64' or 'sha2')")
+
+
+def leaf_hash_sql(expr: str) -> str:
+    """DuckDB twin of ``_leaf_hash(col, 'sha2')``."""
+    return f"CAST(('0x' || substr(sha256({expr}), 1, 15)) AS BIGINT)"
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest id per distinct text; report copy counts."""
     return (
@@ -50,12 +70,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _shingle_array(text: Column, k: int) -> Column:
-    """All k-character shingles of ``text`` as an array<long> of xxhash64
+def _shingle_array(text: Column, k: int, hash_fn: str = "xxhash64") -> Column:
+    """All k-character shingles of ``text`` as an array<long> of leaf-hash
     values — built-ins only; the array lives inside the row (no explode)."""
     n = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
     idx = F.sequence(F.lit(1), n)
-    return F.transform(idx, lambda i: F.xxhash64(F.substr(text, i, F.lit(k))))
+    return F.transform(idx, lambda i: _leaf_hash(F.substr(text, i, F.lit(k)), hash_fn))
 
 
 def minhash_signatures(
@@ -66,15 +86,18 @@ def minhash_signatures(
     n_hashes: int = 64,
     shingle_k: int = 5,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """→ (id, signature: array<long>[n_hashes]).
 
-    sig_i = min over shingles s of (a_i·xxhash64(s) + b_i) mod p — computed
+    sig_i = min over shingles s of (a_i·hash(s) + b_i) mod p — computed
     per row with ``array_min(transform(...))``; whole-stage codegen, zero
-    shuffles, zero Python.
+    shuffles, zero Python. ``hash_fn='sha2'`` swaps the leaf hash for the
+    oracle-computable sha256 prefix (see ``_leaf_hash``) so the whole
+    signature has an exact DuckDB twin (``minhash_signature_sql``).
     """
     coeffs = _perm_coeffs(n_hashes, seed)
-    sh = _shingle_array(F.col(text_col), shingle_k)
+    sh = _shingle_array(F.col(text_col), shingle_k, hash_fn)
     tmp = df.select(F.col(id_col), sh.alias("_sh"))
     sig = F.array(
         *[
@@ -160,31 +183,113 @@ def lsh_candidate_pairs(
     return out
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over whitespace tokens: bit i of the fingerprint is the
-    sign of Σ_tokens (±1 depending on bit i of xxhash64(token)). Built-ins
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    hash_fn: str = "xxhash64",
+    n_bits: int = 64,
+) -> DataFrame:
+    """n_bits SimHash over whitespace tokens: bit i of the fingerprint is the
+    sign of Σ_tokens (±1 depending on bit i of hash(token)). Built-ins
     only: the token array stays in-row; one transform per bit aggregates via
-    ``aggregate`` — no explode, no shuffle, no Python."""
+    ``aggregate`` — no explode, no shuffle, no Python.
+
+    ``hash_fn='sha2', n_bits=60`` yields the oracle-parity variant whose
+    DuckDB twin is ``simhash_sql`` (the sha2 leaf hash carries 60 bits)."""
     def signed_bit(i: int) -> int:
         # bit 63 of a signed long is the sign bit: 1<<63 must be expressed
         # as Long.MIN_VALUE or the py4j literal overflows
         return (1 << i) if i < 63 else -(1 << 63)
 
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: _leaf_hash(t, hash_fn))
     bit_sums = [
         F.aggregate(
             hashes,
             F.lit(0),
             lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(signed_bit(i))) != 0, 1).otherwise(-1),
         )
-        for i in range(64)
+        for i in range(n_bits)
     ]
     fp = None
     for i, s in enumerate(bit_sums):
         bit = F.when(s > 0, F.lit(signed_bit(i)).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp.bitwiseOR(bit)
     return df.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    *,
+    n_bits: int = 60,
+) -> str:
+    """DuckDB twin of ``simhash(df, hash_fn='sha2', n_bits=n_bits)``."""
+    hs = (
+        f"list_transform(string_split_regex(trim({text_expr}), '\\s+'), "
+        f"t -> {leaf_hash_sql('t')})"
+    )
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, "
+        f"h -> CASE WHEN (h >> {i}) & 1 <> 0 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    return (
+        f"SELECT {id_expr} AS doc_id, ({bits}) AS simhash "
+        f"FROM (SELECT {id_expr}, {hs} AS hs FROM {table}) t"
+    )
+
+
+def lsh_pairs_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    *,
+    n_hashes: int = 32,
+    shingle_k: int = 5,
+    n_bands: int = 8,
+    seed: int = 42,
+    est_threshold: float = 0.3,
+) -> str:
+    """DuckDB twin of minhash_signatures(hash_fn='sha2') → lsh_candidate_pairs.
+
+    Same permutation coefficients (same seeded generator), same sha2 leaf
+    hash, bands compared by value (Spark buckets on xxhash64 of the same band
+    string — identical pairs modulo 2^-64 hash collisions)."""
+    coeffs = _perm_coeffs(n_hashes, seed)
+    r = n_hashes // n_bands
+    leaf = leaf_hash_sql(f"substr({text_expr}, CAST(i AS INT), {shingle_k})")
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * (h % {_MERSENNE_P}) + {b}) % {_MERSENNE_P}))"
+        for a, b in coeffs
+    )
+    return f"""
+WITH sh AS (
+  SELECT {id_expr} AS doc_id,
+         list_transform(generate_series(1, greatest(length({text_expr}) - {shingle_k - 1}, 1)),
+                        i -> {leaf}) AS hs
+  FROM {table}
+), sig AS (
+  SELECT doc_id, [{sig_items}] AS signature FROM sh
+), bands AS (
+  SELECT doc_id, b,
+         array_to_string(signature[b*{r}+1 : b*{r}+{r}], ',') AS bkey
+  FROM sig, UNNEST(generate_series(0, {n_bands - 1})) AS u(b)
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r ON l.b = r.b AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_filter(list_zip(sa.signature, sb.signature), x -> x[1] = x[2]))
+             / len(sa.signature), 4) AS est_jaccard
+FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+WHERE round(len(list_filter(list_zip(sa.signature, sb.signature), x -> x[1] = x[2]))
+            / len(sa.signature), 4) >= {est_threshold}
+"""
 
 
 def ngram_jaccard_pairs(
@@ -195,11 +300,27 @@ def ngram_jaccard_pairs(
     block_col: str = "source",
     n: int = 3,
     threshold: float = 0.1,
+    max_doc_freq: int | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for all pairs within a blocking group
     (or for LSH candidates when joined against them). Fully SQL-expressible
     → DuckDB oracle. Shape: explode distinct n-grams (|doc| rows), self-join
-    on (block, ngram) → intersection counts; union via |A|+|B|−∩."""
+    on (block, ngram) → intersection counts; union via |A|+|B|−∩.
+
+    Scale guards — the block self-join is quadratic in a block's posting
+    lists, so a single ngram shared by every doc in one block explodes:
+
+    - ``max_doc_freq``: drop ngrams whose within-block document frequency
+      exceeds the cap BEFORE the self-join. A d-frequent ngram contributes
+      d·(d−1)/2 join rows while carrying ~zero Jaccard signal — the classic
+      stop-ngram cutoff. NOTE: pairs whose intersection was entirely
+      stop-ngrams are missed (exactness trades for the bound); denominators
+      stay exact because sizes are computed before the cutoff.
+    - ``candidates``: an (id_a, id_b) DataFrame (e.g. lsh_candidate_pairs
+      output) — restrict the quadratic verifier to candidate pairs via a
+      semi-join on both sides of the intersection.
+    """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
     ngrams = F.array_distinct(
@@ -208,21 +329,50 @@ def ngram_jaccard_pairs(
     base = df.select(F.col(id_col), F.col(block_col).alias("_blk"), ngrams.alias("_ng"))
     sizes = base.select(F.col(id_col), F.col("_blk"), F.size("_ng").alias("_n"))
     exploded = base.select(F.col(id_col), F.col("_blk"), F.explode("_ng").alias("_g"))
-    l, r = exploded.alias("l"), exploded.alias("r")
-    inter = (
-        l.join(
-            r,
-            on=[
-                F.col("l._blk") == F.col("r._blk"),
-                F.col("l._g") == F.col("r._g"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
+    if max_doc_freq is not None:
+        freq_ok = (
+            exploded.groupBy("_blk", "_g")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("_blk", "_g")
         )
-        .groupBy(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        exploded = exploded.join(freq_ok, ["_blk", "_g"], "left_semi")
+    if candidates is not None:
+        # verifier mode: only candidate pairs ever enter the join — the left
+        # posting list fans out to its (few) candidate partners first, then
+        # matches the partner's ngrams; work is O(Σ_pairs |doc|), not O(d²)
+        lc = exploded.withColumnRenamed(id_col, "id_a").join(
+            F.broadcast(candidates.select("id_a", "id_b")), "id_a"
         )
-        .agg(F.count("*").alias("_inter"))
-    )
+        rgt = exploded.select(
+            F.col(id_col).alias("_idb"), F.col("_blk").alias("_blkb"), F.col("_g").alias("_gb")
+        )
+        inter = (
+            lc.join(
+                rgt,
+                on=(F.col("id_b") == F.col("_idb"))
+                & (F.col("_blk") == F.col("_blkb"))
+                & (F.col("_g") == F.col("_gb")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("_inter"))
+        )
+    else:
+        l, r = exploded.alias("l"), exploded.alias("r")
+        inter = (
+            l.join(
+                r,
+                on=[
+                    F.col("l._blk") == F.col("r._blk"),
+                    F.col("l._g") == F.col("r._g"),
+                    F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+                ],
+            )
+            .groupBy(
+                F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+            )
+            .agg(F.count("*").alias("_inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
     out = (

@@ -91,8 +91,9 @@ def decode_media(df: DataFrame, *, codec: str = "fake") -> DataFrame:
 
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                b = bytes(row["payload"])
+            # column-zip, not iterrows: no per-row pandas Series construction
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
                 if b[:4] != _MAGIC or len(b) < 16:
                     kind_s, w, h = "corrupt", 0, 0
                     body = b
@@ -103,18 +104,57 @@ def decode_media(df: DataFrame, *, codec: str = "fake") -> DataFrame:
                 arr = np.frombuffer(body, dtype=np.uint8)
                 out.append(
                     {
-                        "media_id": row["media_id"],
+                        "media_id": mid,
                         "kind": kind_s,
                         "width": int(w),
                         "height": int(h),
                         "n_bytes": len(b),
                         "mean_byte": float(arr.mean()) if arr.size else 0.0,
-                        "byte_sha": hashlib.sha256(b).hexdigest(),
+                        # sha256 of the UPPERCASE hex encoding (not the raw
+                        # bytes): same fingerprint strength, and DuckDB 1.0's
+                        # sha256 only accepts VARCHAR — this keeps the
+                        # feature oracle-computable (media_features_sql)
+                        "byte_sha": hashlib.sha256(b.hex().upper().encode()).hexdigest(),
                     }
                 )
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def media_features_sql(media_rel: str) -> str:
+    """DuckDB twin of decode_media(codec='fake') over a persisted media table
+    (``media_rel`` is a table/relation expression, e.g. read_parquet(...)).
+    Parses the same 16-byte header out of the BLOB via hex() arithmetic."""
+    hx = "hex(payload)"
+    ok = f"(substr({hx}, 1, 8) = '57505244' AND octet_length(payload) >= 16)"
+    byte_at = "CAST('0x' || substr(" + hx + ", 2*{i}-1, 2) AS INT)"
+    kind_i = byte_at.format(i=5)
+    width = f"CAST('0x' || substr({hx}, 13, 2) || substr({hx}, 11, 2) AS INT)"
+    height = f"CAST('0x' || substr({hx}, 17, 2) || substr({hx}, 15, 2) AS INT)"
+    kind_case = (
+        f"CASE WHEN NOT {ok} THEN 'corrupt' "
+        f"WHEN {kind_i} = 0 THEN 'image' WHEN {kind_i} = 1 THEN 'audio' "
+        f"WHEN {kind_i} = 2 THEN 'video' ELSE 'unknown' END"
+    )
+    body_start = f"CASE WHEN {ok} THEN 17 ELSE 1 END"
+    body_bytes = (
+        f"list_transform(generate_series({body_start}, octet_length(payload)), "
+        f"i -> CAST('0x' || substr({hx}, 2*i-1, 2) AS INT))"
+    )
+    mean_byte = (
+        f"CASE WHEN octet_length(payload) >= {body_start} "
+        f"THEN CAST(list_avg({body_bytes}) AS DOUBLE) ELSE 0.0 END"
+    )
+    return f"""
+SELECT media_id, {kind_case} AS kind,
+       CASE WHEN {ok} THEN {width} ELSE 0 END AS width,
+       CASE WHEN {ok} THEN {height} ELSE 0 END AS height,
+       octet_length(payload) AS n_bytes,
+       {mean_byte} AS mean_byte,
+       sha256({hx}) AS byte_sha
+FROM {media_rel}
+"""
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:

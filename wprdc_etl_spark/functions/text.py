@@ -110,13 +110,16 @@ _FP_BASE = np.uint64(1_000_003)
 
 
 def _rolling_fp_batch(texts: pd.Series) -> pd.Series:
-    """Polynomial rolling hash (Karp–Rabin style) over utf-8 bytes, numpy-
-    vectorized per document (wrapping uint64 arithmetic = mod 2^64)."""
+    """Polynomial rolling hash (Karp–Rabin style) over unicode code points,
+    numpy-vectorized per document (wrapping uint64 arithmetic = mod 2^64).
+
+    Defined over code points (not utf-8 bytes) so the DuckDB oracle can
+    reproduce it exactly with ord() + HUGEINT Horner (rolling_fp_sql)."""
 
     def fp(s) -> int:
         if s is None:
             return 0
-        b = np.frombuffer(str(s).encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        b = np.frombuffer(str(s).encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
         if b.size == 0:
             return 0
         powers = np.empty(b.size, dtype=np.uint64)
@@ -138,3 +141,22 @@ def rolling_fingerprint(col: Column) -> Column:
     buffers)."""
     fn = pandas_udf(_rolling_fp_batch, returnType=LongType())
     return fn(col)
+
+
+def rolling_fp_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of rolling_fingerprint: Horner's rule over code points in
+    HUGEINT, reduced mod 2^64, mapped to the signed long Spark returns."""
+    horner = (
+        f"list_reduce(list_transform(string_split({text_expr}, ''), "
+        f"c -> CAST(ord(c) AS HUGEINT)), "
+        f"(acc, c) -> (acc * {int(_FP_BASE)} + c) % 18446744073709551616)"
+    )
+    signed = (
+        f"CASE WHEN ({horner}) >= 9223372036854775808 "
+        f"THEN CAST(({horner}) - 18446744073709551616 AS BIGINT) "
+        f"ELSE CAST(({horner}) AS BIGINT) END"
+    )
+    return (
+        f"CASE WHEN {text_expr} IS NULL OR length({text_expr}) = 0 "
+        f"THEN 0 ELSE ({signed}) END"
+    )

@@ -6,22 +6,35 @@ so the two are drop-ins. THIS SANDBOX HAS NO ICEBERG JAR AND NO NETWORK
 (SURVEY §5 note), so this class is capability-gated: ``iceberg_available()``
 is False here and every test parameterized over sinks skips it; on a real
 cluster (``--packages org.apache.iceberg:iceberg-spark-runtime-...`` + a
-catalog conf) it activates unchanged.
+catalog conf) it activates unchanged. The SQL the class emits is built by
+pure functions (``merge_sql``/``ensure_sql``) unit-tested without the jar
+(tests/test_iceberg_sql.py).
 
 Parity: generalizes ``pipeline/loaders.py::CKANDatastoreLoader.load`` —
 ``datastore_upsert`` with ``method='upsert'`` → MERGE INTO keyed on
 (repo, path, commit); ``method='insert'``'s delete-and-recreate →
 ``truncate()`` (overwrite snapshot).
+
+Exactly-once protocol: the ``last-batch.<job>`` guard travels INSIDE the
+MERGE's own snapshot as a snapshot summary property (Iceberg reads any
+``snapshot-property.*`` session conf into the commit summary), so guard and
+data publish atomically — a crash can never commit one without the other.
+``last_committed_batch`` reads it back from the snapshots metadata table.
+The lineage side table and TBLPROPERTIES mirror are written AFTER the
+snapshot commits: losing them to a crash costs observability rows only,
+never correctness (the replayed batch is skipped by the in-snapshot guard).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import json
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from wprdc_etl_spark.exceptions import DuplicateBatchException, SinkCommitError
-from wprdc_etl_spark.plans.lake import LakeTable, LineageCounts, MergeResult, _rank
+from wprdc_etl_spark.exceptions import SinkCommitError
+from wprdc_etl_spark.plans.lake import LakeTable, LineageCounts, MergeResult, _lww_reduce
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -33,15 +46,54 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-class IcebergTable(LakeTable):
-    """Keyed MERGE INTO an Iceberg table with a lineage side table.
+def ensure_sql(table: str, schema: T.StructType, *, n_buckets: int = 64) -> str:
+    """CREATE TABLE DDL. Iceberg buckets a single column, so bucket path
+    (high cardinality) — same hot-repo spreading goal as the snapshot
+    table's xxhash64(repo, path)."""
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    return (
+        f"CREATE TABLE {table} ({ddl}, _seq BIGINT, _op STRING) USING iceberg "
+        f"PARTITIONED BY (bucket({n_buckets}, path))"
+    )
 
-    Exactly-once: Iceberg snapshot commits are atomic; the lineage row and
-    the data merge run in the same Spark action sequence with the
-    ``committed`` guard persisted as a table property
-    (``last-batch.<job>``), checked before applying — the same protocol as
-    ParquetSnapshotTable with Iceberg's catalog as the atomic store.
+
+def evolve_sql(table: str, new_fields: list[T.StructField]) -> str:
+    adds = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in new_fields)
+    return f"ALTER TABLE {table} ADD COLUMNS ({adds})"
+
+
+def merge_sql(table: str, keys: list[str], batch_cols: list[str], table_cols: list[str]) -> str:
+    """The sequence-aware LWW MERGE.
+
+    - matched + outranked → UPDATE sets EVERY table column: columns absent
+      from the batch are nulled, matching ParquetSnapshotTable, whose winning
+      row replaces the old row wholesale (schema-evolved winners must not
+      keep stale values from the loser).
+    - tiebreak ``s._op >= t._op`` is string order U > I > D — the same total
+      order as lake._rank, and idempotent on exact replays (>= re-applies the
+      identical row).
     """
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    set_clause = ", ".join(
+        f"t.{c} = s.{c}" if c in batch_cols else f"t.{c} = NULL"
+        for c in table_cols
+        if c not in keys
+    )
+    insert_cols = ", ".join(batch_cols)
+    insert_vals = ", ".join(f"s.{c}" for c in batch_cols)
+    return (
+        f"MERGE INTO {table} t USING _merge_src s ON {on} "
+        f"WHEN MATCHED AND (s._seq > t._seq OR (s._seq = t._seq AND s._op >= t._op)) "
+        f"THEN UPDATE SET {set_clause} "
+        f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    )
+
+
+class IcebergTable(LakeTable):
+    """Keyed MERGE INTO an Iceberg table with a lineage side table."""
+
+    GUARD_PREFIX = "last-batch."
+    STATE_PREFIX = "job-state."
 
     def __init__(self, spark: SparkSession, table: str, *, keys: list[str] | None = None) -> None:
         if not iceberg_available(spark):
@@ -58,28 +110,50 @@ class IcebergTable(LakeTable):
         return self.spark.catalog.tableExists(self.table)
 
     def ensure(self, schema: T.StructType) -> None:
-        if self.exists():
-            return
-        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
-        # bucket on (repo, path)-equivalent: Iceberg buckets a single column,
-        # so bucket path (high cardinality) — same hot-repo spreading goal.
-        self.spark.sql(
-            f"CREATE TABLE {self.table} ({ddl}, _seq BIGINT, _op STRING) USING iceberg "
-            f"PARTITIONED BY (bucket(64, path))"
-        )
+        if not self.exists():
+            self.spark.sql(ensure_sql(self.table, schema))
+        if not self.spark.catalog.tableExists(self.lineage_table):
+            from wprdc_etl_spark.plans.lake import ParquetSnapshotTable
+
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in ParquetSnapshotTable.LINEAGE_SCHEMA.fields
+            )
+            self.spark.sql(f"CREATE TABLE {self.lineage_table} ({ddl}) USING iceberg")
 
     def read(self) -> DataFrame:
         return self.spark.table(self.table).where(F.col("_op") != "D").drop("_seq", "_op")
 
+    def read_lineage(self) -> DataFrame:
+        return self.spark.table(self.lineage_table)
+
     def truncate(self) -> None:
         self.spark.sql(f"DELETE FROM {self.table}")
 
-    def last_committed_batch(self, job: str) -> int | None:
-        props = self.spark.sql(f"SHOW TBLPROPERTIES {self.table}").collect()
-        for r in props:
-            if r["key"] == f"last-batch.{job}":
-                return int(r["value"])
+    # ---- guard / state via snapshot summary properties ---------------------
+
+    def _summary_value(self, key: str) -> str | None:
+        """Latest snapshot-summary value for ``key`` (None if never set)."""
+        try:
+            rows = self.spark.sql(
+                f"SELECT summary, committed_at FROM {self.table}.snapshots "
+                f"ORDER BY committed_at DESC"
+            ).collect()
+        except Exception:
+            return None
+        for r in rows:
+            s = r["summary"]
+            if s and key in s:
+                return s[key]
         return None
+
+    def last_committed_batch(self, job: str) -> int | None:
+        v = self._summary_value(f"{self.GUARD_PREFIX}{job}")
+        return int(v) if v is not None else None
+
+    def job_state(self, job: str) -> dict:
+        v = self._summary_value(f"{self.STATE_PREFIX}{job}")
+        return json.loads(v) if v else {}
 
     def merge(
         self,
@@ -90,6 +164,7 @@ class IcebergTable(LakeTable):
         counts: LineageCounts | None = None,
         job_state: dict | None = None,
         properties: dict | None = None,
+        finalize=None,
     ) -> MergeResult:
         last = self.last_committed_batch(job)
         if last is not None and batch_id <= last:
@@ -101,35 +176,75 @@ class IcebergTable(LakeTable):
             if f.name not in existing and f.name not in ("op", "event_sequence", "event_ts")
         ]
         if new_cols:
-            adds = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in new_cols)
-            self.spark.sql(f"ALTER TABLE {self.table} ADD COLUMNS ({adds})")
-        w = Window.partitionBy(*self.keys).orderBy(
-            F.col("event_sequence").desc(), _rank(F.col("op")).desc()
-        )
-        reduced = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-            .withColumn("_seq", F.col("event_sequence").cast("long"))
+            self.spark.sql(evolve_sql(self.table, new_cols))
+        # batch-local LWW with the same hash-aggregate the snapshot table uses
+        shaped = (
+            batch_df.withColumn("_seq", F.col("event_sequence").cast("long"))
             .withColumn("_op", F.col("op"))
             .drop("op", "event_sequence", "event_ts")
         )
-        reduced.createOrReplaceTempView("_merge_src")
-        on = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)
-        cols = [c for c in reduced.columns]
-        set_clause = ", ".join(f"t.{c} = s.{c}" for c in cols)
-        insert_cols = ", ".join(cols)
-        insert_vals = ", ".join(f"s.{c}" for c in cols)
-        # Sequence-aware LWW: only apply when the source event outranks the row.
-        self.spark.sql(
-            f"""
-            MERGE INTO {self.table} t USING _merge_src s ON {on}
-            WHEN MATCHED AND (s._seq > t._seq OR (s._seq = t._seq AND s._op >= t._op))
-              THEN UPDATE SET {set_clause}
-            WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})
-            """
+        reduced = _lww_reduce(shaped, self.keys).persist()
+        try:
+            stats = reduced.agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("_op") == "D", 1).otherwise(0)).alias("n_del"),
+                F.max("_seq").alias("max_seq"),
+            ).collect()[0]
+            if finalize is not None:
+                counts, job_state = finalize()
+            counts = counts or LineageCounts()
+            reduced.createOrReplaceTempView("_merge_src")
+            table_cols = [
+                c for c in self.spark.table(self.table).columns if c not in ("_seq", "_op")
+            ] + ["_seq", "_op"]
+            sql = merge_sql(self.table, self.keys, list(reduced.columns), table_cols)
+            # guard + state ride the MERGE snapshot itself (atomic commit):
+            # Iceberg copies any `snapshot-property.*` session conf into the
+            # snapshot summary at commit time
+            props = {f"snapshot-property.{self.GUARD_PREFIX}{job}": str(batch_id)}
+            if job_state is not None:
+                props[f"snapshot-property.{self.STATE_PREFIX}{job}"] = json.dumps(job_state)
+            for k, v in props.items():
+                self.spark.conf.set(k, v)
+            try:
+                self.spark.sql(sql)
+            finally:
+                for k in props:
+                    self.spark.conf.unset(k)
+        finally:
+            reduced.unpersist()
+        # post-snapshot observability (crash here loses rows of telemetry,
+        # never data: the guard already committed with the merge)
+        self._append_lineage(job, batch_id, stats, counts)
+        if properties:
+            kv = ", ".join(f"'{k}' = '{v}'" for k, v in properties.items())
+            self.spark.sql(f"ALTER TABLE {self.table} SET TBLPROPERTIES ({kv})")
+        return MergeResult(
+            applied=True,
+            version=-1,
+            rows_upserted=int(stats["n"] - stats["n_del"]),
+            rows_deleted=int(stats["n_del"]),
+            strategy="iceberg-merge",
         )
-        self.spark.sql(
-            f"ALTER TABLE {self.table} SET TBLPROPERTIES ('last-batch.{job}' = '{batch_id}')"
-        )
-        return MergeResult(applied=True, version=-1, strategy="iceberg-merge")
+
+    def _append_lineage(self, job: str, batch_id: int, stats, counts: LineageCounts) -> None:
+        from wprdc_etl_spark.plans.lake import ParquetSnapshotTable
+
+        row = {
+            "job": job,
+            "batch_id": batch_id,
+            "partition": -1,
+            "last_seq": int(stats["max_seq"] or 0),
+            "rows_upserted": int(stats["n"] - stats["n_del"]),
+            "rows_deleted": int(stats["n_del"]),
+            "rows_quarantined": counts.rows_quarantined,
+            "rows_late": counts.rows_late,
+            "input_hash": counts.input_hash,
+            "status": "success",
+            "wall_ms": counts.wall_ms,
+        }
+        df = self.spark.createDataFrame(
+            [tuple(row[f.name] for f in ParquetSnapshotTable.LINEAGE_SCHEMA.fields[:-1])],
+            T.StructType(list(ParquetSnapshotTable.LINEAGE_SCHEMA.fields[:-1])),
+        ).withColumn("committed_ts", F.current_timestamp())
+        df.writeTo(self.lineage_table).append()

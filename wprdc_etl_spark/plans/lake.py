@@ -189,6 +189,7 @@ class ParquetSnapshotTable(LakeTable):
         write_mode: str = "auto",
         max_deltas: int = 8,
         mor_batch_fraction: float = 0.1,
+        bucket_keys: list[str] | None = None,
     ) -> None:
         """``write_mode`` — the write-amplification control (LSM-style):
 
@@ -208,7 +209,24 @@ class ParquetSnapshotTable(LakeTable):
         self.spark = spark
         self.root = root
         self.keys = keys or list(DEFAULT_KEYS)
+        # bucket layout key: a strict prefix of the primary key so related
+        # versions co-locate. Default (repo, path) — NOT repo alone, so the
+        # hot mega-repo spreads (B10/B11); for custom primary keys the bucket
+        # key is the full key unless the caller narrows it.
+        if bucket_keys is not None:
+            self.bucket_keys = list(bucket_keys)
+        elif self.keys == list(DEFAULT_KEYS):
+            self.bucket_keys = ["repo", "path"]
+        else:
+            self.bucket_keys = list(self.keys)
+        missing_bk = [k for k in self.bucket_keys if k not in self.keys]
+        if missing_bk:
+            raise SinkCommitError(
+                f"bucket_keys {missing_bk} not part of table keys {self.keys}"
+            )
         self.n_buckets = n_buckets
+        if merge_strategy not in ("auto", "broadcast", "anti", "shuffle"):
+            raise SinkCommitError(f"unknown merge_strategy {merge_strategy!r}")
         self.merge_strategy = merge_strategy
         self.broadcast_threshold_rows = broadcast_threshold_rows
         self.write_partitions = write_partitions
@@ -268,6 +286,7 @@ class ParquetSnapshotTable(LakeTable):
                 "version": 0,
                 "n_buckets": self.n_buckets,
                 "keys": self.keys,
+                "bucket_keys": self.bucket_keys,
                 "schema": schema.jsonValue(),
                 "buckets": {},
                 "bucket_rows": {},
@@ -295,6 +314,10 @@ class ParquetSnapshotTable(LakeTable):
         man = self._read_manifest()
         if man is None:
             raise SinkCommitError(f"table does not exist at {self.root} (call ensure() first)")
+        # the on-disk layout is authoritative: a handle constructed with
+        # different bucket keys must still hash rows where the files are
+        if man.get("bucket_keys"):
+            self.bucket_keys = list(man["bucket_keys"])
         return man
 
     # ---- read paths ---------------------------------------------------------
@@ -328,40 +351,100 @@ class ParquetSnapshotTable(LakeTable):
         ids = man["buckets"] if buckets is None else [str(b) for b in buckets]
         return any(len(self._dirs_of(man, b)) > 1 for b in ids)
 
+    def _latemat_lww(self, dirs: list[str], full: T.StructType, est_rows: int) -> DataFrame:
+        """LWW resolution over parquet dirs with LATE MATERIALIZATION — the
+        read-side twin of merge()'s plan: the reduce runs on narrow metadata
+        (keys, _seq, _op, row id) from its own column-pruned scan; winning
+        row ids then join back to a second, full-width scan, so payload bytes
+        never enter the LWW shuffle. Row ids agree across the two scans
+        because file-split planning and in-split row order are independent of
+        the projected columns (same contract merge() uses for current rows).
+        """
+        wide = (
+            self.spark.read.schema(full).parquet(*dirs)
+            .withColumn("_rid", F.monotonically_increasing_id())
+        )
+        meta = (
+            self.spark.read.schema(full).parquet(*dirs)
+            .select(*self.keys, "_seq", "_op")
+            .withColumn("_rid", F.monotonically_increasing_id())
+        )
+        rid_set = _lww_reduce(meta, self.keys).select("_rid")
+        if est_rows <= self.broadcast_threshold_rows:
+            return wide.join(F.broadcast(rid_set), "_rid").drop("_rid")
+        # uniform synthetic key: shuffle-hash, never sort-merge
+        return wide.join(rid_set.hint("SHUFFLE_HASH"), "_rid").drop("_rid")
+
     def _resolved(self, man: dict, buckets: list[int] | None = None) -> DataFrame:
-        """One live version per key: LWW across base+delta dirs. The LWW
-        shuffle is skipped entirely when no read bucket carries deltas
-        (pure-COW tables read resolution-free)."""
-        df = self._read_buckets(man, buckets)
-        if self._has_deltas(man, buckets):
-            df = _lww_reduce(df, self.keys)
-        return df
+        """One live version per key. Buckets WITHOUT a delta chain are read
+        resolution-free and unioned around the LWW — one straggler delta no
+        longer drags every payload byte of a mostly-compacted table through
+        the reduce; only delta-bearing buckets resolve, and they resolve
+        late-materialized (payloads skip the shuffle there too)."""
+        ids = list(man["buckets"]) if buckets is None else [
+            str(b) for b in buckets if str(b) in man["buckets"]
+        ]
+        delta_ids = [b for b in ids if len(self._dirs_of(man, b)) > 1]
+        clean_ids = [b for b in ids if len(self._dirs_of(man, b)) == 1]
+        parts: list[DataFrame] = []
+        if clean_ids:
+            parts.append(self._read_buckets(man, clean_ids))
+        if delta_ids:
+            dirs = [
+                os.path.join(self.root, rel)
+                for b in delta_ids
+                for rel in self._dirs_of(man, b)
+            ]
+            est = sum(int(man.get("bucket_rows", {}).get(b, 0)) for b in delta_ids)
+            parts.append(self._latemat_lww(dirs, self._full_schema(man), est))
+        if not parts:
+            return self.spark.createDataFrame([], self._full_schema(man))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read(self) -> DataFrame:
         """Current table state: tombstones filtered, internal columns dropped."""
         man = self._require_manifest()
         return self._resolved(man).where(F.col("_op") != "D").drop(*INTERNAL_COLS)
 
-    def lookup(self, repo: str, path: str, commit: str | None = None) -> DataFrame:
-        """Point lookup by key prefix — reads ONLY the one bucket the key
-        hashes into (bucket pruning), then relies on parquet predicate
+    def lookup(self, repo: str | None = None, path: str | None = None,
+               commit: str | None = None, **key_values) -> DataFrame:
+        """Point lookup by bucket-key prefix — reads ONLY the one bucket the
+        key hashes into (bucket pruning), then relies on parquet predicate
         pushdown inside that bucket's files. At n_buckets=4096 a lookup
-        touches ~0.02% of the table."""
+        touches ~0.02% of the table. For non-default layouts pass the bucket
+        keys (and any extra equality filters) as keyword args."""
         man = self._require_manifest()
-        # compute the bucket id with the same JVM hash the writer used
-        row = (
-            self.spark.createDataFrame([(repo, path)], ["repo", "path"])
-            .select(bucket_of(man["n_buckets"]).alias("b"))
-            .collect()
-        )
-        bucket = int(row[0]["b"])
-        out = self._read_buckets(man, [bucket]).where(
-            (F.col("repo") == repo) & (F.col("path") == path)
-        )
+        if repo is not None:
+            key_values.setdefault("repo", repo)
+        if path is not None:
+            key_values.setdefault("path", path)
+        if commit is not None:
+            key_values.setdefault("commit", commit)
+        bkeys = man.get("bucket_keys", self.bucket_keys)
+        missing = [k for k in bkeys if k not in key_values]
+        if missing:
+            raise SinkCommitError(
+                f"lookup needs every bucket key {bkeys}; missing {missing}"
+            )
+        # driver-side twin of the writer's JVM hash — no Spark job for a
+        # point lookup (operators/xxhash.py, parity-tested)
+        from wprdc_etl_spark.operators.xxhash import bucket_of_py
+
+        bucket = bucket_of_py(man["n_buckets"], *[key_values[k] for k in bkeys])
+        out = self._read_buckets(man, [bucket])
+        # key-column filters partition the LWW groups → safe to push below
+        # the reduce; any non-key filter must wait until versions resolve
+        for k, v in key_values.items():
+            if k in self.keys:
+                out = out.where(F.col(k) == v)
         if self._has_deltas(man, [bucket]):
             out = _lww_reduce(out, self.keys)
-        if commit is not None:
-            out = out.where(F.col("commit") == commit)
+        for k, v in key_values.items():
+            if k not in self.keys:
+                out = out.where(F.col(k) == v)
         return out.where(F.col("_op") != "D").drop(*INTERNAL_COLS)
 
     def read_lineage(self) -> DataFrame:
@@ -457,6 +540,17 @@ class ParquetSnapshotTable(LakeTable):
         # expression on top; ids still agree across passes because they are
         # a pure function of (file-split partitioning, row order), both of
         # which are independent of the selected columns.
+        #
+        # That contract holds ONLY for deterministic scan subtrees. A batch
+        # whose plan contains a shuffle (repartition/aggregate/stateful dedup
+        # — the streaming foreachBatch path) has no stable row order across
+        # actions: the ids assigned by the metadata pass and the
+        # materialization pass could disagree and the merge would silently
+        # write superseded rows. _pin_batch detects those plans and pins the
+        # batch with localCheckpoint so every pass reads ONE materialized rid
+        # assignment (pruning no longer matters there: the rows are already
+        # in block-manager memory).
+        batch = self._pin_batch(batch)
         aligned = batch.select(
             *[
                 (F.col(f.name).cast(f.dataType) if f.name in batch.columns else F.lit(None).cast(f.dataType)).alias(f.name)
@@ -485,7 +579,9 @@ class ParquetSnapshotTable(LakeTable):
                 print(f"[lake] {label}: {now - _t0:.1f}s", flush=True)
                 _t0 = now
 
-        bwin = _lww_reduce(bmeta, self.keys).withColumn("_bucket", bucket_of(man["n_buckets"]))
+        bwin = _lww_reduce(bmeta, self.keys).withColumn(
+            "_bucket", bucket_of(man["n_buckets"], man.get("bucket_keys", self.bucket_keys))
+        )
         bwin = bwin.persist()
         extra_persists: list[DataFrame] = []
         try:
@@ -692,9 +788,9 @@ class ParquetSnapshotTable(LakeTable):
                 + [T.StructField("_seq", T.LongType()), T.StructField("_op", T.StringType())]
             )
             dirs = [os.path.join(self.root, rel) for b in overfull for rel in new_buckets[b]]
-            resolved = _lww_reduce(self.spark.read.schema(full).parquet(*dirs), self.keys)
-            comp_rel = f"data/v{version}_compact"
             est = sum(int(old_rows.get(b, 0)) for b in overfull) + batch_rows
+            resolved = self._latemat_lww(dirs, full, est)
+            comp_rel = f"data/v{version}_compact"
             self._write_bucketed(resolved, os.path.join(self.root, comp_rel), man["n_buckets"], est)
             cwritten = self._list_bucket_dirs(os.path.join(self.root, comp_rel))
             for b in overfull:
@@ -733,42 +829,31 @@ class ParquetSnapshotTable(LakeTable):
 
     # ---- merge internals ----------------------------------------------------
 
-    def _resolve_legacy(self, current: DataFrame, batch: DataFrame, strategy: str) -> DataFrame:
-        """(kept for reference/AB-testing) Wide-row LWW resolution. The
-        broadcast variant scans current twice with BroadcastHashJoins; the
-        shuffle variant aggregates the union. Superseded by the late-
-        materialization plan in merge(), which never shuffles payloads.
-        """
-        keys = self.keys
-        if strategy == "broadcast":
-            b_meta = F.broadcast(
-                batch.select(*keys, F.col("_seq").alias("_bseq"), _rank(F.col("_op")).alias("_brank"))
-            )
-            survivors = (
-                current.join(b_meta, on=keys, how="left")
-                .where(
-                    F.col("_bseq").isNull()
-                    | (F.col("_seq") > F.col("_bseq"))
-                    | ((F.col("_seq") == F.col("_bseq")) & (_rank(F.col("_op")) > F.col("_brank")))
-                )
-                .drop("_bseq", "_brank")
-            )
-            c_meta = (
-                current.join(F.broadcast(batch.select(*keys)), on=keys, how="left_semi")
-                .select(*keys, F.col("_seq").alias("_cseq"), _rank(F.col("_op")).alias("_crank"))
-            )
-            winners = (
-                batch.join(F.broadcast(c_meta), on=keys, how="left")
-                .where(
-                    F.col("_cseq").isNull()
-                    | (F.col("_seq") > F.col("_cseq"))
-                    | ((F.col("_seq") == F.col("_cseq")) & (_rank(F.col("_op")) >= F.col("_crank")))
-                )
-                .drop("_cseq", "_crank")
-            )
-            return survivors.unionByName(winners)
-        # shuffle strategy: single LWW hash-aggregate over the union
-        return _lww_reduce(current.unionByName(batch), keys)
+    # Physical-plan markers whose presence means cross-action row order is
+    # NOT reproducible (shuffles re-fetch blocks in arrival order; state
+    # stores and samples depend on runtime). BroadcastExchange/AQE broadcast
+    # stages are fine: a broadcast join streams its probe side in scan order.
+    _ORDER_UNSTABLE_MARKERS = (
+        "exchange", "shuffle", "statestore", "sample", "rand(", "inmemorytablescan",
+    )
+
+    @classmethod
+    def _rid_unsafe(cls, df: DataFrame) -> bool:
+        plan = df._jdf.queryExecution().executedPlan().toString().lower()
+        for benign in ("broadcastexchange", "broadcastquerystage"):
+            plan = plan.replace(benign, "")
+        return any(m in plan for m in cls._ORDER_UNSTABLE_MARKERS)
+
+    def _pin_batch(self, batch: DataFrame) -> DataFrame:
+        """Make the batch's row order stable across the merge's multiple
+        actions. Deterministic scan subtrees (file scan → narrow ops — the
+        batch-replay path) pass through untouched, keeping column pruning;
+        anything carrying a shuffle/state op (the streaming path) is pinned
+        via lazy localCheckpoint — materialized once on the merge's first
+        action, reused by every later pass."""
+        if not self._rid_unsafe(batch):
+            return batch
+        return batch.localCheckpoint(eager=False)
 
     def _write_bucketed(
         self, df: DataFrame, abs_dir: str, n_buckets: int, approx_rows: int | None = None
@@ -791,7 +876,7 @@ class ParquetSnapshotTable(LakeTable):
         max_parts = self.write_partitions or int(
             self.spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        out = df.withColumn("_bucket_dir", bucket_of(n_buckets))
+        out = df.withColumn("_bucket_dir", bucket_of(n_buckets, self.bucket_keys))
         n_parts = max(4, min(max_parts, (approx_rows or 0) // ROWS_PER_TASK + 4))
         if n_parts >= max_parts:
             # large rewrite: salt within buckets so a handful of hot buckets
@@ -959,7 +1044,9 @@ class ParquetSnapshotTable(LakeTable):
         df = df.persist()
         counts_by_bucket = {
             int(r["_b"]): int(r["n"])
-            for r in df.groupBy(bucket_of(man["n_buckets"]).alias("_b")).count()
+            for r in df.groupBy(
+                bucket_of(man["n_buckets"], man.get("bucket_keys", self.bucket_keys)).alias("_b")
+            ).count()
             .withColumnRenamed("count", "n").collect()
         }
         self._write_bucketed(

@@ -44,6 +44,9 @@ _TYPE_MAP: dict[str, tuple[T.DataType, str]] = {
     "boolean": (T.BooleanType(), "bool"),
     "datetime": (T.TimestampType(), "timestamp"),
     "date": (T.DateType(), "date"),
+    # marshmallow ``Time`` — rare in the reference ([L], SURVEY §2.2) but part
+    # of the serializable type surface; Spark 4.1 has a native TimeType.
+    "time": (T.TimeType(), "time"),
 }
 
 
@@ -107,16 +110,19 @@ class BaseSchema:
 
     # ---- compilation -----------------------------------------------------
 
-    def _coerced(self, spec: FieldSpec, df: DataFrame) -> tuple[Column, Column]:
-        """→ (pre_cast, out): the post-hygiene/pre-cast value and the final
-        typed value. Both are needed: "uncastable" means pre_cast was non-null
-        but the typed cast produced null (empty→null is hygiene, not error).
-        """
+    def _coerced(self, spec: FieldSpec, df: DataFrame) -> tuple[Column, Column, Column]:
+        """→ (pre_cast, casted, out): the post-hygiene/pre-cast value, the raw
+        try_cast result, and the final value with the default filled in.
+        "Uncastable" must be judged on ``casted`` — BEFORE the default
+        coalesce — or a non-null garbage value would be silently replaced by
+        the default and pass validation (the documented contract is
+        uncastable → error; defaults fill only genuine nulls)."""
         src = spec.load_from or spec.name
         if src not in df.columns:
             # marshmallow `missing`: absent input column → default (or null).
             absent = F.lit(None).cast("string")
-            return absent, F.lit(spec.default).cast(spec.spark_type)
+            casted = F.lit(None).cast(spec.spark_type)
+            return absent, casted, F.lit(spec.default).cast(spec.spark_type)
         col = F.col(src)
         if spec.coerce is not None:
             fn = pandas_udf(spec.coerce, returnType=T.StringType())
@@ -128,15 +134,16 @@ class BaseSchema:
             if spec.empty_as_null:
                 col = F.nullif(col, F.lit(""))
         pre_cast = col
-        out = col.try_cast(spec.spark_type)
+        casted = col.try_cast(spec.spark_type)
+        out = casted
         if spec.default is not None:
-            out = F.coalesce(out, F.lit(spec.default).cast(spec.spark_type))
-        return pre_cast, out
+            out = F.coalesce(casted, F.lit(spec.default).cast(spec.spark_type))
+        return pre_cast, casted, out
 
-    def _field_error(self, spec: FieldSpec, pre_cast: Column, out: Column) -> Column:
+    def _field_error(self, spec: FieldSpec, pre_cast: Column, casted: Column, out: Column) -> Column:
         """Error string for this field, or NULL if valid."""
         errs = [
-            F.when(pre_cast.isNotNull() & out.isNull(), F.lit(f"{spec.name}: uncastable to {spec.type}"))
+            F.when(pre_cast.isNotNull() & casted.isNull(), F.lit(f"{spec.name}: uncastable to {spec.type}"))
         ]
         if not spec.allow_none:
             errs.append(F.when(out.isNull(), F.lit(f"{spec.name}: required")))
@@ -154,9 +161,9 @@ class BaseSchema:
         proj: list[Column] = []
         errs: list[Column] = []
         for spec in self.fields:
-            pre_cast, out = self._coerced(spec, df)
+            pre_cast, casted, out = self._coerced(spec, df)
             proj.append(out.alias(spec.name))
-            errs.append(self._field_error(spec, pre_cast, out))
+            errs.append(self._field_error(spec, pre_cast, casted, out))
         keep = [F.col(c) for c in self.passthrough if c in df.columns]
         err_arr = F.array_compact(F.array(*errs)) if errs else F.array().cast("array<string>")
         return df.select(*keep, *proj, err_arr.alias(_ERRORS_COL))

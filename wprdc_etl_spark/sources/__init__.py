@@ -5,6 +5,10 @@ from wprdc_etl_spark.sources.connectors import (
     read_csv_source,
     read_source,
 )
+from wprdc_etl_spark.sources.remote_datasource import (
+    RemoteTextSource,
+    serialize_transport,
+)
 
 __all__ = [
     "read_csv_source",
@@ -12,4 +16,6 @@ __all__ = [
     "normalize_header",
     "parse_json_column",
     "StagedRemoteConnector",
+    "RemoteTextSource",
+    "serialize_transport",
 ]

@@ -63,12 +63,28 @@ class IngestJob:
         max_files_per_trigger: int = 8,
         compute_content_sha: bool = True,
         quarantine_dir: str | None = None,
+        stream_dedup: str = "merge",
     ) -> None:
         self.name = name
         self.lateness = lateness  # None → late events are applied, not dropped
         self.watermark_delay = watermark_delay
         self.max_files_per_trigger = max_files_per_trigger
         self.compute_content_sha = compute_content_sha
+        # B3 placement for the stream path:
+        # - 'merge' (default): NO in-graph stateful dedup. Exact redeliveries
+        #   tie on the merge's (seq, op-rank) order key and collapse in its
+        #   NARROW metadata LWW; cross-batch redeliveries re-apply as no-ops
+        #   (LWW is idempotent). Payload bytes therefore never enter a
+        #   state-store exchange, and the foreachBatch plan stays a
+        #   deterministic file scan — the stream path becomes plan-identical
+        #   to batch replay.
+        # - 'state': dropDuplicatesWithinWatermark in the stream graph —
+        #   watermark-bounded built-in state. Worth its full-row shuffle only
+        #   when redelivery volume is so high that shedding duplicates
+        #   *before* the merge pays for itself.
+        if stream_dedup not in ("merge", "state"):
+            raise IncompletePipelineError(f"unknown stream_dedup {stream_dedup!r}")
+        self.stream_dedup = stream_dedup
         # B5: persist quarantined rows (with their per-field error report)
         # for inspection — the distributed descendant of marshmallow's
         # returned ``errors`` dict. None → count-only (lineage).
@@ -172,9 +188,7 @@ class IngestJob:
         applied = applied.withColumn("_late", late_flag).withColumn("_valid", row_ok)
         # Accounting rides the merge's own first action via an Observation —
         # no extra scan, no cache of the raw batch.
-        obs = Observation()
-        applied = applied.observe(
-            obs,
+        metric_exprs = lambda: [  # noqa: E731 — fresh Column objects per use
             F.count(F.lit(1)).alias("n"),
             F.max("event_ts").alias("max_ts"),
             F.coalesce(F.sum(F.when(F.col("_late"), 1).otherwise(0)), F.lit(0)).alias("n_late"),
@@ -185,7 +199,9 @@ class IngestJob:
                 F.sum(F.xxhash64(*DEDUP_KEYS).cast("decimal(38,0)")),
                 F.lit(0).cast("decimal(38,0)"),
             ).alias("input_hash"),
-        )
+        ]
+        obs = Observation()
+        applied = applied.observe(obs, *metric_exprs())
         valid = applied.where(F.col("_valid") & ~F.col("_late")).drop(
             "_errors", "_valid", "_late"
         )
@@ -193,7 +209,17 @@ class IngestJob:
             valid = with_content_sha(valid)
 
         def finalize() -> tuple[LineageCounts, dict]:
-            g = obs.get
+            try:
+                g = obs.get
+            except Exception:
+                # Spark 4.1 quirk: when every batch row is filtered away, the
+                # AQE empty-relation rule can replace the subtree ABOVE the
+                # CollectMetrics node with an empty LocalTableScan, erasing
+                # the observation (Observation.get then fails converting the
+                # schemaless placeholder row). Recompute the identical
+                # metrics with a direct aggregate — one extra scan, paid only
+                # on this rare all-rows-quarantined/late path.
+                g = applied.agg(*metric_exprs()).collect()[0].asDict()
             counts = LineageCounts(
                 rows_quarantined=int(g["n_quar"]),
                 rows_late=int(g["n_late"]),
@@ -272,9 +298,10 @@ class IngestJob:
             .format(self._source_format)
             .load(self._source_path)
         )
-        deduped = dedup_events_streaming(stream, watermark_delay=self.watermark_delay)
+        if self.stream_dedup == "state":
+            stream = dedup_events_streaming(stream, watermark_delay=self.watermark_delay)
         writer = (
-            deduped.writeStream.option("checkpointLocation", checkpoint)
+            stream.writeStream.option("checkpointLocation", checkpoint)
             .foreachBatch(lambda df, bid: self.apply_batch(df, bid))
             .queryName(self.name)
         )

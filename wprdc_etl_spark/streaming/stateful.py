@@ -34,6 +34,11 @@ def _tracker(out_schema: T.StructType):
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # the 1h idle timer fired with no new input: GC the key instead
+            # of re-arming — otherwise idle-key state grows without bound
+            state.remove()
+            return
         (max_seq,) = state.get if state.exists else (-1,)
         for pdf in pdfs:
             fresh = pdf[pdf["event_sequence"] > max_seq]
