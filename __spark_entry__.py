@@ -32,6 +32,7 @@ from wprdc_etl_spark.plans.lake import ParquetSnapshotTable  # noqa: E402
 from wprdc_etl_spark.streaming.job import IngestJob  # noqa: E402
 from wprdc_etl_spark.functions import dedup as _dedup_sql  # noqa: E402
 from wprdc_etl_spark.functions import multimodal as _media_sql  # noqa: E402
+from wprdc_etl_spark.functions import similarity as _sim_sql  # noqa: E402
 from wprdc_etl_spark.functions import text as _text_sql  # noqa: E402
 from wprdc_etl_spark.testgen import LANGS, gen_change_events, write_event_log  # noqa: E402
 
@@ -173,6 +174,32 @@ def _q_cdc_hot_repo_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (Iceberg-snapshot analog): replay the log in 4 chunks with
+    ``retain_history`` set, then read the table AS OF the version committed by
+    chunk 2 — must equal a golden replay truncated at chunk 2's sequence
+    boundary (the same ``run_batch`` step arithmetic, as SQL)."""
+    log = _fixture_log(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    target = os.path.join(FIXTURES, "_targets", f"{label}_tt")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16, retain_history=8)
+    job = (
+        IngestJob(f"tt-{label}")
+        .source(log)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=4)
+    ver = max(
+        h["version"] for h in table.history() if h["committed"].get(f"tt-{label}") == 1
+    )
+    return table.read(version=ver).select(
+        "repo", "path", "commit", "lang", "content_sha"
+    )
+
+
 def _q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9 — two-phase replay with additive evolution: phase 1 merges WITHOUT
     the ``license`` column (the files on disk genuinely lack it), phase 2
@@ -251,6 +278,33 @@ def _q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (brief-named operator Spark lacks natively): each click
+    event enriched with the user's most recent purchase value at-or-before
+    its timestamp. DuckDB twin: native ASOF LEFT JOIN."""
+    from wprdc_etl_spark.operators.relational import asof_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round(F.col("value"), 4).alias("purchase_value")
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", ts="ts", dim_ts="ts", payload=["purchase_value"]
+    )
+    return out.withColumnRenamed("_asof_ts", "asof_ts")
+
+
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands over built-in windows): per-user
+    sessions with a 30-minute inactivity gap, aggregated."""
+    from wprdc_etl_spark.operators.relational import session_stats
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = session_stats(ev, key="user_id", ts="ts", gap_seconds=1800, value_col="value")
+    return out.withColumn("value_sum", F.round(F.col("value_sum"), 4))
+
+
 def _q_documents_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6 over the documents table."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -321,6 +375,17 @@ def _q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("_rank", "rank")
 
 
+def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: RP-LSH banded candidates (8 bands ×
+    4 sign bits, seeded planes) verified by exact cosine ≥ 0.4. Deterministic
+    end to end, so the DuckDB twin reproduces the identical pair set."""
+    from wprdc_etl_spark.functions.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(
+        _emb(spark, sf_dir), dim=64, threshold=0.4, n_bands=8, band_bits=4
+    )
+
+
 def _q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, oracle-parity variant: the sha2 leaf
     hash (hash_fn='sha2') is bit-identical in DuckDB, so the full
@@ -380,9 +445,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_op_stats": _q_cdc_op_stats,
         "cdc_hot_repo_profile": _q_cdc_hot_repo_profile,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
+        "cdc_time_travel": _q_cdc_time_travel,
         "events_dedup": _q_events_dedup,
         "events_latest_per_user": _q_events_latest_per_user,
         "events_props_json": _q_events_props_json,
+        "events_asof_purchase": _q_events_asof_purchase,
+        "events_sessions": _q_events_sessions,
         "documents_fingerprint": _q_documents_fingerprint,
         "documents_exact_dedup": _q_documents_exact_dedup,
         "doc_token_counts": _q_doc_token_counts,
@@ -390,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": _q_doc_lang_id,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "emb_cosine_topk": _q_emb_cosine_topk,
+        "emb_near_dup": _q_emb_near_dup,
         "doc_minhash_pairs": _q_doc_minhash_pairs,
         "doc_simhash": _q_doc_simhash,
         "doc_rolling_fp": _q_doc_rolling_fp,
@@ -409,6 +478,31 @@ dedup AS (
     return {
         "cdc_final_state": f"""
 WITH {dedup_cte.lstrip()},
+valid AS (
+  SELECT event_sequence, op, repo, path, commit, trim(lang) AS lang, content
+  FROM dedup WHERE {_valid_pred()}
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY repo, path, commit
+        ORDER BY event_sequence DESC, op DESC) AS rn
+    FROM valid) t WHERE rn = 1
+)
+SELECT repo, path, commit, lang, sha256(content) AS content_sha
+FROM latest WHERE op <> 'D'
+""",
+        # run_batch's chunk arithmetic, as SQL: step = ceil((max+1)/4); the
+        # version committed by chunk 2 holds exactly events with seq < 2*step
+        "cdc_time_travel": f"""
+WITH bound AS (
+  SELECT 2 * ((max(event_sequence) + 1 + 3) // 4) AS hi FROM {log}
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY repo, path, commit, event_sequence ORDER BY op) AS rn
+    FROM {log} WHERE event_sequence < (SELECT hi FROM bound)) t WHERE rn = 1
+),
 valid AS (
   SELECT event_sequence, op, repo, path, commit, trim(lang) AS lang, content
   FROM dedup WHERE {_valid_pred()}
@@ -493,6 +587,37 @@ SELECT event_type, count(*) AS n,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """,
+        "events_asof_purchase": """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, round(value, 4) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts,
+       p.purchase_value, p.ts AS asof_ts
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+        "events_sessions": """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS value_sum
+FROM numbered GROUP BY user_id, session_id
+""",
         "documents_fingerprint": "SELECT doc_id, sha256(text) AS text_sha FROM documents",
         "documents_exact_dedup": """
 SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha, count(*) AS n_copies
@@ -524,6 +649,9 @@ SELECT id_a, id_b, round(i / (sa.n + sb.n - i), 4) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(i / (sa.n + sb.n - i), 4) >= 0.05
 """,
+        "emb_near_dup": _sim_sql.cosine_near_dup_sql(
+            "embeddings", dim=64, threshold=0.4, n_bands=8, band_bits=4
+        ),
         "emb_cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
 scored AS (

@@ -191,6 +191,35 @@ def test_ann_lsh_recall_vs_bruteforce(spark, emb):
     assert len(approx_set) <= 25
 
 
+def test_cosine_near_dup_pairs_vs_bruteforce(spark, emb):
+    """LSH-banded near-dup pairs: every reported pair is a true pair
+    (cos >= threshold, verified exactly), a subset of the brute-force set
+    with banding-level recall, and deterministic across runs."""
+    from wprdc_etl_spark.functions.similarity import cosine_near_dup_pairs
+
+    small = emb.where(F.col("vec_id") < 200)
+    got = cosine_near_dup_pairs(small, dim=64, threshold=0.35).collect()
+    got_set = {(r["id_a"], r["id_b"]) for r in got}
+    assert all(r["cosine"] >= 0.35 and r["id_a"] < r["id_b"] for r in got)
+    # brute force on the same 200 vectors
+    import numpy as np
+    rows = sorted(small.collect(), key=lambda r: r["vec_id"])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn @ Vn.T
+    truth = {
+        (ids[i], ids[j])
+        for i in range(len(ids)) for j in range(i + 1, len(ids))
+        if C[i, j] >= 0.35
+    }
+    assert got_set <= truth
+    assert truth and len(got_set) / len(truth) >= 0.5  # banding recall floor
+    again = {(r["id_a"], r["id_b"]) for r in
+             cosine_near_dup_pairs(small, dim=64, threshold=0.35).collect()}
+    assert again == got_set
+
+
 # ---- multimodal ------------------------------------------------------------
 
 

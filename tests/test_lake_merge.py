@@ -348,3 +348,55 @@ def test_mor_read_plan_prunes_clean_buckets_and_payload(spark, tmp_path):
     # (a): correctness — every row present, the delta resolved
     got = state(t)
     assert len(got) == 64 and got[("r1", "p1", "c1")] == "new"
+
+
+def test_time_travel_read_and_history(spark, tmp_path):
+    """Every commit writes an immutable history manifest; read(version=N)
+    reproduces the exact post-commit-N state while data files are retained,
+    and history() lists the commit log."""
+    t = mk_table(spark, tmp_path, retain_history=8)
+    t.merge(ev(spark, [(0, "I", "r1", "a", "c1", "py", "v1")]), job="j", batch_id=0)
+    t.merge(ev(spark, [(1, "U", "r1", "a", "c1", "py", "v2"),
+                       (2, "I", "r2", "b", "c2", "go", "w1")]), job="j", batch_id=1)
+    t.merge(ev(spark, [(3, "D", "r2", "b", "c2", "go", None)]), job="j", batch_id=2)
+
+    def st(v):
+        return {(r["repo"], r["path"], r["commit"]): r["content"]
+                for r in t.read(version=v).collect()}
+
+    assert st(1) == {("r1", "a", "c1"): "v1"}
+    assert st(2) == {("r1", "a", "c1"): "v2", ("r2", "b", "c2"): "w1"}
+    assert st(3) == state(t) == {("r1", "a", "c1"): "v2"}
+    hist = t.history()
+    assert [h["version"] for h in hist] == [0, 1, 2, 3]
+    assert hist[-1]["is_current"] and all(h["readable"] for h in hist)
+    assert hist[2]["committed"] == {"j": 1}
+    with pytest.raises(SinkCommitError, match="no history snapshot"):
+        t.read(version=99)
+
+
+def test_time_travel_expiration_gc(spark, tmp_path):
+    """retain_history=1: only the previous version's files survive GC —
+    older versions raise a clear expiration error, current + N-1 still read."""
+    t = mk_table(spark, tmp_path, retain_history=1, write_mode="cow")
+    for i in range(4):
+        t.merge(ev(spark, [(i, "U", "r1", "a", "c1", "py", f"v{i}")]),
+                job="j", batch_id=i)
+    # v3 (N-1) retained; v2 and older expired (COW rewrote the only bucket)
+    assert [r["content"] for r in t.read(version=3).collect()] == ["v2"]
+    assert [r["content"] for r in t.read().collect()] == ["v3"]
+    with pytest.raises(SinkCommitError, match="expired"):
+        t.read(version=2)
+    hist = {h["version"]: h["readable"] for h in t.history()}
+    assert hist[3] and hist[4] and not hist[2]
+
+
+def test_retain_history_zero_unchanged(spark, tmp_path):
+    """Default retention keeps today's GC behavior: past data files die with
+    the commit that superseded them (history manifests remain as audit)."""
+    t = mk_table(spark, tmp_path, write_mode="cow")
+    t.merge(ev(spark, [(0, "I", "r1", "a", "c1", "py", "v1")]), job="j", batch_id=0)
+    t.merge(ev(spark, [(1, "U", "r1", "a", "c1", "py", "v2")]), job="j", batch_id=1)
+    with pytest.raises(SinkCommitError, match="expired"):
+        t.read(version=1)
+    assert [h["version"] for h in t.history()] == [0, 1, 2]

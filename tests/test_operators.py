@@ -112,3 +112,57 @@ def test_xxhash64_matches_spark(spark):
         assert spark_xxhash64(r["l"]) == r["hl"]
         assert spark_xxhash64(r["s"], r["l"]) == r["hsl"]
         assert bucket_of_py(32, r["s"], r["l"]) == r["b"]
+
+
+def test_asof_join_backward(spark):
+    """As-of join: each event gets the latest dim version at-or-before its
+    ts; earlier-than-all-versions events keep nulls; equal-ts versions are
+    visible (ASOF semantics)."""
+    import datetime as dt
+
+    from wprdc_etl_spark.operators.relational import asof_join
+
+    T = lambda s: dt.datetime.fromisoformat(f"2024-01-01 {s}")
+    events = spark.createDataFrame(
+        [(1, "u", T("09:00")), (2, "u", T("10:00")), (3, "u", T("11:30")),
+         (4, "v", T("10:30")), (5, "w", T("12:00"))],
+        ["event_id", "user", "ts"],
+    )
+    dims = spark.createDataFrame(
+        [("u", T("09:30"), "bronze"), ("u", T("11:00"), "gold"),
+         ("v", T("10:30"), "silver")],
+        ["user", "valid_from", "tier"],
+    )
+    out = asof_join(events, dims, on="user", ts="ts", dim_ts="valid_from",
+                    payload=["tier"])
+    got = {r["event_id"]: (r["tier"], r["_asof_ts"]) for r in out.collect()}
+    assert got[1] == (None, None)                 # before any version
+    assert got[2] == ("bronze", T("09:30"))       # latest ≤ 10:00
+    assert got[3] == ("gold", T("11:00"))         # superseded version ignored
+    assert got[4] == ("silver", T("10:30"))       # equal-ts version visible
+    assert got[5] == (None, None)                 # key with no dim rows
+    assert out.count() == 5                       # left semantics: no fanout
+
+
+def test_sessionize_and_stats(spark):
+    import datetime as dt
+
+    from wprdc_etl_spark.operators.relational import session_stats, sessionize
+
+    T = lambda m: dt.datetime(2024, 1, 1, 9, m)
+    df = spark.createDataFrame(
+        [("u", T(0), 1.0), ("u", T(10), 2.0), ("u", T(50), 4.0),
+         ("u", T(55), 8.0), ("v", T(5), 16.0)],
+        ["user", "ts", "value"],
+    )
+    s = {(r["user"], r["ts"].minute): r["session_id"]
+         for r in sessionize(df, key="user", ts="ts", gap_seconds=1200).collect()}
+    assert s[("u", 0)] == 0 and s[("u", 10)] == 0      # 10-min gap: same
+    assert s[("u", 50)] == 1 and s[("u", 55)] == 1     # 40-min gap: new
+    assert s[("v", 5)] == 0                            # per-key numbering
+    stats = session_stats(df, key="user", ts="ts", gap_seconds=1200, value_col="value")
+    got = {(r["user"], r["session_id"]): (r["n_events"], r["value_sum"])
+           for r in stats.collect()}
+    assert got[("u", 0)] == (2, 3.0)
+    assert got[("u", 1)] == (2, 12.0)
+    assert got[("v", 0)] == (1, 16.0)

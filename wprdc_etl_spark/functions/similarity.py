@@ -142,3 +142,126 @@ def ann_topk_lsh(
         .where(F.col("_rank") <= k)
         .select(query_id_col, id_col, F.round("_cos", 4).alias("cosine"), "_rank")
     )
+
+
+def _band_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """Sign-bit bucket over an explicit plane subset (one LSH band)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = _dot(vec, F.array(*[F.lit(float(c)) for c in plane]))
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    *,
+    dim: int,
+    threshold: float,
+    n_bands: int = 8,
+    band_bits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-banded (the brief's
+    "embedding-cosine near-dup" dedup mode): candidates = unordered pairs
+    colliding in ≥1 of ``n_bands`` random-hyperplane sign buckets
+    (``band_bits`` bits each), verified by EXACT cosine ≥ ``threshold``.
+
+    Scale shape: explode to ``n_bands`` rows/vector, self-join keyed on
+    (band, bucket) — shuffle O(rows × bands), never all-pairs; per-band
+    collision prob for similarity s is ((1 - acos(s)/π)^band_bits), so recall
+    tunes with (n_bands, band_bits) exactly like MinHash-LSH banding. Fully
+    deterministic (seeded Rademacher planes), so the DuckDB twin
+    (``cosine_near_dup_sql``) reproduces the identical pair set.
+    """
+    planes = _hyperplanes(dim, n_bands * band_bits, seed)
+    bands = F.array(*[
+        F.struct(
+            F.lit(j).alias("band"),
+            _band_bucket(F.col(vec_col), planes[j * band_bits:(j + 1) * band_bits]).alias("bucket"),
+        )
+        for j in range(n_bands)
+    ])
+    exploded = df.select(
+        F.col(id_col), F.col(vec_col), F.explode(bands).alias("_b")
+    ).select(id_col, vec_col, "_b.band", "_b.bucket")
+    left = exploded.select(
+        F.col("band"), F.col("bucket"),
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+    )
+    right = exploded.select(
+        F.col("band"), F.col("bucket"),
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            cosine_similarity_col(F.col("_va"), F.col("_vb")).alias("_cos"),
+        )
+        .where(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round("_cos", 4).alias("cosine"))
+    )
+
+
+def cosine_near_dup_sql(
+    table: str,
+    *,
+    dim: int,
+    threshold: float,
+    n_bands: int = 8,
+    band_bits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """ANSI-SQL twin of ``cosine_near_dup_pairs`` (DuckDB oracle): the same
+    seeded planes inlined as array literals, the same band buckets, join,
+    pair dedup and exact-cosine verify."""
+    planes = _hyperplanes(dim, n_bands * band_bits, seed)
+
+    def dot(plane: list[int]) -> str:
+        lit = "[" + ", ".join(str(float(c)) for c in plane) + "]"
+        return (
+            f"list_sum(list_transform(list_zip({vec_col}, {lit}), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+
+    def bucket(j: int) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN {dot(planes[j * band_bits + i])} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(band_bits)
+        )
+        return f"({bits})"
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT {id_col}, {vec_col}, {j} AS band, {bucket(j)} AS bucket FROM {table}"
+        for j in range(n_bands)
+    )
+    return f"""
+WITH banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.{id_col} < b.{id_col}
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+    list_sum(list_transform(list_zip(ea.{vec_col}, eb.{vec_col}),
+             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(ea.{vec_col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(eb.{vec_col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM cand c
+  JOIN {table} ea ON ea.{id_col} = c.id_a
+  JOIN {table} eb ON eb.{id_col} = c.id_b
+)
+SELECT id_a, id_b, round(cos, 4) AS cosine FROM scored WHERE cos >= {threshold}
+"""
