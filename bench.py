@@ -178,6 +178,31 @@ def main() -> None:
 
     queries["cdc_incremental_mor"] = timed(incremental_mor)
 
+    # training-data pipeline ops over the driver's real tables (production
+    # variants: xxhash64 leaves, not the oracle-parity sha2 ones)
+    from wprdc_etl_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures
+    from wprdc_etl_spark.functions.similarity import cosine_near_dup_pairs
+    from wprdc_etl_spark.functions.text import lang_id, quality_score
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries["doc_minhash_lsh"] = timed(
+        lambda: lsh_candidate_pairs(
+            minhash_signatures(docs, n_hashes=32, shingle_k=5), n_bands=8
+        ).count()
+    )
+    queries["doc_quality_langid"] = timed(
+        lambda: docs.select(
+            quality_score(F.col("text")).alias("quality"),
+            lang_id(F.col("text")).alias("lang_pred"),
+        )
+        .select(F.count_distinct("lang_pred"), F.sum("quality"))
+        .collect()
+    )
+    queries["emb_near_dup"] = timed(
+        lambda: cosine_near_dup_pairs(emb, dim=64, threshold=0.4).count()
+    )
+
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(

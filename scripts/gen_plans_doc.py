@@ -54,6 +54,24 @@ sections.append(("Late-materialization merge, steady-state (B7)",
   "The narrow meta side (keys + _seq + _op + _rid) resolves winners; payload rows join the broadcast winning-rid set — payloads cross no exchange before the bucketed write. Note the scans: the meta branch reads a 5-column `ReadSchema`, the payload branch reads all columns exactly once.",
   cap(merged)))
 
+from wprdc_etl_spark.operators.relational import asof_join, session_stats
+evts = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+clicks = evts.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+purch = evts.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+sections.append(("As-of join (union + carry-forward window)",
+  "ONE exchange on the key feeds a single window pass (`last(..., ignorenulls)` running frame); no range-condition join, no per-event probe. Both inputs are column-pruned scans with the event-type filter pushed down.",
+  cap(asof_join(clicks, purch, on="user_id", ts="ts", dim_ts="ts", payload=["value"]))))
+
+sections.append(("Sessionization (gaps-and-islands)",
+  "lag + running sum + the session aggregate all run inside ONE exchange on the key: Catalyst stacks the two windows and the partial aggregate on the same hash partitioning (one Exchange node in the whole plan).",
+  cap(session_stats(evts, key="user_id", ts="ts", gap_seconds=1800, value_col="value"))))
+
+from wprdc_etl_spark.functions.similarity import cosine_near_dup_pairs
+emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+sections.append(("Embedding near-dup (RP-LSH banded)",
+  "The 32 hyperplane dots are codegen'd JVM expressions (no UDF); the self-join is keyed on (band, bucket) — shuffle O(rows×bands), never all-pairs; exact cosine verifies only surviving candidates.",
+  cap(cosine_near_dup_pairs(emb, dim=64, threshold=0.4))))
+
 with open("/root/repo/docs/PLANS.md", "w") as fh:
     fh.write("# Physical plans of the hot paths (captured via explain('formatted'))\n\n")
     fh.write("Regenerate with `python scripts/gen_plans_doc.py` (this file is evidence\nthat pushdown/pruning/broadcast/partial-agg actually happen — SURVEY §5).\n")

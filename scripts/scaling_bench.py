@@ -196,7 +196,7 @@ def main() -> None:
 ## Scaling evidence (north_rule: throughput(4N) / (4 × throughput(N)) ≥ 0.8)
 
 Same job — full CDC batch replay (read log → validate → narrow LWW →
-late-materialized bucketed MERGE commit, 2 sequence-range chunks) over the
+late-materialized bucketed MERGE commit, single bulk chunk) over the
 same {report['n_events']:,}-event generated change log — at several
 parallelism levels, fresh JVM each, identical logical plan and shuffle
 partitioning (64); ONLY the executor-thread count differs. Storage:

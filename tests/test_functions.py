@@ -220,6 +220,29 @@ def test_cosine_near_dup_pairs_vs_bruteforce(spark, emb):
     assert again == got_set
 
 
+def test_ivf_build_and_topk_recall(spark, emb):
+    """IVF coarse quantizer: deterministic build, nprobe search touches only
+    probed cells, recall vs brute force above the chance line."""
+    from wprdc_etl_spark.functions.similarity import ivf_build, ivf_topk
+
+    cents = ivf_build(emb, dim=64, n_cells=16, n_iters=2)
+    assert len(cents) == 16 and all(len(c) == 64 for c in cents)
+    # deterministic: rebuild gives identical centroids
+    assert ivf_build(emb, dim=64, n_cells=16, n_iters=2) == cents
+
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, cents, k=5, nprobe=4).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    # nprobe=4 of 16 cells scans ~25% of the corpus; isotropic-noise floor
+    assert len(approx_set & exact_set) / len(exact_set) >= 0.2
+    assert len(approx_set) <= 25
+    # full probe = exact: nprobe=n_cells must reproduce brute force
+    full = ivf_topk(emb, queries, cents, k=5, nprobe=16).collect()
+    assert {(r["query_id"], r["vec_id"]) for r in full} == exact_set
+
+
 # ---- multimodal ------------------------------------------------------------
 
 

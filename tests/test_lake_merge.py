@@ -120,7 +120,7 @@ def test_strict_duplicate_raises(spark, tmp_path):
         t.merge(df, job="j", batch_id=0)
 
 
-@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+@pytest.mark.parametrize("strategy", ["broadcast", "copart", "shuffle"])
 def test_strategies_agree(spark, tmp_path, strategy):
     t = mk_table(spark, tmp_path / strategy, merge_strategy=strategy)
     t.merge(ev(spark, [
@@ -400,3 +400,79 @@ def test_retain_history_zero_unchanged(spark, tmp_path):
     with pytest.raises(SinkCommitError, match="expired"):
         t.read(version=1)
     assert [h["version"] for h in t.history()] == [0, 1, 2]
+
+
+def test_expire_snapshots(spark, tmp_path):
+    """expire_snapshots(keep) drops old history manifests + GCs their files;
+    retained versions still time-travel."""
+    t = mk_table(spark, tmp_path, retain_history=8, write_mode="cow")
+    for i in range(5):
+        t.merge(ev(spark, [(i, "U", "r1", "a", "c1", "py", f"v{i}")]),
+                job="j", batch_id=i)
+    assert [h["version"] for h in t.history()] == [0, 1, 2, 3, 4, 5]
+    removed = t.expire_snapshots(keep=1)
+    assert removed == 4  # v0..v3 expired; v4 (N-1) and v5 (current) remain
+    assert [h["version"] for h in t.history()] == [4, 5]
+    assert [r["content"] for r in t.read(version=4).collect()] == ["v3"]
+    with pytest.raises(SinkCommitError, match="no history snapshot"):
+        t.read(version=3)
+    # expired data dirs are gone from disk
+    import os
+    live = {d for d in os.listdir(str(tmp_path / "tbl" / "data"))}
+    assert live == {"v4", "v5"}
+
+
+def test_copart_bulk_replay_matches_broadcast(spark, tmp_path):
+    """The copart bulk path (winner-rid semi join riding the write exchange)
+    produces the exact final state of the reference broadcast path on a
+    multi-version log with redeliveries, deletes and an existing table."""
+    rows1 = [(i, "I", f"r{i%7}", f"p{i%13}", f"c{i}", "py", f"v{i}") for i in range(200)]
+    rows2 = (
+        [(200 + i, "U", f"r{i%7}", f"p{i%13}", f"c{i}", "py", f"w{i}") for i in range(150)]
+        + [(400 + i, "D", f"r{i%7}", f"p{i%13}", f"c{i}", "py", None) for i in range(40)]
+        + [(200, "U", "r0", "p0", "c0", "py", "w0")]  # redelivery
+    )
+    states = {}
+    for strat in ("broadcast", "copart"):
+        t = mk_table(spark, tmp_path / strat, n_buckets=8, merge_strategy=strat)
+        t.merge(ev(spark, rows1), job="j", batch_id=0)
+        r = t.merge(ev(spark, rows2), job="j", batch_id=1)
+        assert r.strategy.endswith(strat)
+        states[strat] = state(t)
+    assert states["copart"] == states["broadcast"]
+    assert len(states["copart"]) == 200 - 40
+
+
+def test_copart_single_payload_exchange(spark, tmp_path):
+    """copart plan shape: payload bytes cross EXACTLY ONE exchange (the
+    write's bucketed repartition, which the semi join rides); the rid side
+    shuffles narrow columns only and no BroadcastExchange exists."""
+    import re
+
+    t = mk_table(spark, tmp_path, n_buckets=8, merge_strategy="copart")
+    rows = [(i, "I", f"r{i}", f"p{i}", f"c{i}", "py", f"v{i}") for i in range(32)]
+    # reproduce the merge's join shape on a raw plan (merge() executes
+    # eagerly, so assert on an equivalent composed plan)
+    from wprdc_etl_spark.plans.lake import _lww_reduce, bucket_of
+
+    df = ev(spark, rows).withColumnRenamed("event_sequence", "_seq").withColumnRenamed("op", "_op")
+    meta = df.select("repo", "path", "commit", "_seq", "_op").withColumn(
+        "_rid", F.monotonically_increasing_id()
+    )
+    wide = df.withColumn("_rid", F.monotonically_increasing_id()).withColumn(
+        "_bucket_dir", bucket_of(8, ["repo", "path"])
+    )
+    fwin = _lww_reduce(meta, ["repo", "path", "commit"])
+    rids = fwin.select(bucket_of(8, ["repo", "path"]).alias("_bucket_dir"), "_rid")
+    merged = wide.join(
+        rids.hint("SHUFFLE_HASH"), ["_bucket_dir", "_rid"], "left_semi"
+    ).drop("_rid")
+    plan = _formatted_plan(merged)
+    assert "BroadcastExchange" not in plan
+    content_exchanges = 0
+    for m in re.finditer(r"\(\d+\) (\w*Exchange\w*)[^\n]*\n((?:[A-Za-z][^\n]*\n)*)", plan):
+        if "content#" in m.group(2):
+            content_exchanges += 1
+    assert content_exchanges == 1, plan
+    # correctness of the composed plan itself
+    assert merged.count() == 32

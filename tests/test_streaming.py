@@ -138,3 +138,54 @@ def test_stream_then_rerun_is_noop(spark, tmp_path, log_dir):
     v = table._read_manifest()["version"]
     job.start_stream(spark, ckpt).awaitTermination(600)
     assert table._read_manifest()["version"] == v
+
+
+def test_session_stats_streaming_matches_batch(spark, tmp_path):
+    """F.session_window streaming sessions == batch gaps-and-islands
+    session_stats on the same events (a far-future sentinel key advances the
+    watermark past every real session so append mode emits them all)."""
+    import datetime as dt
+
+    from wprdc_etl_spark.operators.relational import session_stats
+    from wprdc_etl_spark.streaming.windows import session_stats_streaming
+
+    T0 = dt.datetime(2024, 1, 1, 9, 0)
+    M = lambda m: T0 + dt.timedelta(minutes=m)
+    rows = [
+        ("u", M(0), 1.0), ("u", M(10), 2.0),      # session 1 (gap 20m)
+        ("u", M(90), 4.0), ("u", M(95), 8.0),     # session 2
+        ("v", M(5), 16.0),                        # v session 1
+        ("zz", M(14 * 60), 0.0),                  # watermark sentinel
+    ]
+    df = spark.createDataFrame(rows, ["user", "ts", "value"])
+    src = str(tmp_path / "sess_src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = session_stats_streaming(
+        stream, key="user", ts="ts", gap_seconds=1200,
+        watermark_delay="1 minute", value_col="value",
+    )
+    got = []
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .foreachBatch(lambda b, i: got.extend(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    stream_rows = {
+        (r["user"], r["session_start"]): (r["session_end"], r["n_events"], r["value_sum"])
+        for r in got if r["user"] != "zz"
+    }
+    batch = session_stats(
+        df.where(F.col("user") != "zz"),
+        key="user", ts="ts", gap_seconds=1200, value_col="value",
+    ).collect()
+    batch_rows = {
+        (r["user"], r["session_start"]): (r["session_end"], r["n_events"], r["value_sum"])
+        for r in batch
+    }
+    assert stream_rows == batch_rows and len(stream_rows) == 3

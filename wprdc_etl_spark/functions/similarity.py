@@ -265,3 +265,118 @@ scored AS (
 )
 SELECT id_a, id_b, round(cos, 4) AS cosine FROM scored WHERE cos >= {threshold}
 """
+
+
+def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin_j ||vec - c_j||² as a JVM expression: squared distance to every
+    centroid, min over an array of (dist, cell) structs (lexicographic
+    array_min = min dist, ties to the lower cell id). ||v||² is common to all
+    cells, so -2·v·c_j + ||c_j||² ranks identically and halves the work."""
+    scored = F.array(*[
+        F.struct(
+            (F.lit(-2.0) * _dot(vec, F.array(*[F.lit(x) for x in c]))
+             + F.lit(sum(x * x for x in c))).alias("d"),
+            F.lit(j).alias("cell"),
+        )
+        for j, c in enumerate(centroids)
+    ])
+    return F.array_min(scored)["cell"]
+
+
+def ivf_build(
+    corpus: DataFrame,
+    *,
+    dim: int,
+    n_cells: int = 64,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """IVF coarse quantizer: k-means centroids via Lloyd iterations expressed
+    as DataFrame ops. Deterministic init (the ``n_cells`` vectors with the
+    smallest ``xxhash64(id)`` — a seeded pseudo-random sample with no RNG
+    state); each iteration is ONE hash-aggregate pass over the corpus
+    (64 per-dimension ``avg`` columns, map-side combined — no explode, no
+    shuffle of vectors beyond the agg), centroids returned driver-side
+    (n_cells × dim floats — trivially broadcastable as literals).
+
+    100-TB shape: build cost = ``n_iters`` scans; the index itself is just
+    the centroid list + a cell-id column, so the corpus can be written
+    partitioned by cell once and probed selectively ever after.
+    """
+    seeds = (
+        corpus.orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+    for _ in range(n_iters):
+        assigned = corpus.select(
+            _nearest_cell(F.col(vec_col), centroids).alias("_cell"),
+            F.col(vec_col),
+        )
+        rows = (
+            assigned.groupBy("_cell")
+            .agg(
+                F.array(*[F.avg(F.col(vec_col)[i]) for i in range(dim)]).alias("c"),
+            )
+            .collect()
+        )
+        by_cell = {r["_cell"]: [float(x) for x in r["c"]] for r in rows}
+        # empty cells keep their previous centroid (standard Lloyd handling)
+        centroids = [by_cell.get(j, centroids[j]) for j in range(len(centroids))]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search: each query scores only corpus rows in its ``nprobe``
+    nearest cells — ~nprobe/n_cells of the corpus instead of all of it.
+    Queries (with their probe lists) broadcast; exact cosine ranks within the
+    probed cells. Same output contract as ``cosine_topk``/``ann_topk_lsh``.
+    """
+    n_cells = len(centroids)
+    c = corpus.withColumn("_cell", _nearest_cell(F.col(vec_col), centroids))
+    dists = F.array(*[
+        F.struct(
+            (F.lit(-2.0) * _dot(F.col(vec_col), F.array(*[F.lit(x) for x in cen]))
+             + F.lit(sum(x * x for x in cen))).alias("d"),
+            F.lit(j).alias("cell"),
+        )
+        for j, cen in enumerate(centroids)
+    ])
+    qb = (
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            F.slice(F.array_sort(dists), 1, min(nprobe, n_cells)).alias("_probes"),
+        )
+        .select(
+            query_id_col, "_qvec", F.explode(F.col("_probes")["cell"]).alias("_cell")
+        )
+    )
+    scored = (
+        c.join(F.broadcast(qb), "_cell")
+        .where(F.col(query_id_col) != F.col(id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine_similarity_col(F.col("_qvec"), F.col(vec_col)).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= k)
+        .select(query_id_col, id_col, F.round("_cos", 4).alias("cosine"), "_rank")
+    )
