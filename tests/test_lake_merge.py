@@ -476,3 +476,28 @@ def test_copart_single_payload_exchange(spark, tmp_path):
     assert content_exchanges == 1, plan
     # correctness of the composed plan itself
     assert merged.count() == 32
+
+
+def test_rebucket_layout_evolution(spark, tmp_path):
+    """rebucket(): state preserved, manifest n_buckets switches, subsequent
+    merges and point lookups use the new layout, and time travel reads old
+    versions under their OWN old layout."""
+    t = mk_table(spark, tmp_path, n_buckets=4, retain_history=8)
+    rows = [(i, "I", f"r{i}", f"p{i}", f"c{i}", "py", f"v{i}") for i in range(40)]
+    t.merge(ev(spark, rows), job="j", batch_id=0)
+    before = state(t)
+    v = t.rebucket(16)
+    man = t._read_manifest()
+    assert man["n_buckets"] == 16 and man["version"] == v
+    assert state(t) == before
+    assert len(man["buckets"]) > 4  # rows actually spread over the new layout
+    # merges after the switch land in the new layout
+    r = t.merge(ev(spark, [(100, "U", "r1", "p1", "c1", "py", "new")]), job="j", batch_id=1)
+    assert r.applied and state(t)[("r1", "p1", "c1")] == "new"
+    # point lookup uses the manifest's n_buckets (new layout)
+    got = t.lookup("r1", "p1").collect()
+    assert [x["content"] for x in got] == ["new"]
+    # time travel: the pre-rebucket version still reads (its manifest
+    # snapshot carries the OLD n_buckets + dirs)
+    assert {(r0["repo"], r0["path"], r0["commit"]): r0["content"]
+            for r0 in t.read(version=1).collect()} == before

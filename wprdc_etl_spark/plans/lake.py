@@ -1227,23 +1227,46 @@ class ParquetSnapshotTable(LakeTable):
         df = self._resolved(man)
         if drop_tombstones_below_seq is not None:
             df = df.where(~((F.col("_op") == "D") & (F.col("_seq") < drop_tombstones_below_seq)))
+        return self._rewrite_all(man, df, man["n_buckets"])
+
+    def rebucket(self, new_n_buckets: int) -> int:
+        """Bucket-layout evolution (Iceberg partition-evolution analog):
+        rewrite the whole table under a new bucket count in ONE atomic
+        commit. A table's bucket count must grow with it — at 10^10 rows the
+        initial layout's per-bucket volume would dwarf a task — and because
+        readers/writers always take ``n_buckets`` from the manifest, the
+        switch is transparent: the next merge buckets by the new count, old
+        versions time-travel under their own old layout (each history
+        manifest carries its own n_buckets). Deltas fold in on the way
+        (a rebucket is also a compaction)."""
+        if new_n_buckets < 1:
+            raise SinkCommitError(f"n_buckets must be >= 1, got {new_n_buckets}")
+        man = self._require_manifest()
+        version = self._rewrite_all(man, self._resolved(man), new_n_buckets)
+        self.n_buckets = new_n_buckets
+        return version
+
+    def _rewrite_all(self, man: dict, df: DataFrame, n_buckets: int) -> int:
+        """Shared tail of compact()/rebucket(): write ``df`` fully bucketed
+        by ``n_buckets`` and commit it as the table's only data."""
         version = man["version"] + 1
         data_rel = f"data/v{version}"
         df = df.persist()
         counts_by_bucket = {
             int(r["_b"]): int(r["n"])
             for r in df.groupBy(
-                bucket_of(man["n_buckets"], man.get("bucket_keys", self.bucket_keys)).alias("_b")
+                bucket_of(n_buckets, man.get("bucket_keys", self.bucket_keys)).alias("_b")
             ).count()
             .withColumnRenamed("count", "n").collect()
         }
         self._write_bucketed(
-            df, os.path.join(self.root, data_rel), man["n_buckets"], sum(counts_by_bucket.values())
+            df, os.path.join(self.root, data_rel), n_buckets, sum(counts_by_bucket.values())
         )
         df.unpersist()
         written = self._list_bucket_dirs(os.path.join(self.root, data_rel))
         man_new = dict(man)
         man_new["version"] = version
+        man_new["n_buckets"] = n_buckets
         man_new["buckets"] = {str(b): [f"{data_rel}/_bucket_dir={b}"] for b in sorted(written)}
         man_new["bucket_rows"] = {str(b): counts_by_bucket.get(b, 0) for b in sorted(written)}
         self._swap_manifest(man_new)
