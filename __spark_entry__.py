@@ -200,6 +200,28 @@ def _q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance ops preserve state: replay, then compact() (tombstone GC
+    below the replay horizon, delta-chain fold) and rebucket() (bucket-layout
+    evolution 16→32) — the final read must STILL equal the golden replay."""
+    log = _fixture_log(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    target = os.path.join(FIXTURES, "_targets", f"{label}_maint")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16)
+    job = (
+        IngestJob(f"maint-{label}")
+        .source(log)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=2)
+    table.compact()
+    table.rebucket(32)
+    return table.read().select("repo", "path", "commit", "lang", "content_sha")
+
+
 def _q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9 — two-phase replay with additive evolution: phase 1 merges WITHOUT
     the ``license`` column (the files on disk genuinely lack it), phase 2
@@ -446,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_hot_repo_profile": _q_cdc_hot_repo_profile,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_maintenance": _q_cdc_maintenance,
         "events_dedup": _q_events_dedup,
         "events_latest_per_user": _q_events_latest_per_user,
         "events_props_json": _q_events_props_json,
@@ -475,7 +498,7 @@ dedup AS (
         PARTITION BY repo, path, commit, event_sequence ORDER BY op) AS rn
     FROM {log}) t WHERE rn = 1
 )"""
-    return {
+    out = {
         "cdc_final_state": f"""
 WITH {dedup_cte.lstrip()},
 valid AS (
@@ -679,3 +702,6 @@ SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <=
             f"read_parquet('{FIXTURES}/media/*.parquet')"
         ),
     }
+    # compact()+rebucket() must be state-preserving: same golden replay
+    out["cdc_maintenance"] = out["cdc_final_state"]
+    return out
