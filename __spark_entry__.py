@@ -200,6 +200,29 @@ def _q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog read (Iceberg CDC-read analog): net I/U/D row changes
+    between the version committed by chunk 2 and the final version; DuckDB
+    twin diffs two sequence-truncated golden replays."""
+    log = _fixture_log(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    target = os.path.join(FIXTURES, "_targets", f"{label}_cl")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16, retain_history=8)
+    job = (
+        IngestJob(f"cl-{label}")
+        .source(log)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=4)
+    ver = max(
+        h["version"] for h in table.history() if h["committed"].get(f"cl-{label}") == 1
+    )
+    return table.changes_between(ver, compare_cols=["content_sha"])
+
+
 def _q_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintenance ops preserve state: replay, then compact() (tombstone GC
     below the replay horizon, delta-chain fold) and rebucket() (bucket-layout
@@ -469,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_maintenance": _q_cdc_maintenance,
+        "cdc_changelog": _q_cdc_changelog,
         "events_dedup": _q_events_dedup,
         "events_latest_per_user": _q_events_latest_per_user,
         "events_props_json": _q_events_props_json,
@@ -704,4 +728,46 @@ SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <=
     }
     # compact()+rebucket() must be state-preserving: same golden replay
     out["cdc_maintenance"] = out["cdc_final_state"]
+
+    def _golden_state(name: str, where: str) -> str:
+        """Golden final-state CTE chain (dedup→valid→latest→live) over a
+        sequence-restricted slice of the log, as '<name>' (keys + sha)."""
+        return f"""
+{name}_d AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY repo, path, commit, event_sequence ORDER BY op) AS rn
+    FROM {log} WHERE {where}) t WHERE rn = 1
+), {name}_v AS (
+  SELECT event_sequence, op, repo, path, commit, trim(lang) AS lang, content
+  FROM {name}_d WHERE {_valid_pred()}
+), {name}_l AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY repo, path, commit
+        ORDER BY event_sequence DESC, op DESC) AS rn
+    FROM {name}_v) t WHERE rn = 1
+), {name} AS (
+  SELECT repo, path, commit, sha256(content) AS content_sha
+  FROM {name}_l WHERE op <> 'D'
+)"""
+
+    out["cdc_changelog"] = f"""
+WITH bound AS (
+  SELECT 2 * ((max(event_sequence) + 1 + 3) // 4) AS hi FROM {log}
+),{_golden_state("s1", "event_sequence < (SELECT hi FROM bound)")},{_golden_state("s2", "TRUE")}
+SELECT coalesce(a.repo, b.repo) AS repo,
+       coalesce(a.path, b.path) AS path,
+       coalesce(a.commit, b.commit) AS commit,
+       CASE WHEN a.repo IS NULL THEN 'I'
+            WHEN b.repo IS NULL THEN 'D'
+            WHEN a.content_sha <> b.content_sha THEN 'U' END AS change_op,
+       CASE WHEN b.repo IS NULL THEN a.content_sha
+            ELSE b.content_sha END AS content_sha
+FROM s1 a FULL OUTER JOIN s2 b
+  ON a.repo = b.repo AND a.path = b.path AND a.commit = b.commit
+WHERE CASE WHEN a.repo IS NULL THEN 'I'
+           WHEN b.repo IS NULL THEN 'D'
+           WHEN a.content_sha <> b.content_sha THEN 'U' END IS NOT NULL
+"""
     return out

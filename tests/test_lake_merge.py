@@ -501,3 +501,26 @@ def test_rebucket_layout_evolution(spark, tmp_path):
     # snapshot carries the OLD n_buckets + dirs)
     assert {(r0["repo"], r0["path"], r0["commit"]): r0["content"]
             for r0 in t.read(version=1).collect()} == before
+
+
+def test_changes_between_versions(spark, tmp_path):
+    """Changelog read: I/U/D classification between two committed versions,
+    payload from the destination side ('I'/'U') or the source side ('D')."""
+    t = mk_table(spark, tmp_path, retain_history=8)
+    t.merge(ev(spark, [
+        (0, "I", "r1", "a", "c1", "py", "v1"),
+        (1, "I", "r2", "b", "c2", "go", "w1"),
+        (2, "I", "r3", "c", "c3", "rs", "z1"),
+    ]), job="j", batch_id=0)                      # version 1
+    t.merge(ev(spark, [
+        (3, "U", "r1", "a", "c1", "py", "v2"),    # update
+        (4, "D", "r2", "b", "c2", "go", None),    # delete
+        (5, "I", "r4", "d", "c4", "js", "q1"),    # insert
+        (6, "U", "r3", "c", "c3", "rs", "z1"),    # same content -> NOT a change
+    ]), job="j", batch_id=1)                      # version 2
+
+    ch = {(r["repo"], r["change_op"]): r["content"]
+          for r in t.changes_between(1, 2, compare_cols=["content"]).collect()}
+    assert ch == {("r1", "U"): "v2", ("r2", "D"): "w1", ("r4", "I"): "q1"}
+    # empty diff between identical versions
+    assert t.changes_between(2, 2, compare_cols=["content"]).count() == 0

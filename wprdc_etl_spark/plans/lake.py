@@ -569,6 +569,59 @@ class ParquetSnapshotTable(LakeTable):
                 out = out.where(F.col(k) == v)
         return out.where(F.col("_op") != "D").drop(*INTERNAL_COLS)
 
+    def changes_between(
+        self,
+        v_from: int,
+        v_to: int | None = None,
+        compare_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Incremental changelog (the Iceberg CDC-read analog): the NET
+        row-level changes between two committed versions — ``change_op`` 'I'
+        for keys new in ``v_to``, 'U' for keys whose compared payload
+        changed, 'D' for keys gone. Downstream consumers resume by table
+        version the same way the ingest side resumes by batch id; both
+        endpoints read as snapshots, so the feed is exactly-once per version
+        pair. Rows carry the ``v_to`` payload ('I'/'U') or the last ``v_from``
+        payload ('D').
+
+        Scale shape: ONE full-outer join of the two states projected to
+        (keys + compared columns) — O(|a| + |b|) shuffle keyed like every
+        other keyed op here. ``compare_cols`` defaults to ``content_sha``
+        when the table has it (a 64-char compare instead of payload bytes),
+        else every non-key column; keep it narrow and join payloads back by
+        key downstream if consumers need them.
+        """
+        a_full = self.read(version=v_from)
+        b_full = self.read(version=v_to)
+        if compare_cols is None:
+            common = [c for c in b_full.columns if c in a_full.columns and c not in self.keys]
+            compare_cols = ["content_sha"] if "content_sha" in common else common
+        a = a_full.select(*self.keys, *[F.col(c).alias(f"_a_{c}") for c in compare_cols])
+        b = b_full.select(*self.keys, *[F.col(c).alias(f"_b_{c}") for c in compare_cols])
+        # join on key equality; keys are non-null by the merge contract
+        j = a.withColumn("_in_a", F.lit(True)).join(
+            b.withColumn("_in_b", F.lit(True)), self.keys, "full_outer"
+        )
+        changed = F.lit(False)
+        for c in compare_cols:
+            changed = changed | ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+        op = (
+            F.when(F.col("_in_a").isNull(), F.lit("I"))
+            .when(F.col("_in_b").isNull(), F.lit("D"))
+            .when(changed, F.lit("U"))
+        )
+        out = j.withColumn("change_op", op).where(F.col("change_op").isNotNull())
+        return out.select(
+            *self.keys,
+            "change_op",
+            *[
+                F.when(F.col("change_op") == "D", F.col(f"_a_{c}"))
+                .otherwise(F.col(f"_b_{c}"))
+                .alias(c)
+                for c in compare_cols
+            ],
+        )
+
     def read_lineage(self) -> DataFrame:
         man = self._require_manifest()
         dirs = [os.path.join(self.root, rel) for rel in man["lineage"]]
