@@ -32,15 +32,25 @@ def main() -> None:
     ap.add_argument("--source", help="change-event log directory (stream/batch modes)")
     ap.add_argument("--target", required=True, help="lake table root (or Iceberg table name)")
     ap.add_argument("--checkpoint", help="streaming checkpoint location (stream mode)")
-    ap.add_argument("--mode", choices=["stream", "batch", "compact"], default="stream")
+    ap.add_argument("--mode",
+                    choices=["stream", "batch", "compact", "rebucket", "changelog", "history"],
+                    default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
+    ap.add_argument("--retain-history", type=int, default=0,
+                    help="keep the last K versions' data files for time "
+                         "travel / changelog reads (GC policy)")
     ap.add_argument("--n-chunks", type=int, default=1, help="batch mode: replay chunks")
     ap.add_argument("--watermark-delay", default="48 hours")
     ap.add_argument("--lateness", default=None)
     ap.add_argument("--max-files-per-trigger", type=int, default=64)
     ap.add_argument("--continuous", action="store_true",
                     help="stream mode: keep tailing instead of availableNow-drain")
+    ap.add_argument("--new-n-buckets", type=int, help="rebucket mode: target bucket count")
+    ap.add_argument("--from-version", type=int, help="changelog mode: starting table version")
+    ap.add_argument("--to-version", type=int, default=None,
+                    help="changelog mode: ending version (default: current)")
+    ap.add_argument("--output", help="changelog mode: parquet dir for the change feed")
     args = ap.parse_args()
 
     spark = build_session(EngineConfig(app_name=f"wprdc-etl-spark::{args.name}"))
@@ -49,7 +59,10 @@ def main() -> None:
 
         table = IcebergTable(spark, args.target)
     else:
-        table = ParquetSnapshotTable(spark, args.target, n_buckets=args.n_buckets)
+        table = ParquetSnapshotTable(
+            spark, args.target, n_buckets=args.n_buckets,
+            retain_history=args.retain_history,
+        )
 
     job = (
         IngestJob(
@@ -59,11 +72,29 @@ def main() -> None:
             max_files_per_trigger=args.max_files_per_trigger,
         )
     )
-    if args.mode == "compact":
+    if args.mode in ("compact", "rebucket", "changelog", "history"):
         if args.sink == "iceberg":
-            ap.error("compact applies to the parquet-snapshot sink (Iceberg compaction is a table service)")
-        v = table.compact()
-        print(f"compacted to version {v}")
+            ap.error(f"{args.mode} applies to the parquet-snapshot sink "
+                     "(the Iceberg analogs are catalog table services)")
+        if args.mode == "compact":
+            v = table.compact()
+            print(f"compacted to version {v}")
+        elif args.mode == "rebucket":
+            if not args.new_n_buckets:
+                ap.error("--new-n-buckets is required in rebucket mode")
+            v = table.rebucket(args.new_n_buckets)
+            print(f"rebucketed to {args.new_n_buckets} buckets at version {v}")
+        elif args.mode == "history":
+            for h in table.history():
+                print(h)
+        else:  # changelog
+            if args.from_version is None or not args.output:
+                ap.error("--from-version and --output are required in changelog mode")
+            ch = table.changes_between(args.from_version, args.to_version)
+            ch.write.mode("overwrite").parquet(args.output)
+            print(f"changelog v{args.from_version}->"
+                  f"{args.to_version if args.to_version is not None else 'current'} "
+                  f"written to {args.output}")
         spark.stop()
         return
     if not args.source:
