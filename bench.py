@@ -15,6 +15,9 @@ The event-log size scales with sf (sf0.1 → 2M events). Headline queries:
 - ``cdc_replay_stream``  — Structured Streaming availableNow over the same
   log (micro-batched; stateful dedup + checkpoint overhead included).
 - ``dedup`` / ``latest_per_key`` / ``fingerprint`` — individual hot operators.
+- ``doc_minhash_lsh`` / ``doc_quality_langid`` / ``emb_near_dup`` — the
+  training-data pipeline ops over the driver's documents/embeddings tables
+  (production xxhash64 leaves, not the oracle-parity sha2 variants).
 
 Extra keys (events_per_sec) ride along; the scaling-efficiency evidence
 (local[8] vs local[32]) lives in scripts/scaling_bench.py → BENCH/BASELINE.md.
