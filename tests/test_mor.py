@@ -97,3 +97,33 @@ def test_mor_then_full_compact(spark, tmp_path):
     assert all(len(d) == 1 for d in man["buckets"].values())
     assert t._read_buckets(man).count() == 1  # tombstone GC'd
     assert state(t) == {("r2", "p2", "c2"): "y"}
+
+
+def test_time_travel_into_mor_delta_version(spark, tmp_path):
+    """read(version=) on a version whose buckets carried MOR delta chains
+    must LWW-resolve exactly as that version's readers did (the history
+    manifest stores the full base+delta dir lists)."""
+    from tests.test_lake_merge import EV_SCHEMA
+
+    def ev(rows):
+        return spark.createDataFrame(rows, EV_SCHEMA)
+
+    t = ParquetSnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=4,
+                             write_mode="cow", retain_history=8)
+    t.ensure(spark.createDataFrame([], EV_SCHEMA).drop("event_sequence", "op").schema)
+    rows = [(i, "I", f"r{i}", f"p{i}", f"c{i}", "py", f"v{i}") for i in range(16)]
+    t.merge(ev(rows), job="j", batch_id=0)                       # v1 base
+    t.write_mode = "mor"
+    t.merge(ev([(100, "U", "r1", "p1", "c1", "py", "d1")]), job="j", batch_id=1)  # v2 delta
+    t.merge(ev([(101, "U", "r2", "p2", "c2", "py", "d2")]), job="j", batch_id=2)  # v3 delta
+    t.write_mode = "cow"
+    t.merge(ev([(102, "U", "r3", "p3", "c3", "py", "d3")]), job="j", batch_id=3)  # v4
+
+    def st(v=None):
+        return {r["repo"]: r["content"] for r in t.read(version=v).collect()}
+
+    s2 = st(2)
+    assert s2["r1"] == "d1" and s2["r2"] == "v2" and len(s2) == 16
+    s3 = st(3)
+    assert s3["r1"] == "d1" and s3["r2"] == "d2" and s3["r3"] == "v3"
+    assert st()["r3"] == "d3"
