@@ -297,6 +297,19 @@ def test_ngram_jaccard_candidates_mode_matches_full(spark, neardup_docs):
     assert (2, 103) in restricted and restricted[(2, 103)] == 1.0
 
 
+def test_ngram_jaccard_candidates_cross_block(spark):
+    """LSH candidates are block-agnostic, so the verifier must score a
+    candidate pair whose docs sit in DIFFERENT blocking groups (ADVICE r2:
+    the block-equality predicate silently dropped them)."""
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 10
+    df = spark.createDataFrame(
+        [(1, text, "blockA"), (2, text, "blockB")], ["doc_id", "text", "source"]
+    )
+    cands = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    got = ngram_jaccard_pairs(df, n=3, threshold=0.05, candidates=cands).collect()
+    assert len(got) == 1 and got[0]["jaccard"] == 1.0
+
+
 def test_ngram_max_doc_freq_caps_pathological_block(spark):
     """A stop-ngram present in EVERY doc of one block must not produce the
     d·(d−1)/2 all-pairs blowup: with the document-frequency cutoff, the

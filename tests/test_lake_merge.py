@@ -422,6 +422,25 @@ def test_expire_snapshots(spark, tmp_path):
     assert live == {"v4", "v5"}
 
 
+def test_expire_snapshots_keep_wider_than_retention(spark, tmp_path):
+    """keep > retain_history must not GC the data dirs of versions inside
+    the requested keep window (ADVICE r2: _gc_orphans used retain_history,
+    orphaning versions the caller asked to keep). Scenario: the writer
+    retained 8 versions; a maintenance handle with retain_history=1 runs
+    expire(keep=3) — versions 2..4 must stay readable."""
+    t = mk_table(spark, tmp_path, retain_history=8, write_mode="cow")
+    for i in range(5):
+        t.merge(ev(spark, [(i, "U", "r1", "a", "c1", "py", f"v{i}")]),
+                job="j", batch_id=i)
+    maint = ParquetSnapshotTable(spark, str(tmp_path / "tbl"), retain_history=1)
+    removed = maint.expire_snapshots(keep=3)
+    assert removed == 2  # v0, v1 expired; v2..v5 kept
+    assert [h["version"] for h in t.history()] == [2, 3, 4, 5]
+    # every version in the keep window still time-travels — readable data
+    for v, want in [(2, "v1"), (3, "v2"), (4, "v3")]:
+        assert [r["content"] for r in t.read(version=v).collect()] == [want]
+
+
 def test_copart_bulk_replay_matches_broadcast(spark, tmp_path):
     """The copart bulk path (winner-rid semi join riding the write exchange)
     produces the exact final state of the reference broadcast path on a

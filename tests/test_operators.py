@@ -114,6 +114,78 @@ def test_xxhash64_matches_spark(spark):
         assert bucket_of_py(32, r["s"], r["l"]) == r["b"]
 
 
+def test_xxhash64_typed_dispatch_matches_spark(spark):
+    """Spark hashes Byte/Short/Int/Date via the 4-byte hashInt path and
+    Long via hashLong — the ``types=`` dispatch must follow the COLUMN type,
+    not the Python value (an int-keyed table's lookup() bucket depends on
+    it). Also covers float/double bit-pattern paths and boolean."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from wprdc_etl_spark.operators.xxhash import spark_xxhash64
+
+    schema = T.StructType([
+        T.StructField("i", T.IntegerType()),
+        T.StructField("sh", T.ShortType()),
+        T.StructField("lg", T.LongType()),
+        T.StructField("fl", T.FloatType()),
+        T.StructField("db", T.DoubleType()),
+        T.StructField("bo", T.BooleanType()),
+    ])
+    rows = [(7, 7, 7, 1.5, -2.25, True), (-123456, -5, -123456, 0.0, 1e18, False),
+            (2**31 - 1, 32767, 2**62, -3.75, -0.5, True)]
+    df = spark.createDataFrame(rows, schema)
+    got = df.select(
+        "*",
+        F.xxhash64("i").alias("hi"),
+        F.xxhash64("sh").alias("hsh"),
+        F.xxhash64("lg").alias("hlg"),
+        F.xxhash64("fl").alias("hfl"),
+        F.xxhash64("db").alias("hdb"),
+        F.xxhash64("bo").alias("hbo"),
+        F.xxhash64("i", "lg").alias("hil"),
+    ).collect()
+    for r in got:
+        assert spark_xxhash64(r["i"], types=["int"]) == r["hi"]
+        assert spark_xxhash64(r["sh"], types=["smallint"]) == r["hsh"]
+        assert spark_xxhash64(r["lg"], types=["bigint"]) == r["hlg"]
+        assert spark_xxhash64(r["fl"], types=["float"]) == r["hfl"]
+        assert spark_xxhash64(r["db"], types=["double"]) == r["hdb"]
+        assert spark_xxhash64(r["bo"], types=["boolean"]) == r["hbo"]
+        assert spark_xxhash64(r["i"], r["lg"], types=["int", "bigint"]) == r["hil"]
+        # the bug the dispatch fixes: int column through the long path diverges
+        assert spark_xxhash64(r["i"], types=["int"]) != spark_xxhash64(r["i"], types=["bigint"]) or r["i"] is None
+
+
+def test_lookup_int_bucket_key(spark, tmp_path):
+    """lookup() on a table whose bucket key is an IntegerType column must
+    route to the same bucket the JVM writer hashed it into (ADVICE r2: the
+    long-path fallback silently returned empty lookups for int keys)."""
+    from pyspark.sql import types as T
+
+    from wprdc_etl_spark.plans.lake import ParquetSnapshotTable
+
+    schema = T.StructType([
+        T.StructField("k", T.IntegerType()),
+        T.StructField("v", T.StringType()),
+    ])
+    tbl = ParquetSnapshotTable(
+        spark, str(tmp_path / "int_tbl"), keys=["k"], bucket_keys=["k"], n_buckets=16
+    )
+    tbl.ensure(schema)
+    batch = spark.createDataFrame(
+        [(i, f"val-{i}", i, "U") for i in range(200)],
+        T.StructType(list(schema.fields) + [
+            T.StructField("event_sequence", T.LongType()),
+            T.StructField("op", T.StringType()),
+        ]),
+    )
+    tbl.merge(batch, job="t", batch_id=1)
+    for probe in (0, 7, 123, 199):
+        rows = tbl.lookup(k=probe).collect()
+        assert [r["v"] for r in rows] == [f"val-{probe}"]
+
+
 def test_asof_join_backward(spark):
     """As-of join: each event gets the latest dim version at-or-before its
     ts; earlier-than-all-versions events keep nulls; equal-ts versions are

@@ -341,18 +341,20 @@ def ngram_jaccard_pairs(
         # verifier mode: only candidate pairs ever enter the join — the left
         # posting list fans out to its (few) candidate partners first, then
         # matches the partner's ngrams; work is O(Σ_pairs |doc|), not O(d²)
+        # NO block-equality predicate here: the candidate set already bounds
+        # the join, and LSH candidates are generated block-agnostically —
+        # requiring _blk == _blkb would silently drop cross-block candidate
+        # pairs (ADVICE r2). Blocking is a non-candidates-mode concern only.
         lc = exploded.withColumnRenamed(id_col, "id_a").join(
             F.broadcast(candidates.select("id_a", "id_b")), "id_a"
         )
         rgt = exploded.select(
-            F.col(id_col).alias("_idb"), F.col("_blk").alias("_blkb"), F.col("_g").alias("_gb")
+            F.col(id_col).alias("_idb"), F.col("_g").alias("_gb")
         )
         inter = (
             lc.join(
                 rgt,
-                on=(F.col("id_b") == F.col("_idb"))
-                & (F.col("_blk") == F.col("_blkb"))
-                & (F.col("_g") == F.col("_gb")),
+                on=(F.col("id_b") == F.col("_idb")) & (F.col("_g") == F.col("_gb")),
             )
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("_inter"))

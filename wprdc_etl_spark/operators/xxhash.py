@@ -86,15 +86,58 @@ def xxh64_bytes(data: bytes, seed: int) -> int:
     return _fmix(h)
 
 
-def spark_xxhash64(*values, seed: int = 42) -> int:
+# Spark dispatches by COLUMN TYPE, not value width: Byte/Short/Int/Date take
+# the 4-byte hashInt path, Long/Timestamp the 8-byte hashLong path. A Python
+# int carries no such distinction, so callers with non-long numeric columns
+# must pass the Spark type names (``types=``) or the hash silently diverges.
+_INT_TYPES = {"tinyint", "smallint", "int", "integer", "date"}
+_LONG_TYPES = {"bigint", "long", "timestamp", "timestamp_ntz"}
+
+
+def _hash_typed(value, spark_type: str, seed: int) -> int:
+    t = spark_type.lower()
+    if t in _INT_TYPES:
+        return xxh64_int(int(value), seed)
+    if t in _LONG_TYPES:
+        return xxh64_long(int(value), seed)
+    if t == "boolean":
+        return xxh64_int(1 if value else 0, seed)
+    if t == "float":
+        import struct
+
+        bits = struct.unpack("<i", struct.pack("<f", float(value)))[0]
+        return xxh64_int(bits, seed)
+    if t == "double":
+        import struct
+
+        bits = struct.unpack("<q", struct.pack("<d", float(value)))[0]
+        return xxh64_long(bits, seed)
+    if t == "string":
+        return xxh64_bytes(str(value).encode("utf-8"), seed)
+    if t == "binary":
+        return xxh64_bytes(bytes(value), seed)
+    raise TypeError(f"unsupported Spark type for xxhash64 parity: {spark_type!r}")
+
+
+def spark_xxhash64(*values, seed: int = 42, types: list[str] | None = None) -> int:
     """The value of Spark's ``F.xxhash64(*cols)`` for one row: each column
     hashes with the running hash as seed; nulls are skipped (Spark keeps the
-    previous hash for null inputs). Returns a SIGNED 64-bit int like Spark."""
+    previous hash for null inputs). Returns a SIGNED 64-bit int like Spark.
+
+    ``types`` (Spark ``simpleString`` names, aligned with ``values``) selects
+    the per-type hash path — REQUIRED for 4-byte numeric columns (int/short/
+    byte/date hash via hashInt, not hashLong) and for float/double. Without
+    it, only string/bytes/bool/long-typed Python values are accepted; a bare
+    Python int is assumed to be a Spark LongType (raising here would break
+    the common (repo, path) string case for nothing — strings are unambiguous).
+    """
     h = seed
-    for v in values:
+    for i, v in enumerate(values):
         if v is None:
             continue
-        if isinstance(v, bool):
+        if types is not None:
+            h = _hash_typed(v, types[i], h)
+        elif isinstance(v, bool):
             h = xxh64_int(1 if v else 0, h)
         elif isinstance(v, int):
             h = xxh64_long(v, h)
@@ -103,10 +146,12 @@ def spark_xxhash64(*values, seed: int = 42) -> int:
         elif isinstance(v, str):
             h = xxh64_bytes(v.encode("utf-8"), h)
         else:
-            raise TypeError(f"unsupported type for xxhash64 parity: {type(v)}")
+            raise TypeError(
+                f"unsupported type for xxhash64 parity: {type(v)} — pass types="
+            )
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
-def bucket_of_py(n_buckets: int, *values, seed: int = 42) -> int:
+def bucket_of_py(n_buckets: int, *values, seed: int = 42, types: list[str] | None = None) -> int:
     """Driver-side twin of ``plans.lake.bucket_of`` (pmod(xxhash64, n))."""
-    return spark_xxhash64(*values, seed=seed) % n_buckets
+    return spark_xxhash64(*values, seed=seed, types=types) % n_buckets

@@ -135,9 +135,11 @@ class IcebergTable(LakeTable):
     def _summary_value(self, key: str) -> str | None:
         """Latest snapshot-summary value for ``key`` (None if never set)."""
         try:
+            # snapshot_id DESC tiebreak: committed_at is millisecond-grained,
+            # two same-ms commits must still resolve to the newest snapshot
             rows = self.spark.sql(
                 f"SELECT summary, committed_at FROM {self.table}.snapshots "
-                f"ORDER BY committed_at DESC"
+                f"ORDER BY committed_at DESC, snapshot_id DESC"
             ).collect()
         except Exception:
             return None

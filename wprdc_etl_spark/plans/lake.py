@@ -349,8 +349,10 @@ class ParquetSnapshotTable(LakeTable):
                     except OSError:
                         pass
         # _gc_orphans only retains dirs whose history manifest still exists,
-        # so the expired versions' files fall out here
-        self._gc_orphans(man)
+        # so the expired versions' files fall out here. Retain by the
+        # EFFECTIVE window: keep > retain_history must not GC data dirs of
+        # versions the caller asked to keep (their manifests survive above).
+        self._gc_orphans(man, retain=max(keep, self.retain_history))
         return removed
 
     def history(self) -> list[dict]:
@@ -552,10 +554,18 @@ class ParquetSnapshotTable(LakeTable):
                 f"lookup needs every bucket key {bkeys}; missing {missing}"
             )
         # driver-side twin of the writer's JVM hash — no Spark job for a
-        # point lookup (operators/xxhash.py, parity-tested)
+        # point lookup (operators/xxhash.py, parity-tested). Spark's xxhash64
+        # picks hashInt vs hashLong by COLUMN type, so the schema's type
+        # names must ride along or an int-typed bucket key hashes wrong.
         from wprdc_etl_spark.operators.xxhash import bucket_of_py
 
-        bucket = bucket_of_py(man["n_buckets"], *[key_values[k] for k in bkeys])
+        schema = T.StructType.fromJson(man["schema"])
+        type_of = {f.name: f.dataType.simpleString() for f in schema.fields}
+        bucket = bucket_of_py(
+            man["n_buckets"],
+            *[key_values[k] for k in bkeys],
+            types=[type_of[k] for k in bkeys],
+        )
         out = self._read_buckets(man, [bucket])
         # key-column filters partition the LWW groups → safe to push below
         # the reduce; any non-key filter must wait until versions resolve
@@ -1228,13 +1238,14 @@ class ParquetSnapshotTable(LakeTable):
 
     # ---- maintenance ----------------------------------------------------------
 
-    def _gc_orphans(self, man: dict) -> None:
+    def _gc_orphans(self, man: dict, retain: int | None = None) -> None:
         """Drop data/lineage dirs not referenced by the committed manifest —
-        leftovers of crashed attempts — nor by any of the last
-        ``retain_history`` version snapshots (time-travel retention).
-        Best-effort; never fails a commit."""
+        leftovers of crashed attempts — nor by any of the last ``retain``
+        version snapshots (default ``retain_history``; time-travel
+        retention). Best-effort; never fails a commit."""
+        retain = self.retain_history if retain is None else retain
         manifests = [man]
-        for v in range(max(0, man["version"] - self.retain_history), man["version"]):
+        for v in range(max(0, man["version"] - retain), man["version"]):
             hpath = os.path.join(self.root, "history", f"manifest.v{v}.json")
             try:
                 with open(hpath, "r", encoding="utf-8") as fh:
