@@ -216,6 +216,64 @@ def test_asof_join_backward(spark):
     assert out.count() == 5                       # left semantics: no fanout
 
 
+def test_asof_join_duplicate_and_null_anchors(spark):
+    """The late-materialized plan answers per DISTINCT (key, ts) and joins
+    payload back — duplicate-(key, ts) events must not fan out, and
+    null-key / null-ts events survive with null payload (eqNullSafe)."""
+    import datetime as dt
+
+    from wprdc_etl_spark.operators.relational import asof_join
+
+    T = lambda s: dt.datetime.fromisoformat(f"2024-01-01 {s}")
+    events = spark.createDataFrame(
+        [(1, "u", T("10:00")), (2, "u", T("10:00")),  # same (key, ts) twice
+         (3, None, T("10:00")), (4, "u", None)],
+        ["event_id", "user", "ts"],
+    )
+    dims = spark.createDataFrame(
+        [("u", T("09:30"), "bronze")], ["user", "valid_from", "tier"]
+    )
+    out = asof_join(events, dims, on="user", ts="ts", dim_ts="valid_from",
+                    payload=["tier"])
+    got = {r["event_id"]: r["tier"] for r in out.collect()}
+    assert out.count() == 4
+    assert got[1] == "bronze" and got[2] == "bronze"
+    assert got[3] is None and got[4] is None
+
+
+def test_asof_join_payload_not_in_window_sort(spark):
+    """Plan shape: event payload columns must NOT enter the window's
+    shuffle+sort — only the narrow (key, ts) anchors and the dim payload do
+    (VERDICT r2 'payload-through-sort'). Asserted on the formatted plan: the
+    Window operator and the Sort feeding it never see the content column."""
+    import datetime as dt
+    import re
+
+    from wprdc_etl_spark.operators.relational import asof_join
+
+    T = lambda s: dt.datetime.fromisoformat(f"2024-01-01 {s}")
+    events = spark.createDataFrame(
+        [(1, "u", T("10:00"), "BIGPAYLOAD" * 10)],
+        ["event_id", "user", "ts", "content"],
+    )
+    dims = spark.createDataFrame(
+        [("u", T("09:30"), "bronze")], ["user", "valid_from", "tier"]
+    )
+    out = asof_join(events, dims, on="user", ts="ts", dim_ts="valid_from",
+                    payload=["tier"])
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(mode)
+    win_ids = re.findall(r"\((\d+)\) Window", plan)
+    assert win_ids, plan
+    for wid in win_ids:
+        m = re.search(rf"\({wid}\) Window\nInput \[\d+\]: \[([^\]]*)\]", plan)
+        assert m and "content" not in m.group(1), plan
+    # the Sort(s) directly below the window sort narrow rows only
+    for m in re.finditer(r"\((\d+)\) Sort\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        if "_is_event" in m.group(2):  # the window's sort, not a join sort
+            assert "content" not in m.group(2), plan
+
+
 def test_sessionize_and_stats(spark):
     import datetime as dt
 

@@ -11,11 +11,16 @@ the standard event-stream grouping every CDC/analytics pipeline needs.
 
 Scale shapes:
 
-- ``asof_join``: union(events, dim-versions) → ONE window pass partitioned by
-  key ordered by (ts, tag) carrying ``last(dim, ignorenulls=True)`` forward.
-  One shuffle on the key, no range explosion, no per-event probe — the
-  union-and-carry-forward plan an MPP engine would pick. Skewed keys ride the
-  same salting/AQE story as every other keyed shuffle here.
+- ``asof_join``: union(distinct event anchors, dim-versions) → ONE window
+  pass partitioned by key ordered by (ts, tag) carrying
+  ``last(dim, ignorenulls=True)`` forward, then the event PAYLOAD joins back
+  by (key, ts) — the engine's late-materialization idiom (plans/lake.py
+  merge): only narrow (key, ts) anchors and the dim payload ride the window
+  shuffle+sort; event content bytes never do (at 100 TB the events side
+  dwarfs the dims side, and sorting content bytes is the classic
+  payload-through-sort trap the merge path engineered out). No range
+  explosion, no per-event probe. Skewed keys ride the same salting/AQE story
+  as every other keyed shuffle here.
 - ``sessionize``: lag + cumulative sum over (key, ts) — the gaps-and-islands
   construction; one shuffle on the key. (Streaming twin: F.session_window —
   see streaming/job.py docs; this is the batch/replay form.)
@@ -48,12 +53,14 @@ def asof_join(
     """
     if direction != "backward":
         raise ValueError("only direction='backward' is implemented")
-    ecols = events.columns
-    tagged_e = events.select(
-        F.col(on).alias("_k"),
-        F.col(ts).alias("_t"),
+    # LATE MATERIALIZATION: the asof answer is a pure function of (key, ts),
+    # so only the DISTINCT event anchors enter the window — event payload
+    # columns stay out of the shuffle+sort entirely and join back at the end.
+    anchors = events.select(F.col(on).alias("_k"), F.col(ts).alias("_t")).distinct()
+    tagged_e = anchors.select(
+        "_k",
+        "_t",
         F.lit(1).alias("_is_event"),
-        F.struct(*ecols).alias("_e"),
         *[F.lit(None).cast(dims.schema[c].dataType).alias(f"_d_{c}") for c in payload],
         F.lit(None).cast(dims.schema[dim_ts].dataType).alias("_dts"),
     )
@@ -61,7 +68,6 @@ def asof_join(
         F.col(on).alias("_k"),
         F.col(dim_ts).alias("_t"),
         F.lit(0).alias("_is_event"),
-        F.lit(None).cast(events.select(F.struct(*ecols)).schema[0].dataType).alias("_e"),
         *[F.col(c).alias(f"_d_{c}") for c in payload],
         F.col(dim_ts).alias("_dts"),
     )
@@ -74,12 +80,21 @@ def asof_join(
     )
     carried = tagged_e.unionByName(tagged_d).select(
         "_is_event",
-        "_e",
+        "_k",
+        "_t",
         *[F.last(f"_d_{c}", ignorenulls=True).over(w).alias(f"_d_{c}") for c in payload],
         F.last("_dts", ignorenulls=True).over(w).alias("_asof_ts"),
     )
-    return carried.where(F.col("_is_event") == 1).select(
-        "_e.*",
+    # one row per distinct (key, ts) → the payload join-back multiplies each
+    # event row by exactly 1. eqNullSafe keeps null-key / null-ts events (a
+    # plain equi-join would drop them; they carry null payload like before).
+    asof = carried.where(F.col("_is_event") == 1).drop("_is_event")
+    return events.join(
+        asof,
+        on=F.col(on).eqNullSafe(F.col("_k")) & F.col(ts).eqNullSafe(F.col("_t")),
+        how="left",
+    ).select(
+        *events.columns,
         *[F.col(f"_d_{c}").alias(c) for c in payload],
         "_asof_ts",
     )
