@@ -441,6 +441,53 @@ def test_expire_snapshots_keep_wider_than_retention(spark, tmp_path):
         assert [r["content"] for r in t.read(version=v).collect()] == [want]
 
 
+def test_concurrent_writer_cas(spark, tmp_path):
+    """Two writers interleaving commits on one table: the second to commit
+    from a stale manifest read must fail with a clean SinkCommitError (not
+    silently last-write-wins away the other's bucket updates), and the
+    table must stay consistent with the surviving commit."""
+    t = mk_table(spark, tmp_path)
+    t.merge(ev(spark, [(0, "I", "r1", "a", "c1", "py", "v0")]), job="j", batch_id=0)
+
+    # writer B commits between writer A's manifest read and A's swap:
+    # simulate by snapshotting the manifest A read, letting B commit, then
+    # restoring A's stale base so A's merge derives version from it
+    import json as _json
+
+    stale = _json.load(open(t._manifest_path))
+    t2 = ParquetSnapshotTable(spark, str(tmp_path / "tbl"))
+    t2.merge(ev(spark, [(1, "U", "r2", "b", "c2", "py", "B")]), job="other", batch_id=0)
+    fresh = _json.load(open(t._manifest_path))
+    assert fresh["version"] == stale["version"] + 1
+
+    # A now swaps a manifest derived from the stale base → CAS must refuse
+    stale_next = dict(stale)
+    stale_next["version"] = stale["version"] + 1  # collides with B's commit
+    with pytest.raises(SinkCommitError, match="concurrent writer"):
+        t._swap_manifest(stale_next)
+
+    # table state: B's commit intact, A's refused commit invisible
+    assert state(t2) == {
+        ("r1", "a", "c1"): "v0",
+        ("r2", "b", "c2"): "B",
+    }
+    # a lock left behind by a crashed writer is broken after the stale age
+    lock = str(tmp_path / "tbl" / ".manifest.lock")
+    open(lock, "w").write("9999\n")
+    import os as _os
+    old = __import__("time").time() - 120
+    _os.utime(lock, (old, old))
+    t2.merge(ev(spark, [(2, "U", "r1", "a", "c1", "py", "v1")]), job="j", batch_id=1)
+    assert state(t2)[("r1", "a", "c1")] == "v1"
+    # fresh lock held by a live writer → the late committer times out cleanly
+    open(lock, "w").write("9999\n")
+    t3 = ParquetSnapshotTable(spark, str(tmp_path / "tbl"))
+    t3._LOCK_TIMEOUT_S = 0.3
+    with pytest.raises(SinkCommitError, match="commit lock"):
+        t3.merge(ev(spark, [(3, "U", "r9", "z", "c9", "py", "x")]), job="j", batch_id=2)
+    _os.remove(lock)
+
+
 def test_copart_bulk_replay_matches_broadcast(spark, tmp_path):
     """The copart bulk path (winner-rid semi join riding the write exchange)
     produces the exact final state of the reference broadcast path on a

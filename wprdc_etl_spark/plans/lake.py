@@ -60,9 +60,13 @@ Scale design (the part that must survive 1000 executors / 10^10 events):
   skipped by the ``committed[job] >= batch_id`` guard — and would be a no-op
   anyway because LWW-by-sequence is idempotent (SURVEY §4.4).
 
-Single-writer assumption: one streaming query owns a table (the reference is
+Single-writer deployment: one streaming query owns a table (the reference is
 likewise a single cron process per pipeline). The manifest swap makes
-concurrent readers always see a consistent snapshot.
+concurrent readers always see a consistent snapshot — and the swap is a
+compare-and-swap under a short lock, so a SECOND writer racing the same
+table fails with a clean ``SinkCommitError`` instead of silently dropping
+the other writer's bucket updates (the optimistic-concurrency commit
+protocol Iceberg uses; see ``_swap_manifest``).
 """
 
 from __future__ import annotations
@@ -70,6 +74,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from abc import ABC, abstractmethod
 from dataclasses import dataclass, field
@@ -271,21 +276,87 @@ class ParquetSnapshotTable(LakeTable):
         with open(self._manifest_path, "r", encoding="utf-8") as fh:
             return json.load(fh)
 
+    _LOCK_TIMEOUT_S = 10.0   # how long a committer waits for the lock
+    _LOCK_STALE_S = 60.0     # a lock older than this is a crashed writer's
+
+    def _acquire_commit_lock(self) -> str:
+        """Exclusive short-lived commit lock (O_CREAT|O_EXCL — atomic on
+        POSIX and on every shared filesystem that backs a lake). Held only
+        around read-check-replace, i.e. milliseconds; a crashed writer's
+        stale lock is broken after ``_LOCK_STALE_S`` by mtime."""
+        lock = os.path.join(self.root, ".manifest.lock")
+        deadline = time.monotonic() + self._LOCK_TIMEOUT_S
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()}\n".encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                    if age > self._LOCK_STALE_S:
+                        os.remove(lock)  # break a crashed writer's lock
+                        continue
+                except OSError:
+                    continue  # lock vanished between open and stat — retry
+                if time.monotonic() > deadline:
+                    raise SinkCommitError(
+                        f"commit lock at {lock} held by another writer for "
+                        f">{self._LOCK_TIMEOUT_S}s — concurrent committer or "
+                        f"stale lock younger than {self._LOCK_STALE_S}s"
+                    )
+                time.sleep(0.05)
+
     def _swap_manifest(self, manifest: dict) -> None:
-        """The commit point: write-then-rename is atomic on POSIX. After the
-        swap, the same bytes are snapshotted to an immutable
-        ``history/manifest.v{N}.json`` (the Iceberg metadata-file analog) so
-        past versions stay addressable for time travel / audit. The snapshot
-        is post-commit and best-effort: a crash between swap and snapshot
-        loses only the history copy of the newest version, which
-        ``_manifest_at`` serves from manifest.json anyway."""
+        """The commit point: compare-and-swap under a short exclusive lock,
+        then write-then-rename (atomic on POSIX). The CAS closes the
+        concurrent-writer race: every committer derives ``version = base+1``
+        from the manifest it read, so if the on-disk version no longer
+        equals ``base`` another writer committed in between — losing that
+        writer's bucket updates by last-write-wins would silently corrupt
+        the table, so the late committer gets a clean ``SinkCommitError``
+        (retry = re-read + re-merge). After the swap, the same bytes are
+        snapshotted to an immutable ``history/manifest.v{N}.json`` (the
+        Iceberg metadata-file analog) so past versions stay addressable for
+        time travel / audit. The snapshot is post-commit and best-effort: a
+        crash between swap and snapshot loses only the history copy of the
+        newest version, which ``_manifest_at`` serves from manifest.json
+        anyway."""
         payload = json.dumps(manifest, indent=1, sort_keys=True)
         tmp = os.path.join(self.root, f"manifest.tmp.{uuid.uuid4().hex}")
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(payload)
             fh.flush()
             os.fsync(fh.fileno())
-        os.replace(tmp, self._manifest_path)
+        expected_prior = manifest["version"] - 1
+        lock = self._acquire_commit_lock()
+        try:
+            current = self._read_manifest()
+            cur_v = None if current is None else current["version"]
+            if expected_prior < 0:
+                if current is not None:
+                    os.remove(tmp)
+                    raise SinkCommitError(
+                        f"create race: table at {self.root} already exists "
+                        f"(version {cur_v})"
+                    )
+            elif cur_v != expected_prior:
+                os.remove(tmp)
+                raise SinkCommitError(
+                    f"concurrent writer: table at {self.root} is at version "
+                    f"{cur_v}, expected {expected_prior} — another commit "
+                    f"landed since this batch read the manifest; re-read and "
+                    f"re-apply (single-writer-per-table is the supported "
+                    f"deployment; this guard turns a silent lost-update into "
+                    f"a clean failure)"
+                )
+            os.replace(tmp, self._manifest_path)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
         try:
             hdir = os.path.join(self.root, "history")
             os.makedirs(hdir, exist_ok=True)
