@@ -420,6 +420,27 @@ def _q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("_rank", "rank")
 
 
+def _q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN retrieval through the IVF index (functions/similarity.py:
+    ivf_build + ivf_topk) at FULL probe: nprobe=n_cells makes the
+    cell-restricted search provably equal to brute force — deterministic
+    (seeded scan-only quantizer init, Lloyd iterations as hash-aggregates,
+    tie-break on (cosine DESC, vec_id)) — so the DuckDB twin is the exact
+    brute-force top-k SQL. The production path drops nprobe to probe
+    ~nprobe/n_cells of the corpus (recall-tested in pytest); the driver
+    gate proves the whole IVF machinery (cell assignment, probe-list
+    ranking, within-cell exact rescoring) end to end."""
+    from wprdc_etl_spark.functions.similarity import ivf_build, ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_build(emb, dim=64, n_cells=16, n_iters=2)
+    queries_df = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries_df, cents, k=10, nprobe=16)
+    return out.withColumnRenamed("_rank", "rank")
+
+
 def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: RP-LSH banded candidates (8 bands ×
     4 sign bits, seeded planes) verified by exact cosine ≥ 0.4. Deterministic
@@ -505,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": _q_doc_lang_id,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "emb_cosine_topk": _q_emb_cosine_topk,
+        "emb_ann_topk": _q_emb_ann_topk,
         "emb_near_dup": _q_emb_near_dup,
         "doc_minhash_pairs": _q_doc_minhash_pairs,
         "doc_simhash": _q_doc_simhash,
@@ -728,6 +750,8 @@ SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <=
     }
     # compact()+rebucket() must be state-preserving: same golden replay
     out["cdc_maintenance"] = out["cdc_final_state"]
+    # full-probe IVF (nprobe=n_cells) is provably brute force — same twin
+    out["emb_ann_topk"] = out["emb_cosine_topk"]
 
     def _golden_state(name: str, where: str) -> str:
         """Golden final-state CTE chain (dedup→valid→latest→live) over a
