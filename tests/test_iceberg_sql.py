@@ -59,3 +59,51 @@ def test_guard_rides_merge_snapshot():
     # the only TBLPROPERTIES write left is the A23 metadata mirror, after
     # the snapshot, for user-supplied properties only
     assert "last-batch" not in after_merge or "GUARD_PREFIX" not in after_merge
+
+
+def test_time_travel_and_history_sql():
+    assert ice.time_travel_sql("cat.db.t", 42) == "SELECT * FROM cat.db.t VERSION AS OF 42"
+    h = ice.history_sql("cat.db.t")
+    assert "FROM cat.db.t.snapshots" in h
+    # same same-millisecond tiebreak as the guard reader, ascending
+    assert "ORDER BY committed_at ASC, snapshot_id ASC" in h
+
+
+def test_changelog_sql_net_changes_contract():
+    call, select = ice.changelog_sql(
+        "cat.db.t", 100, 200, keys=["repo", "path", "commit"]
+    )
+    # procedures are CALL'd on the catalog with the db-local identifier
+    assert call.startswith("CALL cat.system.create_changelog_view(table => 'db.t'")
+    assert "'start-snapshot-id-exclusive','100'" in call
+    assert "'end-snapshot-id-inclusive','200'" in call
+    # identifier columns make Iceberg pair D+I on a key into an update
+    assert "identifier_columns => array('repo', 'path', 'commit')" in call
+    assert "changelog_view => 'db_t_changes'" in call
+    # the SELECT maps Iceberg change types onto the engine's I/U/D contract
+    assert "WHEN 'INSERT' THEN 'I'" in select
+    assert "WHEN 'DELETE' THEN 'D'" in select
+    assert "_change_type <> 'UPDATE_BEFORE'" in select
+
+
+def test_maintenance_procedure_sql():
+    assert ice.compact_sql("cat.db.t") == (
+        "CALL cat.system.rewrite_data_files(table => 'db.t', strategy => 'binpack')"
+    )
+    assert ice.expire_snapshots_sql("cat.db.t", 5) == (
+        "CALL cat.system.expire_snapshots(table => 'db.t', retain_last => 5)"
+    )
+    # unqualified table → session catalog
+    assert ice.compact_sql("db.t").startswith("CALL spark_catalog.system.")
+
+
+def test_rebucket_and_write_mode_sql():
+    sql = ice.rebucket_sql("cat.db.t", 64, 256)
+    assert sql == (
+        "ALTER TABLE cat.db.t REPLACE PARTITION FIELD "
+        "bucket(64, path) WITH bucket(256, path)"
+    )
+    mor = ice.write_mode_sql("cat.db.t", "mor")
+    for prop in ("write.merge.mode", "write.update.mode", "write.delete.mode"):
+        assert f"'{prop}' = 'merge-on-read'" in mor
+    assert "'write.merge.mode' = 'copy-on-write'" in ice.write_mode_sql("t", "cow")

@@ -74,8 +74,27 @@ def main() -> None:
     )
     if args.mode in ("compact", "rebucket", "changelog", "history"):
         if args.sink == "iceberg":
-            ap.error(f"{args.mode} applies to the parquet-snapshot sink "
-                     "(the Iceberg analogs are catalog table services)")
+            # same verbs, expressed as Iceberg catalog procedures
+            # (plans/iceberg.py builders; --from/--to versions are snapshot ids)
+            if args.mode == "compact":
+                table.compact()
+                print(f"rewrite_data_files submitted for {args.target}")
+            elif args.mode == "rebucket":
+                if not args.new_n_buckets:
+                    ap.error("--new-n-buckets is required in rebucket mode")
+                table.rebucket(args.n_buckets, args.new_n_buckets)
+                print(f"partition spec evolved to bucket({args.new_n_buckets}, path)")
+            elif args.mode == "history":
+                for h in table.history():
+                    print(h)
+            else:
+                if args.from_version is None or not args.output:
+                    ap.error("--from-version and --output are required in changelog mode")
+                ch = table.changes_between(args.from_version, args.to_version)
+                ch.write.mode("overwrite").parquet(args.output)
+                print(f"changelog written to {args.output}")
+            spark.stop()
+            return
         if args.mode == "compact":
             v = table.compact()
             print(f"compacted to version {v}")

@@ -62,6 +62,105 @@ def evolve_sql(table: str, new_fields: list[T.StructField]) -> str:
     return f"ALTER TABLE {table} ADD COLUMNS ({adds})"
 
 
+def _catalog_and_ident(table: str) -> tuple[str, str]:
+    """Iceberg procedures are CALL'd on the CATALOG: ``cat.db.t`` →
+    (``cat``, ``db.t``); an unqualified ``db.t`` uses the session catalog."""
+    parts = table.split(".")
+    if len(parts) >= 3:
+        return parts[0], ".".join(parts[1:])
+    return "spark_catalog", table
+
+
+def time_travel_sql(table: str, version: int) -> str:
+    """Snapshot read (ParquetSnapshotTable.read(version=) analog). Iceberg's
+    ``VERSION AS OF`` takes a snapshot id — the engine's integer table
+    version maps onto it (both are 'the state after commit N')."""
+    return f"SELECT * FROM {table} VERSION AS OF {version}"
+
+
+def history_sql(table: str) -> str:
+    """Commit log (history() analog): snapshots oldest-first with the same
+    same-ms tiebreak the guard reader uses."""
+    return (
+        f"SELECT snapshot_id, committed_at, operation, summary FROM "
+        f"{table}.snapshots ORDER BY committed_at ASC, snapshot_id ASC"
+    )
+
+
+def changelog_sql(table: str, start_snapshot: int, end_snapshot: int,
+                  keys: list[str] | None = None) -> tuple[str, str]:
+    """Changelog read (changes_between analog): Iceberg's
+    ``create_changelog_view`` procedure + the SELECT over the view it
+    registers. ``identifier-columns`` makes Iceberg pair DELETE+INSERT on
+    the same key into UPDATE_BEFORE/UPDATE_AFTER — the net-changes shape
+    ParquetSnapshotTable.changes_between computes with its full-outer join.
+    Returns (CALL sql, SELECT sql)."""
+    cat, ident = _catalog_and_ident(table)
+    view = f"{ident.replace('.', '_')}_changes"
+    opts = (
+        f"options => map('start-snapshot-id-exclusive','{start_snapshot}',"
+        f"'end-snapshot-id-inclusive','{end_snapshot}')"
+    )
+    ident_cols = (
+        f", identifier_columns => array({', '.join(repr(k) for k in keys)})"
+        if keys else ""
+    )
+    call = (
+        f"CALL {cat}.system.create_changelog_view(table => '{ident}', "
+        f"{opts}{ident_cols}, changelog_view => '{view}')"
+    )
+    select = (
+        f"SELECT *, CASE _change_type WHEN 'INSERT' THEN 'I' "
+        f"WHEN 'DELETE' THEN 'D' ELSE 'U' END AS change_op "
+        f"FROM {view} WHERE _change_type <> 'UPDATE_BEFORE'"
+    )
+    return call, select
+
+
+def compact_sql(table: str) -> str:
+    """compact() analog: bin-pack small files (and MOR delete files) back
+    into full-size data files."""
+    cat, ident = _catalog_and_ident(table)
+    return (
+        f"CALL {cat}.system.rewrite_data_files(table => '{ident}', "
+        f"strategy => 'binpack')"
+    )
+
+
+def expire_snapshots_sql(table: str, retain_last: int) -> str:
+    """expire_snapshots(keep=) analog: drop snapshot metadata + orphaned
+    data files older than the retained window."""
+    cat, ident = _catalog_and_ident(table)
+    return (
+        f"CALL {cat}.system.expire_snapshots(table => '{ident}', "
+        f"retain_last => {retain_last})"
+    )
+
+
+def rebucket_sql(table: str, old_n_buckets: int, new_n_buckets: int,
+                 col: str = "path") -> str:
+    """rebucket() analog: layout evolution without a rewrite — Iceberg
+    partition-spec evolution applies the new bucketing to FUTURE writes
+    (compaction migrates old files incrementally; the snapshot table's
+    rebucket() rewrites eagerly instead because its manifest has no
+    per-file spec tracking)."""
+    return (
+        f"ALTER TABLE {table} REPLACE PARTITION FIELD "
+        f"bucket({old_n_buckets}, {col}) WITH bucket({new_n_buckets}, {col})"
+    )
+
+
+def write_mode_sql(table: str, mode: str) -> str:
+    """ParquetSnapshotTable write_mode ('cow'/'mor') analog: Iceberg's
+    row-level-operation modes are table properties."""
+    m = {"cow": "copy-on-write", "mor": "merge-on-read"}[mode]
+    return (
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        f"'write.merge.mode' = '{m}', 'write.update.mode' = '{m}', "
+        f"'write.delete.mode' = '{m}')"
+    )
+
+
 def merge_sql(table: str, keys: list[str], batch_cols: list[str], table_cols: list[str]) -> str:
     """The sequence-aware LWW MERGE.
 
@@ -121,14 +220,71 @@ class IcebergTable(LakeTable):
             )
             self.spark.sql(f"CREATE TABLE {self.lineage_table} ({ddl}) USING iceberg")
 
-    def read(self) -> DataFrame:
-        return self.spark.table(self.table).where(F.col("_op") != "D").drop("_seq", "_op")
+    def read(self, version: int | None = None) -> DataFrame:
+        """Table state; ``version`` (a snapshot id) time-travels via
+        ``VERSION AS OF`` — the ParquetSnapshotTable.read(version=) drop-in."""
+        df = (
+            self.spark.sql(time_travel_sql(self.table, version))
+            if version is not None
+            else self.spark.table(self.table)
+        )
+        return df.where(F.col("_op") != "D").drop("_seq", "_op")
 
     def read_lineage(self) -> DataFrame:
         return self.spark.table(self.lineage_table)
 
     def truncate(self) -> None:
         self.spark.sql(f"DELETE FROM {self.table}")
+
+    # ---- snapshot services (ParquetSnapshotTable maintenance drop-ins) ----
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first — snapshot id, timestamp, operation and
+        summary (where the exactly-once guard properties live)."""
+        return [r.asDict() for r in self.spark.sql(history_sql(self.table)).collect()]
+
+    def current_snapshot_id(self) -> int | None:
+        h = self.history()
+        return int(h[-1]["snapshot_id"]) if h else None
+
+    def changes_between(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Net row-level changes between two snapshots (``change_op``
+        I/U/D), same consumer contract as ParquetSnapshotTable
+        .changes_between: both endpoints read as snapshots → the feed is
+        exactly-once per version pair. ``v_from`` is EXCLUSIVE start (the
+        consumer's last-seen snapshot), matching the snapshot table's
+        'changes since version N' semantics."""
+        if v_to is None:
+            v_to = self.current_snapshot_id()
+            if v_to is None:
+                raise SinkCommitError(f"{self.table} has no snapshots")
+        call, select = changelog_sql(self.table, v_from, v_to, keys=self.keys)
+        self.spark.sql(call)
+        return self.spark.sql(select)
+
+    def compact(self) -> None:
+        """Bin-pack small files (the inline-compaction analog; run it on the
+        cadence MOR delta pressure demands)."""
+        self.spark.sql(compact_sql(self.table))
+
+    def expire_snapshots(self, retain_last: int) -> None:
+        if retain_last < 1:
+            raise SinkCommitError(f"retain_last must be >= 1, got {retain_last}")
+        self.spark.sql(expire_snapshots_sql(self.table, retain_last))
+
+    def rebucket(self, old_n_buckets: int, new_n_buckets: int) -> None:
+        """Partition-spec evolution: new writes use the new bucket count;
+        existing files keep the old spec until compaction rewrites them."""
+        if new_n_buckets < 1:
+            raise SinkCommitError(f"n_buckets must be >= 1, got {new_n_buckets}")
+        self.spark.sql(rebucket_sql(self.table, old_n_buckets, new_n_buckets))
+
+    def set_write_mode(self, mode: str) -> None:
+        """'cow' or 'mor' — the write-amplification control, as Iceberg
+        row-level-operation table properties."""
+        if mode not in ("cow", "mor"):
+            raise SinkCommitError(f"write mode must be 'cow' or 'mor', got {mode!r}")
+        self.spark.sql(write_mode_sql(self.table, mode))
 
     # ---- guard / state via snapshot summary properties ---------------------
 
