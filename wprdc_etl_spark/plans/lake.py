@@ -141,12 +141,28 @@ def bucket_of(n_buckets: int, keys: list[str] | None = None) -> Column:
 
 def _lww_reduce(df: DataFrame, keys: list[str]) -> DataFrame:
     """One row per key: the greatest (_seq, op-rank) wins — the engine's
-    single deterministic total order (SURVEY §8.3 #3). Hash aggregate with
-    map-side partial combine (see operators/latest.py for the physical
-    rationale vs a row_number window). The ordering is encoded as ONE bigint
-    (_seq·4 + rank, rank ∈ 0..3) — a struct ordering would demote max_by to
-    SortAggregate (observed via explain); a flat long keeps it hash-based
-    and sort-free. Safe: _seq < 2^61 at any conceivable log length."""
+    single deterministic total order (SURVEY §8.3 #3).
+
+    Physical shape (docs/PLANS.md, merge section): ``max_by`` with a STRUCT
+    value buffer is declarative-with-immutable-buffer, so Spark compiles it
+    to SortAggregate regardless of the ordering's type — the flat bigint
+    ordering (_seq·4 + rank, rank ∈ 0..3) does NOT buy HashAggregateExec
+    here. What the shape DOES deliver, and why it still beats the
+    alternatives (operators/latest.py has the measurements):
+
+    - ``partial_max_by`` map-side combine — the shuffle carries one row per
+      (key, partition), not every event; that, not the agg algorithm, is
+      the scale lever.
+    - The per-partition sort under SortAggregate orders (keys, ordering)
+      over whatever the caller feeds it — on the merge hot path that is
+      ~50-byte metadata rows (late materialization), so the sort is narrow;
+      measured 4× faster than the row_number-window formulation.
+    - A ``max(ordering)``+join-back variant would re-scan the payload and
+      — worse — emit BOTH copies of a key whose winning (_seq, _op) row is
+      exactly duplicated (redelivery landing in two delta files), where
+      max_by deterministically returns one. Correctness > the narrow sort.
+
+    Safe: _seq < 2^61 at any conceivable log length."""
     ordering = F.col("_seq") * 4 + _rank(F.col("_op")) + 1
     payload = [c for c in df.columns if c not in keys]
     agg = df.groupBy(*keys).agg(F.max_by(F.struct(*payload), ordering).alias("_row"))
