@@ -114,6 +114,34 @@ def _q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("repo", "path", "commit", "lang", "content_sha")
 
 
+def _q_cdc_multi_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-log ingestion (streaming/job.py::IngestJob.source([...])):
+    the fixture log split into two KEY-SHARDED dirs (pmod(xxhash64(repo,
+    path), 2) — the binlog-per-shard CDC deployment) and unioned back
+    through the full pipeline. Must reproduce the exact single-log golden
+    state: the oracle is the same golden replay as cdc_final_state."""
+    log = _fixture_log(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    shards = [os.path.join(FIXTURES, label, "shards", f"s{i}") for i in range(2)]
+    if not all(os.path.exists(os.path.join(s, "_SUCCESS")) for s in shards):
+        ev = spark.read.parquet(log)
+        by_key = F.pmod(F.xxhash64("repo", "path"), F.lit(2))
+        for i, s in enumerate(shards):
+            ev.where(by_key == i).write.mode("overwrite").parquet(s)
+    target = os.path.join(FIXTURES, "_targets", f"{label}_multilog")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16)
+    job = (
+        IngestJob(f"multilog-{label}")
+        .source(shards)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=2)
+    return table.read().select("repo", "path", "commit", "lang", "content_sha")
+
+
 def _q_cdc_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1 (batch replay path of the log-tail source)."""
     return _events(spark, sf_dir).select(*_EVENT_PROJ)
@@ -350,6 +378,20 @@ def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("value_sum", F.round(F.col("value_sum"), 4))
 
 
+def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (streaming/windows.py::tumbling_stats,
+    batch twin of the watermarked streaming form — same F.window bucketing):
+    per-user hourly event counts + value sums. ONE hash aggregate with
+    map-side partial combine; the oracle reproduces F.window's epoch-aligned
+    integer-µs floor with epoch_us arithmetic."""
+    from wprdc_etl_spark.streaming.windows import tumbling_stats
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = tumbling_stats(ev, key="user_id", ts="ts", window_seconds=3600,
+                         value_col="value")
+    return out.withColumn("value_sum", F.round(F.col("value_sum"), 4))
+
+
 def _q_documents_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6 over the documents table."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -503,6 +545,7 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_final_state": _q_cdc_final_state,
+        "cdc_multi_log": _q_cdc_multi_log,
         "cdc_log_scan": _q_cdc_log_scan,
         "cdc_dedup": _q_cdc_dedup,
         "cdc_latest_per_key": _q_cdc_latest_per_key,
@@ -519,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_json": _q_events_props_json,
         "events_asof_purchase": _q_events_asof_purchase,
         "events_sessions": _q_events_sessions,
+        "events_tumbling": _q_events_tumbling,
         "documents_fingerprint": _q_documents_fingerprint,
         "documents_exact_dedup": _q_documents_exact_dedup,
         "doc_token_counts": _q_doc_token_counts,
@@ -687,6 +731,18 @@ SELECT user_id, session_id,
        count(*) AS n_events, round(sum(value), 4) AS value_sum
 FROM numbered GROUP BY user_id, session_id
 """,
+        "events_tumbling": """
+WITH w AS (
+  SELECT user_id, epoch_us(ts) - epoch_us(ts) % 3600000000 AS ws, value
+  FROM events
+)
+SELECT user_id,
+       make_timestamp(ws) AS window_start,
+       make_timestamp(ws + 3600000000) AS window_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM w GROUP BY user_id, ws
+""",
         "documents_fingerprint": "SELECT doc_id, sha256(text) AS text_sha FROM documents",
         "documents_exact_dedup": """
 SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha, count(*) AS n_copies
@@ -752,6 +808,8 @@ SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <=
     out["cdc_maintenance"] = out["cdc_final_state"]
     # full-probe IVF (nprobe=n_cells) is provably brute force — same twin
     out["emb_ann_topk"] = out["emb_cosine_topk"]
+    # key-sharded logs unioned must replay to the single-log golden state
+    out["cdc_multi_log"] = out["cdc_final_state"]
 
     def _golden_state(name: str, where: str) -> str:
         """Golden final-state CTE chain (dedup→valid→latest→live) over a

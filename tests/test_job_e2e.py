@@ -202,3 +202,37 @@ def test_schema_evolution_two_phase_replay(spark, tmp_path):
     assert out.where(F.col("license").isNotNull()).count() > 0
     # pre-evolution rows read as null license
     assert out.where(F.col("license").isNull()).count() > 0
+
+
+def test_multi_log_sharded_sources_match_golden(spark, tmp_path, log_dir, golden):
+    """A key-sharded change log (one dir per shard, the binlog-per-shard CDC
+    deployment) unioned via source([...]) must replay to the same golden
+    final state as the single log — in batch AND streaming modes."""
+    ev = spark.read.parquet(log_dir)
+    shard0 = str(tmp_path / "shard0")
+    shard1 = str(tmp_path / "shard1")
+    by_key = F.pmod(F.xxhash64("repo", "path"), F.lit(2))
+    ev.where(by_key == 0).write.parquet(shard0)
+    ev.where(by_key == 1).write.parquet(shard1)
+
+    tbl_b = ParquetSnapshotTable(spark, str(tmp_path / "tbl_b"), n_buckets=8)
+    job = (
+        IngestJob("multilog")
+        .source([shard0, shard1])
+        .schema(IngestJob.default_payload_schema())
+        .sink(tbl_b)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=2)
+    assert engine_state(tbl_b) == golden
+
+    tbl_s = ParquetSnapshotTable(spark, str(tmp_path / "tbl_s"), n_buckets=8)
+    sjob = (
+        IngestJob("multilog-stream", max_files_per_trigger=4)
+        .source([shard0, shard1])
+        .schema(IngestJob.default_payload_schema())
+        .sink(tbl_s)
+        .build()
+    )
+    sjob.start_stream(spark, str(tmp_path / "ckpt")).awaitTermination()
+    assert engine_state(tbl_s) == golden

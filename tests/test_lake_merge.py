@@ -590,3 +590,32 @@ def test_changes_between_versions(spark, tmp_path):
     assert ch == {("r1", "U"): "v2", ("r2", "D"): "w1", ("r4", "I"): "q1"}
     # empty diff between identical versions
     assert t.changes_between(2, 2, compare_cols=["content"]).count() == 0
+
+
+def test_cluster_within_buckets_layout_and_state(spark, tmp_path):
+    """cluster_within_buckets=['lang']: rows inside every written parquet
+    file are runs sorted by lang (tight row-group min/max stats → data
+    skipping for selective scans), and the resolved table state is
+    IDENTICAL to the unclustered layout — clustering is a layout knob,
+    never a semantics knob."""
+    import glob
+
+    rows = [
+        (i, "I", f"r{i % 5}", f"p{i % 17}", f"c{i}", ["py", "go", "md", "rs"][i % 4], f"v{i}")
+        for i in range(400)
+    ]
+    plain = mk_table(spark, tmp_path / "plain", n_buckets=4)
+    plain.merge(ev(spark, rows), job="j", batch_id=0)
+    clustered = ParquetSnapshotTable(
+        spark, str(tmp_path / "clustered" / "tbl"), n_buckets=4,
+        cluster_within_buckets=["lang"],
+    )
+    clustered.ensure(SCHEMA)
+    clustered.merge(ev(spark, rows), job="j", batch_id=0)
+    assert state(clustered) == state(plain)
+
+    files = glob.glob(str(tmp_path / "clustered" / "tbl" / "data" / "*" / "*" / "*.parquet"))
+    assert files
+    for f in files:
+        langs = [r["lang"] for r in spark.read.parquet(f).select("lang").collect()]
+        assert langs == sorted(langs), f

@@ -189,3 +189,53 @@ def test_session_stats_streaming_matches_batch(spark, tmp_path):
         for r in batch
     }
     assert stream_rows == batch_rows and len(stream_rows) == 3
+
+
+def test_tumbling_stats_batch_and_streaming_agree(spark, tmp_path):
+    """tumbling_stats: µs-exact fixed windows; the streaming form (with a
+    watermark, append mode) emits exactly the batch form's rows — the
+    replay-reconverges contract for windowed aggregation."""
+    import datetime as dt
+
+    from wprdc_etl_spark.streaming.windows import tumbling_stats
+
+    T0 = dt.datetime(2024, 1, 1, 9, 0)
+    M = lambda m, s=0: T0 + dt.timedelta(minutes=m, seconds=s)
+    rows = [
+        ("u", M(0), 1.0), ("u", M(4, 59), 2.0),    # window [9:00, 9:05)
+        ("u", M(5), 4.0),                          # window [9:05, 9:10) — boundary
+        ("v", M(7), 8.0),
+        ("zz", M(14 * 60), 0.0),                   # watermark sentinel
+    ]
+    df = spark.createDataFrame(rows, ["user", "ts", "value"])
+
+    batch = tumbling_stats(df, key="user", ts="ts", window_seconds=300,
+                           value_col="value")
+    got_b = {
+        (r["user"], r["window_start"]): (r["window_end"], r["n_events"], r["value_sum"])
+        for r in batch.collect() if r["user"] != "zz"
+    }
+    assert got_b[("u", M(0))] == (M(5), 2, 3.0)    # 9:04:59 stays in window 1
+    assert got_b[("u", M(5))] == (M(10), 1, 4.0)   # boundary starts window 2
+    assert got_b[("v", M(5))] == (M(10), 1, 8.0)
+    assert len(got_b) == 3
+
+    src = str(tmp_path / "tumb_src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = tumbling_stats(stream, key="user", ts="ts", window_seconds=300,
+                         value_col="value", watermark_delay="1 minute")
+    got = []
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "tumb_ckpt"))
+        .foreachBatch(lambda b, i: got.extend(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got_s = {
+        (r["user"], r["window_start"]): (r["window_end"], r["n_events"], r["value_sum"])
+        for r in got if r["user"] != "zz"
+    }
+    assert got_s == got_b

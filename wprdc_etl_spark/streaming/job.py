@@ -98,7 +98,26 @@ class IngestJob:
 
     # ---- builder (A1–A5) --------------------------------------------------
 
-    def source(self, path: str, fmt: str = "parquet", event_schema: T.StructType | None = None) -> "IngestJob":
+    def source(
+        self,
+        path: str | list[str],
+        fmt: str = "parquet",
+        event_schema: T.StructType | None = None,
+    ) -> "IngestJob":
+        """One log dir, or a LIST of dirs for a sharded change log (one
+        binlog/WAL per source shard — the standard CDC deployment). Shards
+        are unioned before the per-batch core; correctness of the union
+        needs one of (both hold for real binlogs):
+
+        - each key lives in exactly one shard (sharding by key), so LWW only
+          ever compares sequences minted by the same shard; or
+        - sequences are globally unique across shards (a log split by range).
+
+        In batch mode the union is a multi-path scan (one job); in streaming
+        each shard is its own file source (per-shard offset tracking in the
+        one checkpoint) unioned into the same foreachBatch graph — a shard
+        that stalls holds back only its own files, not the others' progress.
+        """
         self._source_path = path
         self._source_format = fmt
         if event_schema is not None:
@@ -292,12 +311,23 @@ class IngestJob:
         covers the foreachBatch at-least-once gap (B8)."""
         self._require_built()
         self._sink.ensure(self.target_schema())  # type: ignore[union-attr]
-        stream = (
-            spark.readStream.schema(self._event_schema)
-            .option("maxFilesPerTrigger", self.max_files_per_trigger)
-            .format(self._source_format)
-            .load(self._source_path)
+        paths = (
+            self._source_path
+            if isinstance(self._source_path, list)
+            else [self._source_path]
         )
+
+        def one(p):
+            return (
+                spark.readStream.schema(self._event_schema)
+                .option("maxFilesPerTrigger", self.max_files_per_trigger)
+                .format(self._source_format)
+                .load(p)
+            )
+
+        stream = one(paths[0])
+        for p in paths[1:]:
+            stream = stream.unionByName(one(p))
         if self.stream_dedup == "state":
             stream = dedup_events_streaming(stream, watermark_delay=self.watermark_delay)
         writer = (

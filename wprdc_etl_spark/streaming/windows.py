@@ -55,3 +55,50 @@ def session_stats_streaming(
         .agg(*aggs)
         .drop("session_window")
     )
+
+
+def tumbling_stats(
+    df: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    window_seconds: int,
+    value_col: Column | str | None = None,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Fixed-size (tumbling) time-window aggregate — one row per
+    (key, window) with start/end bounds, event count and optional value sum.
+    Works on BOTH batch and streaming DataFrames (pass ``watermark_delay``
+    for streams so Spark can finalize+evict windows in append mode); the
+    batch form is the replay twin and is SQL-expressible, so it carries the
+    DuckDB oracle (``events_tumbling`` driver query).
+
+    Both forms group by the built-in ``F.window`` (epoch-aligned integer
+    µs floor — the same arithmetic as DuckDB ``epoch_us - epoch_us % span``,
+    which is what the oracle computes); streaming append mode REQUIRES the
+    watermarked event-time column inside the groupBy, which ``F.window``
+    satisfies and a derived bucket column would not.
+
+    100-TB shape: ONE hash aggregate keyed on (key, window) with map-side
+    partial combine — no window function, no sort; streaming state is
+    bounded by the watermark. No Python in the path.
+    """
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be > 0, got {window_seconds}")
+    src = df
+    if watermark_delay is not None:
+        src = src.withWatermark(ts, watermark_delay)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("value_sum"))
+    out = src.groupBy(
+        F.col(key), F.window(F.col(ts), f"{window_seconds} seconds")
+    ).agg(*aggs)
+    return out.select(
+        key,
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in out.columns if c not in (key, "window")],
+    )
