@@ -58,8 +58,8 @@ from wprdc_etl_spark.operators.relational import asof_join, session_stats
 evts = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
 clicks = evts.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
 purch = evts.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
-sections.append(("As-of join (union + carry-forward window)",
-  "ONE exchange on the key feeds a single window pass (`last(..., ignorenulls)` running frame); no range-condition join, no per-event probe. Both inputs are column-pruned scans with the event-type filter pushed down.",
+sections.append(("As-of join (late-materialized union + carry-forward window)",
+  "Only DISTINCT (key, ts) anchors and the dim payload enter the window exchange+sort (the Window's Input list has no event payload column — pinned by test_asof_join_payload_not_in_window_sort); event payload joins back by (key, ts) afterwards. No range-condition join, no per-event probe; both inputs are column-pruned scans with the event-type filter pushed down.",
   cap(asof_join(clicks, purch, on="user_id", ts="ts", dim_ts="ts", payload=["value"]))))
 
 sections.append(("Sessionization (gaps-and-islands)",
