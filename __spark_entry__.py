@@ -142,6 +142,43 @@ def _q_cdc_multi_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("repo", "path", "commit", "lang", "content_sha")
 
 
+def _q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through driver-side bucket pruning (plans/lake.py::
+    lookup + operators/xxhash.py): replay into a bucketed table, then fetch
+    every live commit of ONE (repo, path) — the engine reads exactly the one
+    bucket the key hashes into (no Spark job to find it) and relies on
+    parquet pushdown inside it. Key choice is deterministic: the
+    lexicographically smallest (repo, path) in the final state, so the
+    oracle selects the same key from the golden replay."""
+    log = _fixture_log(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    target = os.path.join(FIXTURES, "_targets", f"{label}_lookup")
+    tbl = ParquetSnapshotTable(spark, target, n_buckets=16)
+    job = (
+        IngestJob(f"lookup-{label}")
+        .source(log)
+        .schema(IngestJob.default_payload_schema())
+        .sink(tbl)
+        .build()
+    )
+    if not tbl.exists() or tbl.last_committed_batch(f"lookup-{label}") is None:
+        shutil.rmtree(target, ignore_errors=True)
+        tbl = ParquetSnapshotTable(spark, target, n_buckets=16)
+        job = (
+            IngestJob(f"lookup-{label}")
+            .source(log)
+            .schema(IngestJob.default_payload_schema())
+            .sink(tbl)
+            .build()
+        )
+        job.run_batch(spark, n_chunks=1)
+    first = (
+        tbl.read().select("repo", "path").orderBy("repo", "path").limit(1).collect()[0]
+    )
+    out = tbl.lookup(repo=first["repo"], path=first["path"])
+    return out.select("repo", "path", "commit", "lang", "content_sha")
+
+
 def _q_cdc_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1 (batch replay path of the log-tail source)."""
     return _events(spark, sf_dir).select(*_EVENT_PROJ)
@@ -378,6 +415,57 @@ def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("value_sum", F.round(F.col("value_sum"), 4))
 
 
+def _q_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows (streaming/windows.py::
+    session_stats_streaming — F.session_window + watermark, append mode,
+    availableNow) driven end to end: the emitted sessions are exactly the
+    batch gaps-and-islands sessions that CLOSED before the final watermark
+    (= max event ts with delay 0: session_end + gap <= watermark). The
+    oracle replays the same rule in SQL — sessionize, aggregate, keep
+    closed sessions — so the streaming state machine itself is
+    driver-gated, not just its batch twin."""
+    from wprdc_etl_spark.streaming.windows import session_stats_streaming
+
+    label = _sf_label(sf_dir)
+    # the driver table is a single parquet FILE; the file stream source
+    # needs a directory — stage it once (idempotent, byte-identical rows)
+    src = os.path.join(FIXTURES, label, "events_stream_src")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).coalesce(
+            4
+        ).write.mode("overwrite").parquet(src)
+    ev = spark.read.parquet(src)
+    out_dir = os.path.join(FIXTURES, "_targets", f"{label}_sessions_stream")
+    ckpt = out_dir + "_ckpt"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # watermarks need TIMESTAMP (not NTZ); session tz is UTC so the cast is
+    # instant-preserving, and the output bounds cast back to NTZ to match
+    # the batch twin's column types
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        session_stats_streaming(
+            stream, key="user_id", ts="ts", gap_seconds=1800,
+            watermark_delay="0 seconds", value_col="value",
+        )
+        .withColumn("session_start", F.col("session_start").cast("timestamp_ntz"))
+        .withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    return got.withColumn("value_sum", F.round(F.col("value_sum"), 4))
+
+
 def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (streaming/windows.py::tumbling_stats,
     batch twin of the watermarked streaming form — same F.window bucketing):
@@ -546,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_final_state": _q_cdc_final_state,
         "cdc_multi_log": _q_cdc_multi_log,
+        "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_log_scan": _q_cdc_log_scan,
         "cdc_dedup": _q_cdc_dedup,
         "cdc_latest_per_key": _q_cdc_latest_per_key,
@@ -562,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_json": _q_events_props_json,
         "events_asof_purchase": _q_events_asof_purchase,
         "events_sessions": _q_events_sessions,
+        "events_sessions_stream": _q_events_sessions_stream,
         "events_tumbling": _q_events_tumbling,
         "documents_fingerprint": _q_documents_fingerprint,
         "documents_exact_dedup": _q_documents_exact_dedup,
@@ -731,6 +821,34 @@ SELECT user_id, session_id,
        count(*) AS n_events, round(sum(value), 4) AS value_sum
 FROM numbered GROUP BY user_id, session_id
 """,
+        # streaming sessions: same gaps-and-islands aggregate, restricted to
+        # sessions CLOSED under the final watermark (= max ts, delay 0).
+        # Spark finalizes a session window when window_end (= session_end +
+        # gap) <= watermark; watermark is millisecond-grained, hence the
+        # epoch_ms comparison.
+        "events_sessions_stream": """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), sess AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events, round(sum(value), 4) AS value_sum
+  FROM numbered GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events, value_sum
+FROM sess
+WHERE epoch_ms(session_end) + 1800 * 1000
+      <= (SELECT max(epoch_ms(ts)) FROM events)
+""",
         "events_tumbling": """
 WITH w AS (
   SELECT user_id, epoch_us(ts) - epoch_us(ts) % 3600000000 AS ws, value
@@ -810,6 +928,14 @@ SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <=
     out["emb_ann_topk"] = out["emb_cosine_topk"]
     # key-sharded logs unioned must replay to the single-log golden state
     out["cdc_multi_log"] = out["cdc_final_state"]
+    # bucket-pruned point lookup == the golden state filtered to the same
+    # deterministic key (lexicographically smallest (repo, path))
+    out["cdc_point_lookup"] = f"""
+SELECT f.* FROM ({out["cdc_final_state"]}) f
+JOIN (SELECT repo, path FROM ({out["cdc_final_state"]})
+      ORDER BY repo, path LIMIT 1) s
+  ON f.repo = s.repo AND f.path = s.path
+"""
 
     def _golden_state(name: str, where: str) -> str:
         """Golden final-state CTE chain (dedup→valid→latest→live) over a
