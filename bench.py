@@ -170,8 +170,12 @@ def main() -> None:
     from wprdc_etl_spark.functions.similarity import cosine_near_dup_pairs
     from wprdc_etl_spark.functions.text import lang_id, quality_score
 
-    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    # the driver tables are single parquet files → one input partition; the
+    # per-row work (32-hash minhash, LSH banding, sign-bit projections) would
+    # run on one core of 32. Sizing input partitions to the executor count is
+    # the standard small-input fix (a real corpus has >> cores input splits).
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).repartition(CPUS)
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).repartition(CPUS)
 
     def q_doc_minhash_lsh():
         lsh_candidate_pairs(

@@ -95,6 +95,12 @@ def minhash_signatures(
     shuffles, zero Python. ``hash_fn='sha2'`` swaps the leaf hash for the
     oracle-computable sha256 prefix (see ``_leaf_hash``) so the whole
     signature has an exact DuckDB twin (``minhash_signature_sql``).
+
+    The per-row work is O(n_hashes × shingles) — CPU-heavy map work that
+    parallelizes with INPUT partitions (no shuffle to rebalance it). A
+    real corpus has >> cores input splits; a small single-file input
+    should be ``.repartition(cores)``'d by the caller first (measured
+    4–5× on this box; bench.py does this).
     """
     coeffs = _perm_coeffs(n_hashes, seed)
     sh = _shingle_array(F.col(text_col), shingle_k, hash_fn)
