@@ -480,6 +480,161 @@ def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("value_sum", F.round(F.col("value_sum"), 4))
 
 
+def _q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history over the change log (operators/analytics.py::
+    scd2_history): per (repo, path, commit) every validated change becomes a
+    version row with [valid_from_seq, valid_to_seq) and is_current. ONE
+    window pass on the merge's own key; only fingerprints ride the sort
+    (late-materialization rule). DuckDB twin: lead() over the same
+    dedup→valid CTE chain."""
+    from wprdc_etl_spark.operators.analytics import scd2_history
+
+    ev = dedup_events(_events(spark, sf_dir))
+    valid = ev.where(
+        ~(
+            (F.col("op") != "D")
+            & (F.col("content").isNull() | ~F.trim(F.col("lang")).isin(*LANGS))
+        )
+    )
+    narrow = valid.select(
+        "repo",
+        "path",
+        "commit",
+        "event_sequence",
+        "op",
+        F.when(F.col("op") != "D", F.sha2(F.col("content"), 256)).alias("content_sha"),
+    )
+    return scd2_history(
+        narrow,
+        keys=["repo", "path", "commit"],
+        seq="event_sequence",
+        attrs=["content_sha"],
+        op_col="op",
+    )
+
+
+def _q_cdc_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized rollup (operators/analytics.py): live-file
+    count per repo, BOOTSTRAPPED from the table state after chunk 1 and then
+    refreshed ONLY from the changes_between changelog of chunk 2 — the base
+    table is never rescanned (the O(|changes|) refresh a 100-TB consumer
+    needs). Must equal the per-repo aggregate of the golden final state."""
+    from wprdc_etl_spark.operators.analytics import apply_rollup, changelog_rollup
+
+    log = _fixture_log(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    target = os.path.join(FIXTURES, "_targets", f"{label}_rollup")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16, retain_history=8)
+    job = (
+        IngestJob(f"rollup-{label}")
+        .source(log)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=2)
+    v1 = max(
+        h["version"]
+        for h in table.history()
+        if h["committed"].get(f"rollup-{label}") == 0
+    )
+    bootstrap = (
+        table.read(version=v1).groupBy("repo").agg(F.count("*").alias("n_live"))
+    )
+    changes = table.changes_between(v1, compare_cols=["content_sha"])
+    delta = changelog_rollup(changes, group_cols=["repo"])
+    return apply_rollup(bootstrap, delta, group_cols=["repo"])
+
+
+def _q_events_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (operators/analytics.py::topk_per_group): the 5
+    highest-value events per event_type. The rank filter compiles to
+    WindowGroupLimit (Spark ≥3.5) — every map task pre-prunes to its local
+    top-5 per group, so the shuffle carries O(groups×k×partitions) rows."""
+    from wprdc_etl_spark.operators.analytics import topk_per_group
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = topk_per_group(
+        ev,
+        group=["event_type"],
+        order_by=[F.col("value").desc(), F.col("event_id").asc()],
+        k=5,
+    )
+    return out.select(
+        "event_type", "event_id", "user_id", F.round("value", 4).alias("value"), "rank"
+    )
+
+
+def _q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (operators/analytics.py::grouped_quantiles),
+    percentile_cont interpolation — the small-scale truth twin of the
+    mergeable approx_percentile sketch (pytest-bounded vs this)."""
+    from wprdc_etl_spark.operators.analytics import grouped_quantiles
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = grouped_quantiles(
+        ev, group=["event_type"], value="value", probs=[0.5, 0.9, 0.99]
+    )
+    return out.select(
+        "event_type",
+        F.round("p50", 4).alias("p50"),
+        F.round("p90", 4).alias("p90"),
+        F.round("p99", 4).alias("p99"),
+    )
+
+
+def _q_sales_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema relational analytics over the driver's TPC-H-ish tables:
+    1996 order revenue per ASIA nation. Dims (nation, region) are explicitly
+    broadcast — no shuffle on the fact side for them; orders⋈customer is the
+    one keyed shuffle. Dates and the region filter push down to the parquet
+    scans; revenue sums in DECIMAL (order-independent exact), surfaced as a
+    rounded double."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    r = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    j = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("revenue"),
+    )
+
+
+def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem: ONE hash aggregate
+    with map-side partial combine; the shipdate filter reaches the parquet
+    scan. DECIMAL sums for order-independence, rounded doubles out."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 4).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
 def _q_documents_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6 over the documents table."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -646,6 +801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_maintenance": _q_cdc_maintenance,
         "cdc_changelog": _q_cdc_changelog,
+        "cdc_scd2": _q_cdc_scd2,
+        "cdc_rollup_incremental": _q_cdc_rollup_incremental,
         "events_dedup": _q_events_dedup,
         "events_latest_per_user": _q_events_latest_per_user,
         "events_props_json": _q_events_props_json,
@@ -653,6 +810,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "events_sessions_stream": _q_events_sessions_stream,
         "events_tumbling": _q_events_tumbling,
+        "events_topk_per_type": _q_events_topk_per_type,
+        "events_value_quantiles": _q_events_value_quantiles,
+        "sales_by_nation": _q_sales_by_nation,
+        "lineitem_pricing": _q_lineitem_pricing,
         "documents_fingerprint": _q_documents_fingerprint,
         "documents_exact_dedup": _q_documents_exact_dedup,
         "doc_token_counts": _q_doc_token_counts,
@@ -861,6 +1022,67 @@ SELECT user_id,
        round(sum(value), 4) AS value_sum
 FROM w GROUP BY user_id, ws
 """,
+        "cdc_scd2": f"""
+WITH d AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY repo, path, commit, event_sequence ORDER BY op) AS rn
+    FROM {log}) t WHERE rn = 1
+), v AS (
+  SELECT repo, path, commit, event_sequence, op,
+         CASE WHEN op <> 'D' THEN sha256(content) END AS content_sha
+  FROM d WHERE {_valid_pred()}
+), led AS (
+  SELECT repo, path, commit, op, content_sha,
+         event_sequence AS valid_from_seq,
+         lead(event_sequence) OVER (
+             PARTITION BY repo, path, commit
+             ORDER BY event_sequence, op) AS valid_to_seq
+  FROM v
+)
+SELECT repo, path, commit, op, content_sha, valid_from_seq, valid_to_seq,
+       (valid_to_seq IS NULL AND op <> 'D') AS is_current
+FROM led
+""",
+        "events_topk_per_type": """
+SELECT event_type, event_id, user_id, round(value, 4) AS value, rank FROM (
+  SELECT event_type, event_id, user_id, value,
+         row_number() OVER (
+             PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+  FROM events) t WHERE rank <= 5
+""",
+        "events_value_quantiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+""",
+        "sales_by_nation": """
+SELECT n_name, count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+        "lineitem_pricing": """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE), 4) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
         "documents_fingerprint": "SELECT doc_id, sha256(text) AS text_sha FROM documents",
         "documents_exact_dedup": """
 SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha, count(*) AS n_copies
@@ -928,6 +1150,10 @@ SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <=
     out["emb_ann_topk"] = out["emb_cosine_topk"]
     # key-sharded logs unioned must replay to the single-log golden state
     out["cdc_multi_log"] = out["cdc_final_state"]
+    # the changelog-refreshed rollup must equal the final-state aggregate
+    out["cdc_rollup_incremental"] = (
+        f'SELECT repo, count(*) AS n_live FROM ({out["cdc_final_state"]}) GROUP BY repo'
+    )
     # bucket-pruned point lookup == the golden state filtered to the same
     # deterministic key (lexicographically smallest (repo, path))
     out["cdc_point_lookup"] = f"""

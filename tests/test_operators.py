@@ -296,3 +296,99 @@ def test_sessionize_and_stats(spark):
     assert got[("u", 0)] == (2, 3.0)
     assert got[("u", 1)] == (2, 12.0)
     assert got[("v", 0)] == (1, 16.0)
+
+
+# ---------------------------------------------------------------------------
+# analytics operators (SCD2, rollup, top-k, quantiles)
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_history_intervals(spark):
+    from wprdc_etl_spark.operators.analytics import scd2_history
+
+    rows = [
+        # key "a": insert, update, delete
+        ("a", 1, "I", "s1"), ("a", 3, "U", "s2"), ("a", 7, "D", None),
+        # key "b": insert only (open + current)
+        ("b", 2, "I", "s3"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "op", "sha"])
+    out = scd2_history(df, keys=["k"], seq="seq", attrs=["sha"], op_col="op")
+    got = {(r["k"], r["valid_from_seq"]): r.asDict() for r in out.collect()}
+    assert got[("a", 1)]["valid_to_seq"] == 3 and not got[("a", 1)]["is_current"]
+    assert got[("a", 3)]["valid_to_seq"] == 7 and not got[("a", 3)]["is_current"]
+    # the delete closes the history: open interval but NOT current
+    assert got[("a", 7)]["valid_to_seq"] is None and not got[("a", 7)]["is_current"]
+    assert got[("b", 2)]["valid_to_seq"] is None and got[("b", 2)]["is_current"]
+    # intervals per key never overlap and cover each change exactly once
+    assert len(got) == len(rows)
+
+
+def test_scd2_current_rows_match_latest_per_key(spark):
+    """is_current rows of the SCD2 view == latest_per_key live rows — the
+    history view and the merge's LWW rule must agree on 'now'."""
+    from wprdc_etl_spark.operators.analytics import scd2_history
+    from wprdc_etl_spark.operators.dedup import dedup_events
+    from wprdc_etl_spark.operators.latest import latest_per_key
+    from wprdc_etl_spark.testgen import gen_change_events
+
+    ev = dedup_events(gen_change_events(spark, 2000))
+    hist = scd2_history(
+        ev.select("repo", "path", "commit", "event_sequence", "op"),
+        keys=["repo", "path", "commit"], seq="event_sequence", op_col="op",
+    )
+    cur = {(r["repo"], r["path"], r["commit"])
+           for r in hist.where("is_current").collect()}
+    live = {(r["repo"], r["path"], r["commit"])
+            for r in latest_per_key(ev).where("op <> 'D'").collect()}
+    assert cur == live and len(cur) > 0
+
+
+def test_rollup_incremental_equals_full_recompute(spark):
+    from wprdc_etl_spark.operators.analytics import apply_rollup, changelog_rollup
+
+    state = spark.createDataFrame(
+        [("r1", 3), ("r2", 1), ("r3", 2)], ["repo", "n_live"])
+    changes = spark.createDataFrame(
+        [("r1", "x", "I"), ("r1", "y", "U"), ("r2", "z", "D"),
+         ("r4", "w", "I"), ("r3", "q", "D"), ("r3", "p", "D")],
+        ["repo", "path", "change_op"])
+    out = {r["repo"]: r["n_live"] for r in apply_rollup(
+        state, changelog_rollup(changes, group_cols=["repo"]),
+        group_cols=["repo"]).collect()}
+    # r1: 3+1=4 (U is a no-op); r2: 1-1=0 → dropped; r3: 2-2=0 → dropped;
+    # r4: new group from delta alone
+    assert out == {"r1": 4, "r4": 1}
+
+
+def test_topk_per_group_plan_uses_window_group_limit(spark):
+    from pyspark.sql import functions as F
+
+    from wprdc_etl_spark.operators.analytics import topk_per_group
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("v"))
+    out = topk_per_group(df, group=["g"], order_by=[F.col("v").desc()], k=3)
+    # correctness: top-3 ids per residue class mod 7
+    got = {(r["g"], r["rank"]): r["v"] for r in out.collect()}
+    assert got[(0, 1)] == 9996 and got[(0, 3)] == 9982
+    assert len(got) == 21
+    # the 100-TB property: rank-filter pushes a per-map-task partial top-k
+    # (WindowGroupLimit) below the shuffle, so shuffle volume is O(g*k/task)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_grouped_quantiles_exact_and_approx(spark):
+    from pyspark.sql import functions as F
+
+    from wprdc_etl_spark.operators.analytics import grouped_quantiles
+
+    df = spark.range(0, 1001).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v"))
+    exact = grouped_quantiles(df, group=["g"], value="v", probs=[0.5, 0.9]).collect()[0]
+    assert exact["p50"] == 500.0 and exact["p90"] == 900.0
+    approx = grouped_quantiles(
+        df, group=["g"], value="v", probs=[0.5, 0.9], approx=True).collect()[0]
+    # sketch error bound: within 1% of the exact value at accuracy=10000
+    assert abs(approx["p50"] - 500.0) <= 10 and abs(approx["p90"] - 900.0) <= 10

@@ -1,0 +1,165 @@
+"""Downstream-consumer analytics operators over the CDC table and event
+streams: SCD Type-2 history, changelog-driven incremental rollups, top-k per
+group, and exact/approximate grouped quantiles.
+
+Reference tie-in: wprdc-etl's job is to keep a queryable "current state"
+table fresh (``pipeline/loaders.py`` upsert). The first thing real consumers
+build on top of that are (a) *history* ("what did this key look like over
+time" — SCD2), (b) *aggregates kept fresh without rescanning the base table*
+(rollups fed by the changelog), and (c) ranking/quantile reporting. These are
+the operators that make the table useful, expressed Spark-first.
+
+Scale shapes (the 100-TB contract for each):
+
+- ``scd2_history``: ONE window pass partitioned by key ordered by the change
+  sequence — same shuffle key as the merge itself. Callers pass fingerprint/
+  metadata columns, not payload bytes: the history row set is as narrow as
+  its inputs (the late-materialization rule — version intervals are a pure
+  function of (key, seq); join payloads back by key+seq if a consumer needs
+  them).
+- ``changelog_rollup`` / ``apply_rollup``: the whole point is O(|changes|)
+  instead of O(|table|) per refresh. The delta is one hash aggregate over the
+  changelog slice (map-side partial), the merge-back another over
+  |groups|+|changed groups| rows. At 100 TB the base table never gets
+  re-scanned; the rollup state is group-cardinality-sized.
+- ``topk_per_group``: rank-filter windows compile to WindowGroupLimit
+  (Spark 3.5+): each map task keeps only its local top-k per group BEFORE the
+  shuffle, so shuffle volume is O(groups × k × partitions), not O(rows) —
+  the distributed partial-top-k. (Asserted by a plan test.)
+- ``grouped_quantiles``: exact ``percentile`` buffers each group's values —
+  correct for bounded groups (the oracle path). ``approx=True`` switches to
+  ``approx_percentile`` (mergeable sketch, map-side partial, bounded memory)
+  — the 100-TB default; the exact form is its small-scale truth twin.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_history(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    seq: str,
+    attrs: Sequence[str] = (),
+    op_col: str | None = None,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 view of a change log: one row per
+    (key, change), carrying ``valid_from_seq`` (the change's own sequence),
+    ``valid_to_seq`` (the NEXT change's sequence for the same key; null while
+    open) and ``is_current`` (open interval and not a delete).
+
+    ``df`` must hold at most one row per (keys, seq) — run redelivery dedup
+    first (operators/dedup.py), exactly as the merge path does. ``attrs`` are
+    carried through unchanged; pass fingerprints, not payload bytes (see
+    module docstring). Ties at equal ``seq`` for the same key are broken by
+    ``op_col`` descending when given (matching the LWW rule in
+    plans/lake.py::_lww_reduce) — else ``seq`` must be unique per key.
+    """
+    order = [F.col(seq).asc()]
+    if op_col is not None:
+        # equal-seq ties: LWW resolves op DESC as the winner, so the LOSER
+        # sorts first and closes immediately — intervals stay non-overlapping
+        order.append(F.col(op_col).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    out = df.select(*keys, seq, *( [op_col] if op_col else [] ), *attrs)
+    out = out.withColumn("valid_from_seq", F.col(seq)).withColumn(
+        "valid_to_seq", F.lead(seq).over(w)
+    )
+    open_ = F.col("valid_to_seq").isNull()
+    if op_col is not None:
+        open_ = open_ & (F.col(op_col) != F.lit(delete_op))
+    return out.withColumn("is_current", open_).drop(seq)
+
+
+def changelog_rollup(
+    changes: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    op_col: str = "change_op",
+    count_col: str = "n_live",
+) -> DataFrame:
+    """The aggregate DELTA a changelog slice implies for a live-row-count
+    rollup: +1 per insert, -1 per delete, 0 per update, per group. One hash
+    aggregate (map-side partial) over O(|changes|) rows."""
+    delta = (
+        F.when(F.col(op_col) == "I", F.lit(1))
+        .when(F.col(op_col) == "D", F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    return changes.groupBy(*group_cols).agg(F.sum(delta).alias(count_col))
+
+
+def apply_rollup(
+    state: DataFrame,
+    delta: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    count_col: str = "n_live",
+) -> DataFrame:
+    """Fold a ``changelog_rollup`` delta into the rollup state: union + one
+    hash aggregate over |groups| + |changed groups| rows; groups that reach
+    zero disappear (a fully-deleted repo leaves the rollup). The base table
+    is never touched — this is the incremental-materialized-view refresh."""
+    s = state.select(*group_cols, F.col(count_col).alias("_n"))
+    d = delta.select(*group_cols, F.col(count_col).alias("_n"))
+    return (
+        s.unionByName(d)
+        .groupBy(*group_cols)
+        .agg(F.sum("_n").alias(count_col))
+        .where(F.col(count_col) > 0)
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    *,
+    group: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group by ``order_by`` (pass fully-deterministic
+    ordering — include a unique tiebreak column). row_number + filter; Spark
+    ≥3.5 rewrites this to WindowGroupLimit, pruning every map partition to
+    its local top-k before the shuffle (see module docstring)."""
+    w = Window.partitionBy(*group).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).where(
+        F.col(rank_col) <= F.lit(k)
+    )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    *,
+    group: Sequence[str],
+    value: str,
+    probs: Sequence[float],
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group quantiles, one column per probability (``p50``, ``p90``, …;
+    p-label = prob×100, trailing .0 dropped). Exact form interpolates like
+    ANSI ``percentile_cont`` (DuckDB ``quantile_cont`` — the oracle twin);
+    ``approx=True`` uses the mergeable approx_percentile sketch (the 100-TB
+    path; bounded memory, map-side partial aggregation)."""
+
+    def label(p: float) -> str:
+        v = p * 100
+        return f"p{v:g}".replace(".", "_")
+
+    arr = F.array(*[F.lit(float(p)) for p in probs])
+    agg = (
+        F.approx_percentile(F.col(value), arr, F.lit(accuracy))
+        if approx
+        else F.percentile(F.col(value), arr)
+    )
+    tmp = df.groupBy(*group).agg(agg.alias("_q"))
+    return tmp.select(
+        *group, *[F.col("_q").getItem(i).alias(label(p)) for i, p in enumerate(probs)]
+    )
