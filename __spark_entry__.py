@@ -514,17 +514,21 @@ def _q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cdc_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental materialized rollup (operators/analytics.py): live-file
-    count per repo, BOOTSTRAPPED from the table state after chunk 1 and then
-    refreshed ONLY from the changes_between changelog of chunk 2 — the base
-    table is never rescanned (the O(|changes|) refresh a 100-TB consumer
-    needs). Must equal the per-repo aggregate of the golden final state."""
-    from wprdc_etl_spark.operators.analytics import apply_rollup, changelog_rollup
+    """Continuous aggregate (plans/rollup.py::RollupView — the materialized-
+    view / hypertable-rollup analog): live-file count per repo, BOOTSTRAPPED
+    after chunk 1 and then refreshed ONLY from the changes_between changelog
+    of chunk 2 — the base table is never rescanned (the O(|changes|) refresh
+    a 100-TB consumer needs). The query raises unless the second refresh
+    really took the incremental path; result must equal the per-repo
+    aggregate of the golden final state."""
+    from wprdc_etl_spark.plans.rollup import RollupView
 
     log = _fixture_log(spark, sf_dir)
     label = _sf_label(sf_dir)
     target = os.path.join(FIXTURES, "_targets", f"{label}_rollup")
+    view_path = os.path.join(FIXTURES, "_targets", f"{label}_rollup_view")
     shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(view_path, ignore_errors=True)
     table = ParquetSnapshotTable(spark, target, n_buckets=16, retain_history=8)
     job = (
         IngestJob(f"rollup-{label}")
@@ -533,18 +537,19 @@ def _q_cdc_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sink(table)
         .build()
     )
-    job.run_batch(spark, n_chunks=2)
-    v1 = max(
-        h["version"]
-        for h in table.history()
-        if h["committed"].get(f"rollup-{label}") == 0
+    ev = spark.read.parquet(log)
+    max_seq_excl = (ev.agg(F.max("event_sequence")).collect()[0][0] or 0) + 1
+    cut = (max_seq_excl + 1) // 2  # run_batch's own n_chunks=2 step arithmetic
+    view = RollupView(
+        spark, view_path, table, group_cols=["repo"], compare_cols=["content_sha"]
     )
-    bootstrap = (
-        table.read(version=v1).groupBy("repo").agg(F.count("*").alias("n_live"))
-    )
-    changes = table.changes_between(v1, compare_cols=["content_sha"])
-    delta = changelog_rollup(changes, group_cols=["repo"])
-    return apply_rollup(bootstrap, delta, group_cols=["repo"])
+    job.run_batch(spark, n_chunks=1, max_sequence_exclusive=cut)
+    r1 = view.refresh()
+    job.apply_batch(ev.where(F.col("event_sequence") >= cut), 1)
+    r2 = view.refresh()
+    if r1["mode"] != "bootstrap" or r2["mode"] != "incremental":
+        raise AssertionError(f"rollup refresh modes: {r1}, {r2}")
+    return view.read()
 
 
 def _q_events_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,6 +587,39 @@ def _q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p90", 4).alias("p90"),
         F.round("p99", 4).alias("p99"),
     )
+
+
+def _q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct-user cardinality (operators/analytics.py::
+    distinct_count), exact form — the truth twin of the HyperLogLog++
+    ``approx=True`` path (pytest-bounded vs this)."""
+    from wprdc_etl_spark.operators.analytics import distinct_count
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return distinct_count(ev, group=["event_type"], value="user_id")
+
+
+def _q_documents_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END near-dedup pipeline a training-data run executes:
+    MinHash signatures → LSH banded candidates → exact n-gram-Jaccard
+    verification → keep-smallest-id canonical filter. Every stage is
+    bucketed/banded (O(docs×bands) candidates, verifier restricted to the
+    candidate set) — never all-pairs. Oracle: the same
+    sha2-leaf LSH + Jaccard chain in SQL, anti-joining dropped ids."""
+    from wprdc_etl_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, n_hashes=32, shingle_k=5, hash_fn="sha2")
+    cands = lsh_candidate_pairs(sigs, n_bands=8, est_threshold=0.3)
+    verified = ngram_jaccard_pairs(
+        docs, n=2, threshold=0.3, candidates=cands.select("id_a", "id_b")
+    )
+    dropped = verified.select(F.col("id_b").alias("doc_id")).distinct()
+    return docs.join(dropped, "doc_id", "left_anti").select("doc_id", "source")
 
 
 def _q_sales_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -812,6 +850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": _q_events_tumbling,
         "events_topk_per_type": _q_events_topk_per_type,
         "events_value_quantiles": _q_events_value_quantiles,
+        "events_distinct_users": _q_events_distinct_users,
+        "documents_near_dedup": _q_documents_near_dedup,
         "sales_by_nation": _q_sales_by_nation,
         "lineitem_pricing": _q_lineitem_pricing,
         "documents_fingerprint": _q_documents_fingerprint,
@@ -1057,6 +1097,35 @@ SELECT event_type,
        round(quantile_cont(value, 0.9), 4) AS p90,
        round(quantile_cont(value, 0.99), 4) AS p99
 FROM events GROUP BY event_type
+""",
+        "events_distinct_users": """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type
+""",
+        "documents_near_dedup": f"""
+WITH cand AS ({_dedup_sql.lsh_pairs_sql(n_hashes=32, shingle_k=5, n_bands=8, est_threshold=0.3)}),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), ng AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN ng a ON a.doc_id = c.id_a
+  JOIN ng b ON b.doc_id = c.id_b AND b.g = a.g
+  GROUP BY c.id_a, c.id_b
+), dropped AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(i / (sa.n + sb.n - i), 4) >= 0.3
+)
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
 """,
         "sales_by_nation": """
 SELECT n_name, count(*) AS n_orders,

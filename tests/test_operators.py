@@ -392,3 +392,21 @@ def test_grouped_quantiles_exact_and_approx(spark):
         df, group=["g"], value="v", probs=[0.5, 0.9], approx=True).collect()[0]
     # sketch error bound: within 1% of the exact value at accuracy=10000
     assert abs(approx["p50"] - 500.0) <= 10 and abs(approx["p90"] - 900.0) <= 10
+
+
+def test_distinct_count_exact_vs_hll(spark):
+    from pyspark.sql import functions as F
+
+    from wprdc_etl_spark.operators.analytics import distinct_count
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 3000).alias("u"))
+    # 3000 is even, so each parity class g sees exactly 1500 residues
+    exact = {r["g"]: r["n_distinct"] for r in
+             distinct_count(df, group=["g"], value="u").collect()}
+    assert exact == {0: 1500, 1: 1500}
+    hll = {r["g"]: r["n_distinct"] for r in
+           distinct_count(df, group=["g"], value="u", approx=True).collect()}
+    # HLL++ at rsd=0.02: within ~3 standard errors of exact
+    for g, n in hll.items():
+        assert abs(n - 1500) <= 1500 * 0.06, (g, n)

@@ -1,0 +1,74 @@
+"""RollupView — continuous aggregate maintained from the changelog
+(plans/rollup.py): bootstrap → incremental refresh → noop, retention-lag
+fallback, and equality with a full recompute at every step."""
+
+from pyspark.sql import functions as F
+
+from wprdc_etl_spark.plans.rollup import RollupView
+
+from test_lake_merge import ev, mk_table
+
+
+def _merge(t, spark, rows, batch_id):
+    t.merge(ev(spark, rows), job="rv", batch_id=batch_id)
+
+
+def _recompute(t):
+    return {
+        r["repo"]: r["n_live"]
+        for r in t.read().groupBy("repo").agg(F.count("*").alias("n_live")).collect()
+    }
+
+
+def _view_state(v):
+    return {r["repo"]: r["n_live"] for r in v.read().collect()}
+
+
+def test_rollup_view_lifecycle(spark, tmp_path):
+    t = mk_table(spark, tmp_path, retain_history=8)
+    v = RollupView(
+        spark, str(tmp_path / "view"), t,
+        group_cols=["repo"], compare_cols=["content"],
+    )
+    _merge(t, spark, [
+        (1, "I", "r1", "a", "c1", "py", "x"),
+        (2, "I", "r1", "b", "c1", "py", "y"),
+        (3, "I", "r2", "a", "c1", "py", "z"),
+    ], 0)
+    assert v.refresh()["mode"] == "bootstrap"
+    assert _view_state(v) == _recompute(t) == {"r1": 2, "r2": 1}
+
+    # unchanged source → noop (safe on a timer / after every micro-batch)
+    assert v.refresh()["mode"] == "noop"
+
+    # inserts, an update (no count change) and a full-repo delete
+    _merge(t, spark, [
+        (4, "U", "r1", "a", "c1", "py", "x2"),
+        (5, "I", "r3", "a", "c1", "py", "w"),
+        (6, "D", "r2", "a", "c1", None, None),
+    ], 1)
+    r = v.refresh()
+    assert r["mode"] == "incremental"
+    # r2 reached zero and retired from the rollup entirely
+    assert _view_state(v) == _recompute(t) == {"r1": 2, "r3": 1}
+    assert v.last_source_version() == t.current_version()
+
+
+def test_rollup_view_rebootstraps_past_retention(spark, tmp_path):
+    t = mk_table(spark, tmp_path, retain_history=0)
+    v = RollupView(
+        spark, str(tmp_path / "view"), t,
+        group_cols=["repo"], compare_cols=["content"],
+    )
+    _merge(t, spark, [(1, "I", "r1", "a", "c1", "py", "x")], 0)
+    assert v.refresh()["mode"] == "bootstrap"
+    # COW shares untouched bucket dirs across versions, so plain merges can
+    # leave an old version readable even at retain_history=0 (incremental
+    # still works — by design). A rebucket rewrites EVERY bucket and GCs the
+    # old dirs, genuinely expiring the view's version: refresh must degrade
+    # to a one-off full bootstrap instead of raising.
+    _merge(t, spark, [(2, "I", "r1", "b", "c1", "py", "y")], 1)
+    _merge(t, spark, [(3, "I", "r2", "a", "c1", "py", "z")], 2)
+    t.rebucket(8)
+    assert v.refresh()["mode"] == "bootstrap"
+    assert _view_state(v) == _recompute(t) == {"r1": 2, "r2": 1}

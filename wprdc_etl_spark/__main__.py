@@ -33,7 +33,8 @@ def main() -> None:
     ap.add_argument("--target", required=True, help="lake table root (or Iceberg table name)")
     ap.add_argument("--checkpoint", help="streaming checkpoint location (stream mode)")
     ap.add_argument("--mode",
-                    choices=["stream", "batch", "compact", "rebucket", "changelog", "history"],
+                    choices=["stream", "batch", "compact", "rebucket", "changelog",
+                             "history", "rollup"],
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
@@ -50,7 +51,9 @@ def main() -> None:
     ap.add_argument("--from-version", type=int, help="changelog mode: starting table version")
     ap.add_argument("--to-version", type=int, default=None,
                     help="changelog mode: ending version (default: current)")
-    ap.add_argument("--output", help="changelog mode: parquet dir for the change feed")
+    ap.add_argument("--output", help="changelog/rollup mode: output directory")
+    ap.add_argument("--group-cols", default="repo",
+                    help="rollup mode: comma-separated grouping columns")
     args = ap.parse_args()
 
     spark = build_session(EngineConfig(app_name=f"wprdc-etl-spark::{args.name}"))
@@ -72,6 +75,25 @@ def main() -> None:
             max_files_per_trigger=args.max_files_per_trigger,
         )
     )
+    if args.mode == "rollup":
+        # continuous aggregate refresh: cron this after (or alongside) the
+        # ingest job — each run is a no-op, an O(|changes|) incremental
+        # fold, or a bootstrap, decided by the view's stored source version
+        from wprdc_etl_spark.plans.rollup import RollupView
+
+        if not args.output:
+            ap.error("--output (the rollup view directory) is required in rollup mode")
+        if args.sink == "iceberg":
+            ap.error("rollup mode currently supports the parquet-snapshot sink only")
+        view = RollupView(
+            spark, args.output, table,
+            group_cols=[c.strip() for c in args.group_cols.split(",") if c.strip()],
+        )
+        r = view.refresh()
+        print(f"rollup {r['mode']} at source version {r['source_version']} "
+              f"-> {args.output}")
+        spark.stop()
+        return
     if args.mode in ("compact", "rebucket", "changelog", "history"):
         if args.sink == "iceberg":
             # same verbs, expressed as Iceberg catalog procedures

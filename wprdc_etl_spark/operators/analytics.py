@@ -134,6 +134,28 @@ def topk_per_group(
     )
 
 
+def distinct_count(
+    df: DataFrame,
+    *,
+    group: Sequence[str],
+    value: str,
+    approx: bool = False,
+    rsd: float = 0.02,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Per-group distinct cardinality. Exact form is the oracle twin
+    (two-phase hash aggregate: distinct-expand then count). ``approx=True``
+    switches to the HyperLogLog++ sketch (``approx_count_distinct``) — the
+    100-TB path: fixed-size mergeable sketch per group, map-side partial, no
+    distinct-expand shuffle of the value column at all."""
+    agg = (
+        F.approx_count_distinct(F.col(value), rsd)
+        if approx
+        else F.countDistinct(F.col(value))
+    )
+    return df.groupBy(*group).agg(agg.alias(out_col))
+
+
 def grouped_quantiles(
     df: DataFrame,
     *,

@@ -751,6 +751,13 @@ class ParquetSnapshotTable(LakeTable):
     def properties(self) -> dict:
         return dict(self._require_manifest()["properties"])
 
+    def current_version(self) -> int | None:
+        """Latest committed table version (None before the first commit) —
+        the resume token downstream incremental consumers (RollupView,
+        changelog feeds) store and pass back to ``changes_between``."""
+        man = self._read_manifest()
+        return None if man is None else man["version"]
+
     # ---- the MERGE (B7) -----------------------------------------------------
 
     def merge(
