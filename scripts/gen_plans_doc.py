@@ -72,6 +72,30 @@ sections.append(("Embedding near-dup (RP-LSH banded)",
   "The 32 hyperplane dots are codegen'd JVM expressions (no UDF); the self-join is keyed on (band, bucket) — shuffle O(rows×bands), never all-pairs; exact cosine verifies only surviving candidates.",
   cap(cosine_near_dup_pairs(emb, dim=64, threshold=0.4))))
 
+from wprdc_etl_spark.operators.analytics import scd2_history, topk_per_group
+sections.append(("Top-k per group (WindowGroupLimit)",
+  "The row_number rank filter compiles to WindowGroupLimit on BOTH sides of the exchange (Partial before, Final after): every map task pre-prunes to its local top-5 per group, so the shuffle carries O(groups×k×partitions) rows — the distributed partial top-k.",
+  cap(topk_per_group(evts, group=["event_type"], order_by=[F.col("value").desc(), F.col("event_id")], k=5))))
+
+narrow = ev.select("repo","path","commit","event_sequence","op")
+sections.append(("SCD Type-2 history (one window pass on the merge key)",
+  "lead(seq) over (key ORDER BY seq, op) — a single exchange+sort on the merge's own key grain; the Window's Input list carries fingerprint-width metadata only (callers keep payload out by contract).",
+  cap(scd2_history(narrow, keys=["repo","path","commit"], seq="event_sequence", op_col="op"))))
+
+orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+nat = spark.read.parquet("/root/testdata/sf0.01/nation.parquet")
+reg = spark.read.parquet("/root/testdata/sf0.01/region.parquet")
+star = (orders.where((F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01")))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg.where(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name").agg(F.count("*").alias("n_orders"),
+                               F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")))
+sections.append(("Star-schema join (broadcast dims + pushdown)",
+  "Date and region filters reach the parquet scans (`PushedFilters`), every scan is column-pruned to exactly the join/agg columns, and the dims ride BroadcastHashJoins — the fact table is never shuffled for them.",
+  cap(star)))
+
 with open("/root/repo/docs/PLANS.md", "w") as fh:
     fh.write("# Physical plans of the hot paths (captured via explain('formatted'))\n\n")
     fh.write("Regenerate with `python scripts/gen_plans_doc.py` (this file is evidence\nthat pushdown/pruning/broadcast/partial-agg actually happen — SURVEY §5).\n")
