@@ -589,6 +589,67 @@ def _q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (operators/relational.py::interval_join): each
+    click paired with every same-user 2-hour purchase window containing it.
+    Spark would plan the raw BETWEEN predicate as BroadcastNestedLoopJoin
+    (O(n·m)); the operator rewrites it to bucketed expansion — an EQUI-join
+    on (user, hour-bucket) + residual filter. DuckDB twin: the plain
+    inequality join."""
+    from wprdc_etl_spark.operators.relational import interval_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    promos = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("promo_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("promo_end"),
+        F.round(F.col("value"), 4).alias("purchase_value"),
+    )
+    out = interval_join(
+        clicks, promos,
+        ts="ts", start="promo_start", end="promo_end",
+        on="user_id", payload=["purchase_value"], bucket_seconds=3600,
+    )
+    return out.withColumnRenamed("_ivl_start", "promo_start").withColumnRenamed(
+        "_ivl_end", "promo_end"
+    )
+
+
+def _q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals: ROLLUP(region, nation) order counts + revenue
+    — Spark's `rollup` relational grouping-sets operator (one expand + one
+    hash aggregate with map-side combine), vs DuckDB GROUP BY ROLLUP."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    r = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    j = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("revenue"),
+    )
+
+
+def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event counts, one column per event type
+    (explicit value list — no extra distinct-scan job, deterministic
+    columns). DuckDB twin: FILTER-ed conditional aggregates."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = ev.groupBy("user_id").pivot("event_type", types).agg(F.count(F.lit(1)))
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
 def _q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type distinct-user cardinality (operators/analytics.py::
     distinct_count), exact form — the truth twin of the HyperLogLog++
@@ -851,6 +912,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_per_type": _q_events_topk_per_type,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_distinct_users": _q_events_distinct_users,
+        "events_interval_join": _q_events_interval_join,
+        "events_pivot": _q_events_pivot,
+        "sales_rollup": _q_sales_rollup,
         "documents_near_dedup": _q_documents_near_dedup,
         "sales_by_nation": _q_sales_by_nation,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -1101,6 +1165,38 @@ FROM events GROUP BY event_type
         "events_distinct_users": """
 SELECT event_type, count(DISTINCT user_id) AS n_distinct
 FROM events GROUP BY event_type
+""",
+        "events_interval_join": """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), promos AS (
+  SELECT user_id, ts AS promo_start, ts + INTERVAL 2 HOUR AS promo_end,
+         round(value, 4) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts, p.purchase_value,
+       p.promo_start, p.promo_end
+FROM clicks c JOIN promos p
+  ON c.user_id = p.user_id
+ AND c.ts >= p.promo_start AND c.ts <= p.promo_end
+""",
+        "events_pivot": """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view
+FROM events GROUP BY user_id
+""",
+        "sales_rollup": """
+SELECT r_name, n_name, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
 """,
         "documents_near_dedup": f"""
 WITH cand AS ({_dedup_sql.lsh_pairs_sql(n_hashes=32, shingle_k=5, n_bands=8, est_threshold=0.3)}),

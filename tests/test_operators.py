@@ -410,3 +410,35 @@ def test_distinct_count_exact_vs_hll(spark):
     # HLL++ at rsd=0.02: within ~3 standard errors of exact
     for g, n in hll.items():
         assert abs(n - 1500) <= 1500 * 0.06, (g, n)
+
+
+def test_interval_join_correct_and_no_nested_loop(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from wprdc_etl_spark.operators.relational import interval_join
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    facts = spark.createDataFrame(
+        [(1, "u", T(9, 30)), (2, "u", T(12, 0)), (3, "v", T(9, 30)),
+         (4, "u", T(10, 0))],
+        ["fid", "user", "ts"])
+    ivls = spark.createDataFrame(
+        [("u", T(9), T(10), "a"),      # catches fid 1 and 4 (boundary)
+         ("u", T(9, 45), T(11), "b"),  # catches fid 4 (overlapping window)
+         ("v", T(11), T(12), "c")],    # wrong user for fid 3's 9:30
+        ["user", "s", "e", "tag"])
+    out = interval_join(
+        facts, ivls, ts="ts", start="s", end="e", on="user",
+        payload=["tag"], bucket_seconds=1800)
+    got = sorted((r["fid"], r["tag"]) for r in out.collect())
+    # one row per qualifying (fact, interval) pair; boundaries inclusive;
+    # overlapping windows both match; key mismatch excludes
+    assert got == [(1, "a"), (4, "a"), (4, "b")]
+    # the scale property: bucketed expansion plans as an EQUI join —
+    # never BroadcastNestedLoopJoin (the raw-BETWEEN plan)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    # and each pair matched exactly once (no dedup pass hiding duplicates)
+    assert out.count() == 3

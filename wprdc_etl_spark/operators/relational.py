@@ -100,6 +100,64 @@ def asof_join(
     )
 
 
+def interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    *,
+    ts: str,
+    start: str,
+    end: str,
+    on: str | None = None,
+    payload: list[str],
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Range/interval join: each fact row paired with every interval row
+    whose ``[start, end]`` contains its ``ts`` (and whose key matches, when
+    ``on`` is given) — one output row per qualifying (fact, interval) pair.
+
+    Spark has no native range join: a raw ``f.ts BETWEEN i.start AND i.end``
+    predicate plans as BroadcastNestedLoopJoin (O(|facts|×|intervals|) —
+    dead at scale). This is the standard bucketed-expansion rewrite instead:
+    intervals explode to one row per ``bucket_seconds``-wide time bucket
+    they cover, facts map to their single bucket, and the join is a plain
+    EQUI-join on (key, bucket) + a residual range filter. Each qualifying
+    pair matches in exactly one bucket (the fact's), so no dedup pass is
+    needed. Shuffle is O(|facts| + |intervals|·len/width); pick
+    ``bucket_seconds`` near the median interval length so each interval
+    explodes to ~1–2 rows. Long-tail intervals fan out linearly — cap them
+    upstream or split the dimension by duration if one interval spans
+    months.
+
+    Output: all fact columns + ``payload`` columns + ``_ivl_start``/
+    ``_ivl_end`` of the matched interval.
+    """
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    w = F.lit(bucket_seconds * 1_000_000)
+    ikeys = ([F.col(on)] if on else []) + [
+        F.explode(F.sequence(F.floor(us(start) / w), F.floor(us(end) / w))).alias("_bkt")
+    ]
+    i = intervals.select(
+        *ikeys,
+        us(start).alias("_ivl_start_us"),
+        us(end).alias("_ivl_end_us"),
+        F.col(start).alias("_ivl_start"),
+        F.col(end).alias("_ivl_end"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload],
+    )
+    f = facts.withColumn("_bkt", F.floor(us(ts) / w)).withColumn("_ts_us", us(ts))
+    cond = [f["_bkt"] == i["_bkt"]] + ([f[on] == i[on]] if on else [])
+    joined = f.join(i, cond, "inner").where(
+        (F.col("_ts_us") >= F.col("_ivl_start_us"))
+        & (F.col("_ts_us") <= F.col("_ivl_end_us"))
+    )
+    return joined.select(
+        *[f[c] for c in facts.columns],
+        *[F.col(f"_p_{c}").alias(c) for c in payload],
+        "_ivl_start",
+        "_ivl_end",
+    )
+
+
 def sessionize(
     df: DataFrame,
     *,
