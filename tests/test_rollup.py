@@ -72,3 +72,34 @@ def test_rollup_view_rebootstraps_past_retention(spark, tmp_path):
     t.rebucket(8)
     assert v.refresh()["mode"] == "bootstrap"
     assert _view_state(v) == _recompute(t) == {"r1": 2, "r2": 1}
+
+
+def test_rollup_view_rides_the_stream(spark, tmp_path):
+    """A RollupView attached to the IngestJob stays exactly-once-consistent
+    with the table across streaming micro-batches, including a full
+    checkpointed redelivery of the drained stream (guard-skipped batches →
+    noop refreshes, same aggregate)."""
+    from wprdc_etl_spark.streaming.job import IngestJob
+    from wprdc_etl_spark.testgen import gen_change_events, write_event_log
+
+    src = str(tmp_path / "log")
+    write_event_log(gen_change_events(spark, 800), src, n_files=8)
+    t = mk_table(spark, tmp_path, n_buckets=4, retain_history=8)
+    v = RollupView(spark, str(tmp_path / "view"), t, group_cols=["repo"])
+    job = (
+        IngestJob("rv-stream", max_files_per_trigger=3)
+        .source(src)
+        .schema(IngestJob.default_payload_schema())
+        .sink(t)
+        .rollup(v)
+        .build()
+    )
+    ckpt = str(tmp_path / "ckpt")
+    job.start_stream(spark, ckpt).awaitTermination()
+    assert v.last_source_version() == t.current_version()
+    assert _view_state(v) == _recompute(t)
+    ver = t.current_version()
+    # drain again from the same checkpoint: no new data, no new versions,
+    # and the view doesn't move either
+    job.start_stream(spark, ckpt).awaitTermination()
+    assert t.current_version() == ver and v.last_source_version() == ver

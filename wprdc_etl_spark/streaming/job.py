@@ -94,6 +94,7 @@ class IngestJob:
         self._event_schema: T.StructType = event_struct()
         self._payload_schema: BaseSchema | None = None
         self._sink: LakeTable | None = None
+        self._rollups: list = []
         self._built = False
 
     # ---- builder (A1–A5) --------------------------------------------------
@@ -130,6 +131,15 @@ class IngestJob:
 
     def sink(self, table: LakeTable) -> "IngestJob":
         self._sink = table
+        return self
+
+    def rollup(self, view) -> "IngestJob":
+        """Attach a continuous aggregate (plans/rollup.py::RollupView): after
+        every committed (micro-)batch the view refreshes from the sink's
+        changelog — O(|batch changes|), never a base-table rescan. refresh()
+        is a version-checked no-op for skipped/replayed batches, so the
+        stream's exactly-once story extends to the aggregate for free."""
+        self._rollups.append(view)
         return self
 
     def build(self) -> "IngestJob":
@@ -272,6 +282,9 @@ class IngestJob:
                 .drop("_valid", "_late")
             )
             bad.write.mode("overwrite").parquet(f"{self.quarantine_dir}/batch_id={batch_id}")
+
+        for view in self._rollups:
+            view.refresh()
 
     # ---- batch replay (B13 replay windows) ---------------------------------
 
