@@ -734,6 +734,20 @@ def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (streaming/windows.py::sliding_stats,
+    batch twin of the watermarked streaming form): per-user hourly stats
+    hopping every 30 min — each event counted in window/slide = 2 windows.
+    The oracle fans out the epoch-aligned window starts with
+    generate_series."""
+    from wprdc_etl_spark.streaming.windows import sliding_stats
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = sliding_stats(ev, key="user_id", ts="ts", window_seconds=3600,
+                        slide_seconds=1800, value_col="value")
+    return out.withColumn("value_sum", F.round(F.col("value_sum"), 4))
+
+
 def _q_documents_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6 over the documents table."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -909,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "events_sessions_stream": _q_events_sessions_stream,
         "events_tumbling": _q_events_tumbling,
+        "events_sliding": _q_events_sliding,
         "events_topk_per_type": _q_events_topk_per_type,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_distinct_users": _q_events_distinct_users,
@@ -1247,6 +1262,19 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
 GROUP BY l_returnflag, l_linestatus
+""",
+        "events_sliding": """
+WITH w AS (
+  SELECT user_id, value,
+         ((epoch_us(ts) // 1800000000) - j) * 1800000000 AS ws
+  FROM events, UNNEST(generate_series(0, 1)) AS u(j)
+)
+SELECT user_id,
+       make_timestamp(ws) AS window_start,
+       make_timestamp(ws + 3600000000) AS window_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM w GROUP BY user_id, ws
 """,
         "documents_fingerprint": "SELECT doc_id, sha256(text) AS text_sha FROM documents",
         "documents_exact_dedup": """

@@ -239,3 +239,51 @@ def test_tumbling_stats_batch_and_streaming_agree(spark, tmp_path):
         for r in got if r["user"] != "zz"
     }
     assert got_s == got_b
+
+
+def test_sliding_stats_batch_and_streaming_agree(spark, tmp_path):
+    """sliding_stats: each event lands in window/slide overlapping windows;
+    streaming (watermarked, append) emits exactly the batch rows."""
+    import datetime as dt
+
+    from wprdc_etl_spark.streaming.windows import sliding_stats
+
+    T0 = dt.datetime(2024, 1, 1, 9, 0)
+    M = lambda m, s=0: T0 + dt.timedelta(minutes=m, seconds=s)
+    rows = [
+        ("u", M(2), 1.0),     # windows [8:56,9:04) and [9:00,9:08)
+        ("u", M(5), 2.0),     # windows [9:00,9:08) and [9:04,9:12)
+        ("zz", M(14 * 60), 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["user", "ts", "value"])
+    batch = sliding_stats(df, key="user", ts="ts", window_seconds=480,
+                          slide_seconds=240, value_col="value")
+    got_b = {
+        (r["user"], r["window_start"]): (r["n_events"], r["value_sum"])
+        for r in batch.collect() if r["user"] != "zz"
+    }
+    assert got_b[("u", M(-4))] == (1, 1.0)
+    assert got_b[("u", M(0))] == (2, 3.0)   # both events share [9:00,9:08)
+    assert got_b[("u", M(4))] == (1, 2.0)
+    assert len(got_b) == 3
+
+    src = str(tmp_path / "slide_src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = sliding_stats(stream, key="user", ts="ts", window_seconds=480,
+                        slide_seconds=240, value_col="value",
+                        watermark_delay="1 minute")
+    got = []
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "slide_ckpt"))
+        .foreachBatch(lambda b, i: got.extend(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got_s = {
+        (r["user"], r["window_start"]): (r["n_events"], r["value_sum"])
+        for r in got if r["user"] != "zz"
+    }
+    assert got_s == got_b

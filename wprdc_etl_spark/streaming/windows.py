@@ -57,6 +57,53 @@ def session_stats_streaming(
     )
 
 
+def sliding_stats(
+    df: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    window_seconds: int,
+    slide_seconds: int,
+    value_col: Column | str | None = None,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Sliding (hopping) time-window aggregate — each event lands in
+    ``window/slide`` overlapping windows; one row per (key, window). Same
+    batch/stream duality and epoch-aligned bounds as ``tumbling_stats``
+    (which is the ``slide == window`` special case). SQL-expressible —
+    DuckDB replays the window-start fan-out with generate_series — so the
+    batch form carries the driver oracle (``events_sliding``).
+
+    100-TB shape: the built-in ``F.window`` expands each row to its
+    window/slide assignments BEFORE the aggregate, so the hash aggregate's
+    map-side partial combine still collapses per (key, window) locally —
+    shuffle is O(groups), but CPU and combine-map pressure scale with the
+    overlap factor: keep window/slide small (2–4×), or pre-aggregate on the
+    slide grain and roll up when it isn't.
+    """
+    if window_seconds <= 0 or slide_seconds <= 0:
+        raise ValueError("window_seconds and slide_seconds must be > 0")
+    if window_seconds % slide_seconds:
+        raise ValueError("window_seconds must be a multiple of slide_seconds "
+                         "(epoch-aligned hopping windows)")
+    src = df
+    if watermark_delay is not None:
+        src = src.withWatermark(ts, watermark_delay)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("value_sum"))
+    out = src.groupBy(
+        F.col(key),
+        F.window(F.col(ts), f"{window_seconds} seconds", f"{slide_seconds} seconds"),
+    ).agg(*aggs)
+    return out.select(
+        key,
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in out.columns if c not in (key, "window")],
+    )
+
+
 def tumbling_stats(
     df: DataFrame,
     *,
