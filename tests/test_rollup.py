@@ -103,3 +103,20 @@ def test_rollup_view_rides_the_stream(spark, tmp_path):
     # and the view doesn't move either
     job.start_stream(spark, ckpt).awaitTermination()
     assert t.current_version() == ver and v.last_source_version() == ver
+
+
+def test_rollup_view_rebuilds_on_group_cols_change(spark, tmp_path):
+    """A view directory built for one grouping is never delta-folded (or
+    noop-served) under another — a constructor with different group_cols
+    rebuilds even at the same source version."""
+    t = mk_table(spark, tmp_path, retain_history=8)
+    _merge(t, spark, [
+        (1, "I", "r1", "a", "c1", "py", "x"),
+        (2, "I", "r1", "b", "c2", "py", "y"),
+    ], 0)
+    v1 = RollupView(spark, str(tmp_path / "view"), t, group_cols=["repo"])
+    assert v1.refresh()["mode"] == "bootstrap"
+    v2 = RollupView(spark, str(tmp_path / "view"), t, group_cols=["repo", "path"])
+    assert v2.refresh()["mode"] == "bootstrap"   # same source version: rebuilt anyway
+    got = {(r["repo"], r["path"]): r["n_live"] for r in v2.read().collect()}
+    assert got == {("r1", "a"): 1, ("r1", "b"): 1}

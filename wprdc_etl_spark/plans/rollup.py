@@ -22,6 +22,13 @@ plans/lake.py::_swap_manifest):
 - if the source's retention already expired the view's last-seen version
   (``SinkCommitError``), refresh falls back to a fresh bootstrap scan —
   correct at any lag, just no longer incremental for that one refresh.
+  Note COW dir-sharing usually keeps the previous version's untouched
+  buckets readable even at ``retain_history=0``, but only ``retain_history
+  ≥ 1`` guarantees the incremental path for a view refreshed every version
+  (e.g. one attached via ``IngestJob.rollup``); set it on tables that feed
+  rollups.
+- a stored view whose ``group_cols`` differ from the constructor's is
+  rebuilt, never delta-folded (grouping mismatch would corrupt counts).
 
 Scale shape: bootstrap is ONE hash aggregate over the table (map-side
 partial); every later refresh is a hash aggregate over the changelog slice
@@ -111,6 +118,11 @@ class RollupView:
         if cur is None:
             raise SinkCommitError("source table has no committed version")
         meta = self._read_meta()
+        if meta is not None and meta.get("group_cols") != self.group_cols:
+            # the view on disk was built for a different grouping — folding
+            # this grouping's delta into it (or nooping on it) would silently
+            # serve corrupt counts; rebuild from scratch instead
+            meta = None
         if meta is not None and meta["source_version"] == cur:
             return {"mode": "noop", "source_version": cur}
 
