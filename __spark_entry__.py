@@ -154,13 +154,6 @@ def _q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     label = _sf_label(sf_dir)
     target = os.path.join(FIXTURES, "_targets", f"{label}_lookup")
     tbl = ParquetSnapshotTable(spark, target, n_buckets=16)
-    job = (
-        IngestJob(f"lookup-{label}")
-        .source(log)
-        .schema(IngestJob.default_payload_schema())
-        .sink(tbl)
-        .build()
-    )
     if not tbl.exists() or tbl.last_committed_batch(f"lookup-{label}") is None:
         shutil.rmtree(target, ignore_errors=True)
         tbl = ParquetSnapshotTable(spark, target, n_buckets=16)

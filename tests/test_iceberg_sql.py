@@ -75,10 +75,10 @@ def test_changelog_sql_net_changes_contract():
     )
     # procedures are CALL'd on the catalog with the db-local identifier
     assert call.startswith("CALL cat.system.create_changelog_view(table => 'db.t'")
-    assert "'start-snapshot-id-exclusive','100'" in call
-    assert "'end-snapshot-id-inclusive','200'" in call
-    # identifier columns make Iceberg pair D+I on a key into an update
-    assert "identifier_columns => array('repo', 'path', 'commit')" in call
+    assert "'start-snapshot-id','100'" in call
+    assert "net_changes => true" in call
+    assert "identifier_columns" not in call  # mutually exclusive with net
+    assert "'end-snapshot-id','200'" in call
     assert "changelog_view => 'db_t_changes'" in call
     # the SELECT maps Iceberg change types onto the engine's I/U/D contract
     assert "WHEN 'INSERT' THEN 'I'" in select

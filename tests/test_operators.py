@@ -442,3 +442,30 @@ def test_interval_join_correct_and_no_nested_loop(spark):
     assert "NestedLoop" not in plan, plan
     # and each pair matched exactly once (no dedup pass hiding duplicates)
     assert out.count() == 3
+
+
+def test_spark_xxhash64_date_timestamp_parity(spark):
+    """DateType/TimestampType parity: Python date/datetime values hash
+    bit-identically to Spark's internal days-since-epoch (int32 path) /
+    epoch-micros (int64 path) — the r3 fix for typed driver-side hashing
+    of temporal bucket keys."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from wprdc_etl_spark.operators.xxhash import spark_xxhash64
+
+    df = spark.createDataFrame(
+        [(dt.date(2024, 2, 29), dt.datetime(2024, 2, 29, 12, 34, 56, 789012)),
+         (dt.date(1969, 12, 31), dt.datetime(1970, 1, 1, 0, 0, 0, 1))],
+        "d date, t timestamp_ntz",
+    ).select(
+        "d", "t",
+        F.xxhash64("d").alias("hd"),
+        F.xxhash64("t").alias("ht"),
+        F.xxhash64("d", "t").alias("hdt"),
+    )
+    for r in df.collect():
+        assert spark_xxhash64(r["d"], types=["date"]) == r["hd"]
+        assert spark_xxhash64(r["t"], types=["timestamp_ntz"]) == r["ht"]
+        assert spark_xxhash64(r["d"], r["t"], types=["date", "timestamp_ntz"]) == r["hdt"]

@@ -120,3 +120,16 @@ def test_rollup_view_rebuilds_on_group_cols_change(spark, tmp_path):
     assert v2.refresh()["mode"] == "bootstrap"   # same source version: rebuilt anyway
     got = {(r["repo"], r["path"]): r["n_live"] for r in v2.read().collect()}
     assert got == {("r1", "a"): 1, ("r1", "b"): 1}
+
+
+def test_rollup_view_rejects_non_key_grouping(spark, tmp_path):
+    """Count-delta algebra is unsound for mutable group columns (a 'U' that
+    moves a row between groups carries no old-group info) — constructor
+    fails loudly instead of drifting silently."""
+    import pytest
+
+    from wprdc_etl_spark.exceptions import SinkCommitError
+
+    t = mk_table(spark, tmp_path)
+    with pytest.raises(SinkCommitError, match="non-key column"):
+        RollupView(spark, str(tmp_path / "view"), t, group_cols=["lang"])

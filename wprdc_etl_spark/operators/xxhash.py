@@ -95,7 +95,21 @@ _LONG_TYPES = {"bigint", "long", "timestamp", "timestamp_ntz"}
 
 
 def _hash_typed(value, spark_type: str, seed: int) -> int:
+    import datetime as _dt
+
     t = spark_type.lower()
+    if t == "date" and isinstance(value, _dt.date) and not isinstance(value, _dt.datetime):
+        # Spark hashes DateType as its internal days-since-epoch int32
+        value = (value - _dt.date(1970, 1, 1)).days
+    elif t in ("timestamp", "timestamp_ntz") and isinstance(value, _dt.datetime):
+        # internal form is epoch MICROseconds (int64); naive datetimes are
+        # taken as UTC (= the session timezone everywhere in this engine),
+        # aware ones convert exactly via timedelta division (no float)
+        if value.tzinfo is not None:
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        else:
+            epoch = _dt.datetime(1970, 1, 1)
+        value = (value - epoch) // _dt.timedelta(microseconds=1)
     if t in _INT_TYPES:
         return xxh64_int(int(value), seed)
     if t in _LONG_TYPES:

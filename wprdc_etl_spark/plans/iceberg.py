@@ -79,8 +79,10 @@ def time_travel_sql(table: str, version: int) -> str:
 
 
 def history_sql(table: str) -> str:
-    """Commit log (history() analog): snapshots oldest-first with the same
-    same-ms tiebreak the guard reader uses."""
+    """Commit log (history() analog): snapshots oldest-first for display.
+    (Programmatic newest-first resolution uses the parent-id ancestry walk
+    in ``_summary_value`` — ids are random, so this ORDER BY is display
+    order only, not a correctness tiebreak.)"""
     return (
         f"SELECT snapshot_id, committed_at, operation, summary FROM "
         f"{table}.snapshots ORDER BY committed_at ASC, snapshot_id ASC"
@@ -91,23 +93,30 @@ def changelog_sql(table: str, start_snapshot: int, end_snapshot: int,
                   keys: list[str] | None = None) -> tuple[str, str]:
     """Changelog read (changes_between analog): Iceberg's
     ``create_changelog_view`` procedure + the SELECT over the view it
-    registers. ``identifier-columns`` makes Iceberg pair DELETE+INSERT on
-    the same key into UPDATE_BEFORE/UPDATE_AFTER — the net-changes shape
-    ParquetSnapshotTable.changes_between computes with its full-outer join.
-    Returns (CALL sql, SELECT sql)."""
+    registers. ``net_changes => true`` collapses a multi-snapshot range to
+    its NET effect (insert-then-delete inside the range emits nothing) —
+    the same contract ParquetSnapshotTable.changes_between computes with
+    its two-endpoint full-outer join. Option keys are Iceberg's real read
+    options ``start-snapshot-id`` (exclusive) / ``end-snapshot-id``
+    (inclusive) — r3 code review caught earlier invented names that Iceberg
+    would silently ignore (scanning ALL history).
+
+    Contract difference, stated honestly: net-changes mode is mutually
+    exclusive with ``identifier_columns`` in Iceberg, so an updated key
+    surfaces as a DELETE(old)+INSERT(new) pair on the same key rather than
+    the parquet sink's single pre-paired 'U' row — same net information;
+    consumers pair on the key. ``keys`` is accepted for signature parity
+    and unused. Returns (CALL sql, SELECT sql)."""
+    del keys  # net_changes and identifier_columns are mutually exclusive
     cat, ident = _catalog_and_ident(table)
     view = f"{ident.replace('.', '_')}_changes"
     opts = (
-        f"options => map('start-snapshot-id-exclusive','{start_snapshot}',"
-        f"'end-snapshot-id-inclusive','{end_snapshot}')"
-    )
-    ident_cols = (
-        f", identifier_columns => array({', '.join(repr(k) for k in keys)})"
-        if keys else ""
+        f"options => map('start-snapshot-id','{start_snapshot}',"
+        f"'end-snapshot-id','{end_snapshot}')"
     )
     call = (
         f"CALL {cat}.system.create_changelog_view(table => '{ident}', "
-        f"{opts}{ident_cols}, changelog_view => '{view}')"
+        f"{opts}, net_changes => true, changelog_view => '{view}')"
     )
     select = (
         f"SELECT *, CASE _change_type WHEN 'INSERT' THEN 'I' "
@@ -289,20 +298,35 @@ class IcebergTable(LakeTable):
     # ---- guard / state via snapshot summary properties ---------------------
 
     def _summary_value(self, key: str) -> str | None:
-        """Latest snapshot-summary value for ``key`` (None if never set)."""
+        """Latest snapshot-summary value for ``key`` (None if never set).
+
+        Ordered by the PARENT-ID ANCESTRY CHAIN, not committed_at:
+        committed_at is millisecond-grained and Iceberg snapshot ids are
+        random longs (NOT monotonic — r3 code review caught an id-based
+        tiebreak here that could resolve same-ms commits to the OLDER
+        snapshot and re-merge an already-committed batch). The chain tip is
+        the snapshot no other snapshot names as parent; walking parent_id
+        from there visits newest→oldest exactly. Expired ancestors just end
+        the walk; if retained branches leave several tips (rollback), the
+        latest-committed tip wins."""
         try:
-            # snapshot_id DESC tiebreak: committed_at is millisecond-grained,
-            # two same-ms commits must still resolve to the newest snapshot
             rows = self.spark.sql(
-                f"SELECT summary, committed_at FROM {self.table}.snapshots "
-                f"ORDER BY committed_at DESC, snapshot_id DESC"
+                f"SELECT snapshot_id, parent_id, committed_at, summary "
+                f"FROM {self.table}.snapshots"
             ).collect()
         except Exception:
             return None
-        for r in rows:
-            s = r["summary"]
+        by_id = {r["snapshot_id"]: r for r in rows}
+        parents = {r["parent_id"] for r in rows if r["parent_id"] is not None}
+        tips = [r for r in rows if r["snapshot_id"] not in parents]
+        cur = max(tips, key=lambda r: r["committed_at"]) if tips else None
+        seen: set = set()
+        while cur is not None and cur["snapshot_id"] not in seen:
+            seen.add(cur["snapshot_id"])
+            s = cur["summary"]
             if s and key in s:
                 return s[key]
+            cur = by_id.get(cur["parent_id"])
         return None
 
     def last_committed_batch(self, job: str) -> int | None:

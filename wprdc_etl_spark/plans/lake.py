@@ -324,7 +324,34 @@ class ParquetSnapshotTable(LakeTable):
                 try:
                     age = time.time() - os.path.getmtime(lock)
                     if age > self._LOCK_STALE_S:
-                        os.remove(lock)  # break a crashed writer's lock
+                        # Break the crashed writer's lock ATOMICALLY: rename
+                        # to a unique name first — of N concurrent breakers
+                        # exactly one rename succeeds, so a stat-then-remove
+                        # pair can never delete a DIFFERENT (fresh) lock that
+                        # appeared in between (the r3 TOCTOU finding: two
+                        # breakers both removing → both acquiring). Then
+                        # re-verify age on the renamed file: if we raced a
+                        # release+fresh-acquire and stole a LIVE lock, hand
+                        # it back via link (which refuses to clobber a newer
+                        # lock). A writer paused >60s inside its ms-long
+                        # critical section can still lose its lease — the
+                        # inherent lease-lock limit — and the version CAS in
+                        # _swap_manifest remains the corruption backstop.
+                        stale = lock + f".break.{uuid.uuid4().hex}"
+                        try:
+                            os.rename(lock, stale)
+                        except OSError:
+                            continue  # another breaker won, or it released
+                        try:
+                            still = time.time() - os.path.getmtime(stale)
+                        except OSError:
+                            still = self._LOCK_STALE_S + 1
+                        if still <= self._LOCK_STALE_S:
+                            try:
+                                os.link(stale, lock)  # stole a live lock: give back
+                            except OSError:
+                                pass
+                        os.remove(stale)
                         continue
                 except OSError:
                     continue  # lock vanished between open and stat — retry

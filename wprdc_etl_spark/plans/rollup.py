@@ -75,6 +75,19 @@ class RollupView:
         self.group_cols = list(group_cols)
         self.count_col = count_col
         self.compare_cols = compare_cols
+        # The count-delta algebra (+1 I / −1 D / 0 U) is only sound when the
+        # grouping is immutable per row, i.e. derived from the MERGE KEY: a
+        # mutable group column (e.g. lang) moves rows between groups via 'U'
+        # changelog entries that carry no old-group information — the rollup
+        # would silently drift (r3 code review). Fail loudly instead.
+        bad = [c for c in self.group_cols if c not in source.keys]
+        if bad:
+            raise SinkCommitError(
+                f"rollup group_cols must be merge-key columns "
+                f"{list(source.keys)}; got non-key column(s) {bad} — a "
+                f"non-key grouping needs old-value deltas the changelog "
+                f"does not carry"
+            )
 
     # ---- state layout ------------------------------------------------------
 
