@@ -545,6 +545,49 @@ def _q_cdc_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.read()
 
 
+def _q_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table→table incremental replication (plans/replicate.py::
+    TableReplicator — CDC out composed with CDC in): replay the log into a
+    source table in 4 chunks, then sync a DIFFERENTLY-BUCKETED replica in two
+    steps — a bootstrap at the version chunk 1 committed, then ONE
+    incremental sync driven by the source changelog (narrow content_sha
+    diff, payloads late-materialized, exactly-once via the replica's own
+    batch guard keyed by source version). The query raises unless the second
+    sync really took the incremental path and the cross-table fingerprint
+    verification (B14) agrees; the replica's final state must equal the same
+    golden replay as cdc_final_state."""
+    from wprdc_etl_spark.plans.replicate import TableReplicator
+
+    log = _fixture_log(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    src_path = os.path.join(FIXTURES, "_targets", f"{label}_repl_src")
+    rep_path = os.path.join(FIXTURES, "_targets", f"{label}_repl_dst")
+    shutil.rmtree(src_path, ignore_errors=True)
+    shutil.rmtree(rep_path, ignore_errors=True)
+    source = ParquetSnapshotTable(spark, src_path, n_buckets=16, retain_history=8)
+    job = (
+        IngestJob(f"repl-{label}")
+        .source(log)
+        .schema(IngestJob.default_payload_schema())
+        .sink(source)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=4)
+    replica = ParquetSnapshotTable(spark, rep_path, n_buckets=8)
+    rep = TableReplicator(source, replica, job=f"repl-{label}")
+    v1 = max(
+        h["version"] for h in source.history()
+        if h["committed"].get(f"repl-{label}") == 0
+    )
+    r1 = rep.sync(to_version=v1)
+    r2 = rep.sync()
+    if r1["mode"] != "bootstrap" or r2["mode"] != "incremental":
+        raise AssertionError(f"replication sync modes: {r1}, {r2}")
+    if not rep.verify()["match"]:
+        raise AssertionError("replica fingerprint diverged from source")
+    return replica.read().select("repo", "path", "commit", "lang", "content_sha")
+
+
 def _q_events_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group (operators/analytics.py::topk_per_group): the 5
     highest-value events per event_type. The rank filter compiles to
@@ -909,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog": _q_cdc_changelog,
         "cdc_scd2": _q_cdc_scd2,
         "cdc_rollup_incremental": _q_cdc_rollup_incremental,
+        "cdc_replicate": _q_cdc_replicate,
         "events_dedup": _q_events_dedup,
         "events_latest_per_user": _q_events_latest_per_user,
         "events_props_json": _q_events_props_json,
@@ -1336,6 +1380,9 @@ SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <=
     out["emb_ann_topk"] = out["emb_cosine_topk"]
     # key-sharded logs unioned must replay to the single-log golden state
     out["cdc_multi_log"] = out["cdc_final_state"]
+    # bootstrap + incremental changelog replication must land the replica on
+    # the source's golden final state (exactly-once per source version)
+    out["cdc_replicate"] = out["cdc_final_state"]
     # the changelog-refreshed rollup must equal the final-state aggregate
     out["cdc_rollup_incremental"] = (
         f'SELECT repo, count(*) AS n_live FROM ({out["cdc_final_state"]}) GROUP BY repo'

@@ -1,3 +1,4 @@
 from wprdc_etl_spark.plans.lake import LakeTable, MergeResult, ParquetSnapshotTable
+from wprdc_etl_spark.plans.replicate import TableReplicator
 
-__all__ = ["LakeTable", "MergeResult", "ParquetSnapshotTable"]
+__all__ = ["LakeTable", "MergeResult", "ParquetSnapshotTable", "TableReplicator"]

@@ -182,6 +182,47 @@ def _rank(op_col: Column) -> Column:
     )
 
 
+def diff_states(
+    a: DataFrame, b: DataFrame, keys: list[str], compare_cols: list[str]
+) -> DataFrame:
+    """The NET row-level I/U/D delta that turns state ``a`` into state ``b``:
+    ``change_op`` 'I' for keys only in ``b``, 'D' for keys only in ``a``, 'U'
+    for keys whose compared payload differs. 'D' rows carry the ``a`` payload,
+    'I'/'U' rows the ``b`` payload (projected to ``compare_cols``).
+
+    Shared by ``changes_between`` (two versions of ONE table) and the
+    replicator's repair path (source state vs replica state). Scale shape:
+    ONE full-outer join of the two states projected to (keys + compare_cols)
+    — O(|a| + |b|) shuffle; keep ``compare_cols`` narrow (a fingerprint
+    column) and join payloads back by key downstream.
+    """
+    an = a.select(*keys, *[F.col(c).alias(f"_a_{c}") for c in compare_cols])
+    bn = b.select(*keys, *[F.col(c).alias(f"_b_{c}") for c in compare_cols])
+    # join on key equality; keys are non-null by the merge contract
+    j = an.withColumn("_in_a", F.lit(True)).join(
+        bn.withColumn("_in_b", F.lit(True)), keys, "full_outer"
+    )
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+    op = (
+        F.when(F.col("_in_a").isNull(), F.lit("I"))
+        .when(F.col("_in_b").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    out = j.withColumn("change_op", op).where(F.col("change_op").isNotNull())
+    return out.select(
+        *keys,
+        "change_op",
+        *[
+            F.when(F.col("change_op") == "D", F.col(f"_a_{c}"))
+            .otherwise(F.col(f"_b_{c}"))
+            .alias(c)
+            for c in compare_cols
+        ],
+    )
+
+
 class ParquetSnapshotTable(LakeTable):
     LINEAGE_SCHEMA = T.StructType(
         [
@@ -732,31 +773,7 @@ class ParquetSnapshotTable(LakeTable):
         if compare_cols is None:
             common = [c for c in b_full.columns if c in a_full.columns and c not in self.keys]
             compare_cols = ["content_sha"] if "content_sha" in common else common
-        a = a_full.select(*self.keys, *[F.col(c).alias(f"_a_{c}") for c in compare_cols])
-        b = b_full.select(*self.keys, *[F.col(c).alias(f"_b_{c}") for c in compare_cols])
-        # join on key equality; keys are non-null by the merge contract
-        j = a.withColumn("_in_a", F.lit(True)).join(
-            b.withColumn("_in_b", F.lit(True)), self.keys, "full_outer"
-        )
-        changed = F.lit(False)
-        for c in compare_cols:
-            changed = changed | ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
-        op = (
-            F.when(F.col("_in_a").isNull(), F.lit("I"))
-            .when(F.col("_in_b").isNull(), F.lit("D"))
-            .when(changed, F.lit("U"))
-        )
-        out = j.withColumn("change_op", op).where(F.col("change_op").isNotNull())
-        return out.select(
-            *self.keys,
-            "change_op",
-            *[
-                F.when(F.col("change_op") == "D", F.col(f"_a_{c}"))
-                .otherwise(F.col(f"_b_{c}"))
-                .alias(c)
-                for c in compare_cols
-            ],
-        )
+        return diff_states(a_full, b_full, self.keys, compare_cols)
 
     def read_lineage(self) -> DataFrame:
         man = self._require_manifest()
