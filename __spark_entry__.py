@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 if REPO not in __import__("sys").path:
@@ -588,6 +589,47 @@ def _q_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replica.read().select("repo", "path", "commit", "lang", "content_sha")
 
 
+def _q_cdc_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium envelope ingestion (sources/envelopes.py::parse_debezium —
+    the log-tailing-connector extract step): the fixture log is serialized
+    into standard Debezium JSON change records (before/after images, c/u/d
+    op codes, source.lsn ordering, ts_ms) and parsed back through the
+    adapter — one JVM-side from_json, no UDF. The round trip must preserve
+    every record (redeliveries and invalid payloads included — the adapter
+    extracts, the pipeline validates), with op codes mapped c→I/u→U/d→D,
+    the before image selected for deletes and ts_ms millisecond precision;
+    the DuckDB twin states the same semantics directly on the log."""
+    from wprdc_etl_spark.sources.envelopes import parse_debezium
+
+    ev = _events(spark, sf_dir)
+    row_cols = ["repo", "path", "commit", "lang", "content"]
+    row_schema = T.StructType([T.StructField(c, T.StringType()) for c in row_cols])
+    row = F.struct(*row_cols)
+    dbz_op = (
+        F.when(F.col("op") == "I", F.lit("c"))
+        .when(F.col("op") == "U", F.lit("u"))
+        .when(F.col("op") == "D", F.lit("d"))
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.when(F.col("op") == "D", row).alias("before"),
+                F.when(F.col("op") != "D", row).alias("after"),
+                F.struct(F.col("event_sequence").alias("lsn")).alias("source"),
+                dbz_op.alias("op"),
+                F.unix_millis("event_ts").alias("ts_ms"),
+            )
+        ).alias("value")
+    )
+    parsed = parse_debezium(raw, row_schema, seq_field="lsn")
+    return parsed.select(
+        "event_sequence",
+        F.unix_millis("event_ts").alias("ts_ms"),
+        "op",
+        *row_cols,
+    )
+
+
 def _q_events_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group (operators/analytics.py::topk_per_group): the 5
     highest-value events per event_type. The rank filter compiles to
@@ -953,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2": _q_cdc_scd2,
         "cdc_rollup_incremental": _q_cdc_rollup_incremental,
         "cdc_replicate": _q_cdc_replicate,
+        "cdc_debezium": _q_cdc_debezium,
         "events_dedup": _q_events_dedup,
         "events_latest_per_user": _q_events_latest_per_user,
         "events_props_json": _q_events_props_json,
@@ -1383,6 +1426,12 @@ SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <=
     # bootstrap + incremental changelog replication must land the replica on
     # the source's golden final state (exactly-once per source version)
     out["cdc_replicate"] = out["cdc_final_state"]
+    # the Debezium round trip preserves every log record with op codes
+    # mapped, the before image on deletes, and ms timestamp precision
+    out["cdc_debezium"] = (
+        f"SELECT event_sequence, epoch_ms(event_ts) AS ts_ms, op, "
+        f"repo, path, commit, lang, content FROM {log}"
+    )
     # the changelog-refreshed rollup must equal the final-state aggregate
     out["cdc_rollup_incremental"] = (
         f'SELECT repo, count(*) AS n_live FROM ({out["cdc_final_state"]}) GROUP BY repo'

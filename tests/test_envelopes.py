@@ -1,0 +1,112 @@
+"""CDC envelope adapters (sources/envelopes.py): Debezium and Maxwell JSON
+records → engine change events — op-code mapping, before/after selection,
+sequence extraction, wrapper unwrapping, and quarantine of malformed
+records. Parsing is one JVM-side from_json; these tests pin the semantics."""
+
+import json
+
+from pyspark.sql import types as T
+
+from wprdc_etl_spark.sources.envelopes import parse_debezium, parse_maxwell
+
+ROW = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def _df(spark, values):
+    return spark.createDataFrame([(v,) for v in values], ["value"])
+
+
+def _dbz(op, before=None, after=None, lsn=1, ts_ms=1000, wrap=False):
+    env = {"before": before, "after": after, "op": op, "ts_ms": ts_ms,
+           "source": {"lsn": lsn}}
+    return json.dumps({"payload": env} if wrap else env)
+
+
+def test_debezium_op_mapping_and_row_selection(spark):
+    rows = [
+        _dbz("c", after={"repo": "r1", "path": "a", "content": "x"}, lsn=1),
+        _dbz("r", after={"repo": "r1", "path": "b", "content": "y"}, lsn=2),
+        _dbz("u", before={"repo": "r1", "path": "a", "content": "x"},
+             after={"repo": "r1", "path": "a", "content": "x2"}, lsn=3),
+        _dbz("d", before={"repo": "r1", "path": "b", "content": "y"}, lsn=4),
+    ]
+    out = parse_debezium(_df(spark, rows), ROW).orderBy("event_sequence").collect()
+    assert [(r["event_sequence"], r["op"], r["path"], r["content"]) for r in out] == [
+        (1, "I", "a", "x"),
+        (2, "I", "b", "y"),
+        (3, "U", "a", "x2"),   # update carries the AFTER image
+        (4, "D", "b", "y"),    # delete carries the BEFORE image
+    ]
+    assert out[0]["event_ts"] is not None
+
+
+def test_debezium_kafka_connect_wrapper(spark):
+    rows = [_dbz("c", after={"repo": "r", "path": "p", "content": "c"}, wrap=True)]
+    out = parse_debezium(_df(spark, rows), ROW, wrapper=True).collect()
+    assert len(out) == 1 and out[0]["op"] == "I" and out[0]["repo"] == "r"
+
+
+def test_debezium_invalid_records_dropped_or_kept(spark):
+    rows = [
+        _dbz("c", after={"repo": "r", "path": "p", "content": "c"}, lsn=1),
+        None,                      # Kafka compaction tombstone
+        "{not json",               # unparseable
+        _dbz("x", after={"repo": "r", "path": "q", "content": "d"}, lsn=2),  # unknown op
+    ]
+    ok = parse_debezium(_df(spark, rows), ROW)
+    assert ok.count() == 1
+    kept = parse_debezium(_df(spark, rows), ROW, keep_invalid=True)
+    errs = [r["_parse_error"] for r in kept.collect()]
+    assert sorted(e for e in errs if e) == [
+        "tombstone: null value", "unknown op: x", "unparseable envelope",
+    ]
+
+
+def test_debezium_custom_seq_field(spark):
+    env = json.dumps({
+        "before": None, "after": {"repo": "r", "path": "p", "content": "c"},
+        "op": "c", "ts_ms": 5, "source": {"pos": 77},
+    })
+    out = parse_debezium(_df(spark, [env]), ROW, seq_field="pos").collect()
+    assert out[0]["event_sequence"] == 77
+
+
+def test_debezium_feeds_merge(spark, tmp_path):
+    from test_lake_merge import mk_table
+
+    rows = [
+        _dbz("c", after={"repo": "r1", "path": "a", "content": "v1"}, lsn=1),
+        _dbz("u", after={"repo": "r1", "path": "a", "content": "v2"}, lsn=2),
+        _dbz("c", after={"repo": "r2", "path": "b", "content": "w"}, lsn=3),
+        _dbz("d", before={"repo": "r2", "path": "b", "content": "w"}, lsn=4),
+    ]
+    events = parse_debezium(_df(spark, rows), ROW)
+    t = mk_table(spark, tmp_path, keys=["repo", "path"])
+    t.merge(events.drop("event_ts"), job="dbz", batch_id=0)
+    got = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+    assert got == {("r1", "a"): "v2"}
+
+
+def test_maxwell_mapping(spark):
+    def mx(typ, data, old=None, xid=1, ts=100):
+        return json.dumps({"database": "d", "table": "t", "type": typ,
+                           "ts": ts, "xid": xid, "data": data, "old": old})
+
+    rows = [
+        mx("insert", {"repo": "r", "path": "a", "content": "x"}, xid=1),
+        mx("bootstrap-insert", {"repo": "r", "path": "b", "content": "y"}, xid=2),
+        mx("update", {"repo": "r", "path": "a", "content": "x2"},
+           old={"content": "x"}, xid=3),
+        mx("delete", {"repo": "r", "path": "b", "content": "y"}, xid=4),
+        mx("table-create", {}, xid=5),  # DDL records are not row changes
+    ]
+    out = parse_maxwell(_df(spark, rows), ROW).orderBy("event_sequence").collect()
+    assert [(r["event_sequence"], r["op"], r["path"]) for r in out] == [
+        (1, "I", "a"), (2, "I", "b"), (3, "U", "a"), (4, "D", "b"),
+    ]
