@@ -34,7 +34,7 @@ def main() -> None:
     ap.add_argument("--checkpoint", help="streaming checkpoint location (stream mode)")
     ap.add_argument("--mode",
                     choices=["stream", "batch", "compact", "rebucket", "changelog",
-                             "history", "rollup"],
+                             "history", "rollup", "optimize", "replicate"],
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
@@ -54,6 +54,8 @@ def main() -> None:
     ap.add_argument("--output", help="changelog/rollup mode: output directory")
     ap.add_argument("--group-cols", default="repo",
                     help="rollup mode: comma-separated grouping columns")
+    ap.add_argument("--target-rows-per-bucket", type=int, default=4_000_000,
+                    help="optimize mode: rebucket sizing target")
     args = ap.parse_args()
 
     spark = build_session(EngineConfig(app_name=f"wprdc-etl-spark::{args.name}"))
@@ -92,6 +94,31 @@ def main() -> None:
         r = view.refresh()
         print(f"rollup {r['mode']} at source version {r['source_version']} "
               f"-> {args.output}")
+        spark.stop()
+        return
+    if args.mode == "replicate":
+        # incremental table->table sync: cron this to keep a replica (another
+        # region / a dev copy / a different bucket layout) current; the
+        # cursor lives in the replica's manifest, exactly-once per version
+        from wprdc_etl_spark.plans.replicate import TableReplicator
+
+        if args.sink == "iceberg":
+            ap.error("replicate mode currently supports the parquet-snapshot sink only")
+        if not args.source:
+            ap.error("--source (the SOURCE table root) is required in replicate mode")
+        src = ParquetSnapshotTable(spark, args.source)
+        rep = TableReplicator(src, table, job=args.name)
+        r = rep.sync()
+        print(f"replicate {r['mode']}: cursor at source version {r['cursor']}")
+        spark.stop()
+        return
+    if args.mode == "optimize":
+        # auto-maintenance: compact / rebucket / expire only when due, decided
+        # from the manifest alone (no scan) — safe to cron every few minutes
+        if args.sink == "iceberg":
+            ap.error("optimize mode currently supports the parquet-snapshot sink only")
+        r = table.optimize(target_rows_per_bucket=args.target_rows_per_bucket)
+        print(f"optimize plan={r['plan']} actions={r['actions'] or 'none (healthy)'}")
         spark.stop()
         return
     if args.mode in ("compact", "rebucket", "changelog", "history"):

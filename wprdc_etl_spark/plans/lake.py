@@ -522,6 +522,81 @@ class ParquetSnapshotTable(LakeTable):
         self._gc_orphans(man, retain=max(keep, self.retain_history))
         return removed
 
+    def plan_maintenance(
+        self,
+        *,
+        target_rows_per_bucket: int = 4_000_000,
+        compact_chain_threshold: int | None = None,
+        expire_slack: int = 64,
+    ) -> dict:
+        """Decide which table services are due — from the manifest alone (a
+        driver-side JSON read: no Spark job, no data scan), so a scheduler
+        can poll it every few minutes for free:
+
+        - **compact** when any bucket's delta chain reaches
+          ``compact_chain_threshold`` (default ``max(2, max_deltas // 2)``)
+          — halfway to the inline-compaction ceiling, so scheduled service
+          normally beats the in-commit fold and keeps merge latency flat.
+        - **rebucket** (with hysteresis) when estimated rows per bucket
+          exceed 2× ``target_rows_per_bucket``; the proposed count doubles
+          until the estimate fits the target — the knob that keeps
+          per-bucket volume ~constant as the table grows 1000×.
+        - **expire** when more than ``expire_slack`` history manifests older
+          than ``retain_history`` are still on disk. The slack keeps recent
+          manifests around as a metadata audit log (they are tiny JSON; the
+          data-dir GC never waits for this) and makes optimize a true no-op
+          on young tables.
+
+        ``bucket_rows`` are commit-time estimates (exact after any
+        compact/rebucket, additive under MOR), which is the right fidelity
+        for a scheduling decision.
+        """
+        man = self._require_manifest()
+        threshold = compact_chain_threshold or max(2, self.max_deltas // 2)
+        max_chain = max(
+            (len(self._dirs_of(man, b)) - 1 for b in man["buckets"]), default=0
+        )
+        total_rows = sum(int(r) for r in man.get("bucket_rows", {}).values())
+        n_buckets = int(man["n_buckets"])
+        new_n = n_buckets
+        if total_rows > 2 * target_rows_per_bucket * n_buckets:
+            while total_rows > target_rows_per_bucket * new_n:
+                new_n *= 2
+        hdir = os.path.join(self.root, "history")
+        expirable = 0
+        if os.path.isdir(hdir):
+            for name in os.listdir(hdir):
+                if name.startswith("manifest.v"):
+                    v = self._version_of(name[len("manifest."):-len(".json")])
+                    if v < man["version"] - self.retain_history:
+                        expirable += 1
+        return {
+            "compact": max_chain >= threshold,
+            "max_delta_chain": max_chain,
+            "rebucket_to": new_n if new_n != n_buckets else None,
+            "rows_estimate": total_rows,
+            "rows_per_bucket": total_rows // max(1, n_buckets),
+            "expire": expirable > expire_slack,
+            "expirable_snapshots": expirable,
+        }
+
+    def optimize(self, **plan_kwargs) -> dict:
+        """Run whatever ``plan_maintenance`` says is due, cheapest-correct
+        order: a due rebucket subsumes compaction (the rewrite folds every
+        delta chain), expiration runs last against the newest version.
+        Returns ``{"plan": ..., "actions": {...}}`` — empty actions means a
+        healthy table (safe to cron alongside the ingest job; each service
+        is itself an atomic commit under the CAS guard)."""
+        plan = self.plan_maintenance(**plan_kwargs)
+        actions: dict = {}
+        if plan["rebucket_to"]:
+            actions["rebucket"] = self.rebucket(plan["rebucket_to"])
+        elif plan["compact"]:
+            actions["compact"] = self.compact()
+        if plan["expire"]:
+            actions["expired_snapshots"] = self.expire_snapshots()
+        return {"plan": plan, "actions": actions}
+
     def history(self) -> list[dict]:
         """Commit log (Iceberg snapshot-list analog): one driver-side dict per
         retained manifest version, oldest first — version, per-job committed
