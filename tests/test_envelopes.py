@@ -93,6 +93,63 @@ def test_debezium_feeds_merge(spark, tmp_path):
     assert got == {("r1", "a"): "v2"}
 
 
+def test_debezium_jsonl_through_full_pipeline(spark, tmp_path):
+    """source(envelope='debezium') end to end: a JSONL dir of connector
+    records drives the whole pipeline (decode → validate → sha → MERGE) in
+    both batch and stream modes, landing the same final state."""
+    from wprdc_etl_spark.plans.lake import ParquetSnapshotTable
+    from wprdc_etl_spark.schema import BaseSchema, FieldSpec
+    from wprdc_etl_spark.streaming.job import IngestJob
+
+    def row(repo, path, content):
+        return {"repo": repo, "path": path, "commit": "c1", "content": content}
+
+    lines = [
+        _dbz("c", after=row("r1", "a", "v1"), lsn=1, ts_ms=1_000),
+        _dbz("u", after=row("r1", "a", "v2"), lsn=2, ts_ms=2_000),
+        _dbz("c", after=row("r2", "b", "w"), lsn=3, ts_ms=3_000),
+        _dbz("d", before=row("r2", "b", "w"), lsn=4, ts_ms=4_000),
+        "{broken",  # malformed connector record: dropped at decode
+    ]
+    log = tmp_path / "dbz"
+    log.mkdir()
+    (log / "part-0.jsonl").write_text("\n".join(lines) + "\n")
+
+    schema = BaseSchema(
+        fields=[
+            FieldSpec("repo", "string", allow_none=False),
+            FieldSpec("path", "string", allow_none=False),
+            FieldSpec("commit", "string", allow_none=False),
+            FieldSpec("content", "string", strip=False),
+        ],
+        passthrough=["event_sequence", "event_ts", "op"],
+    )
+
+    def run(mode):
+        t = ParquetSnapshotTable(
+            spark, str(tmp_path / f"tbl_{mode}"),
+            keys=["repo", "path", "commit"], n_buckets=2,
+        )
+        j = (
+            IngestJob(f"dbz-{mode}", compute_content_sha=False)
+            .source(str(log), envelope="debezium", envelope_options={"seq_field": "lsn"})
+            .schema(schema)
+            .sink(t)
+            .build()
+        )
+        if mode == "batch":
+            j.run_batch(spark, n_chunks=2)
+        else:
+            j.start_stream(
+                spark, str(tmp_path / "ckpt"), available_now=True
+            ).awaitTermination()
+        return {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+
+    expected = {("r1", "a"): "v2"}
+    assert run("batch") == expected
+    assert run("stream") == expected
+
+
 def test_maxwell_mapping(spark):
     def mx(typ, data, old=None, xid=1, ts=100):
         return json.dumps({"database": "d", "table": "t", "type": typ,

@@ -56,6 +56,12 @@ def main() -> None:
                     help="rollup mode: comma-separated grouping columns")
     ap.add_argument("--target-rows-per-bucket", type=int, default=4_000_000,
                     help="optimize mode: rebucket sizing target")
+    ap.add_argument("--envelope", choices=["debezium", "maxwell"], default=None,
+                    help="stream/batch modes: the source is JSONL connector "
+                         "change records, decoded via sources/envelopes.py")
+    ap.add_argument("--seq-field", default=None,
+                    help="envelope modes: source field holding the total "
+                         "order (debezium: lsn/pos/sequence; maxwell: xid/ts)")
     args = ap.parse_args()
 
     spark = build_session(EngineConfig(app_name=f"wprdc-etl-spark::{args.name}"))
@@ -167,8 +173,11 @@ def main() -> None:
         return
     if not args.source:
         ap.error("--source is required in stream/batch modes")
+    env_opts = {}
+    if args.seq_field:
+        env_opts["seq_field" if args.envelope == "debezium" else "seq_expr"] = args.seq_field
     job = (
-        job.source(args.source)
+        job.source(args.source, envelope=args.envelope, envelope_options=env_opts)
         .schema(IngestJob.default_payload_schema())
         .sink(table)
         .build()

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from wprdc_etl_spark.exceptions import IncompletePipelineError
+from wprdc_etl_spark.exceptions import IncompletePipelineError, InvalidConfigException
 from wprdc_etl_spark.operators.dedup import DEDUP_KEYS, dedup_events_streaming
 from wprdc_etl_spark.operators.fingerprint import with_content_sha
 from wprdc_etl_spark.plans.lake import LakeTable, LineageCounts
@@ -91,6 +91,8 @@ class IngestJob:
         self.quarantine_dir = quarantine_dir
         self._source_path: str | None = None
         self._source_format: str = "parquet"
+        self._envelope: str | None = None
+        self._envelope_options: dict = {}
         self._event_schema: T.StructType = event_struct()
         self._payload_schema: BaseSchema | None = None
         self._sink: LakeTable | None = None
@@ -104,6 +106,8 @@ class IngestJob:
         path: str | list[str],
         fmt: str = "parquet",
         event_schema: T.StructType | None = None,
+        envelope: str | None = None,
+        envelope_options: dict | None = None,
     ) -> "IngestJob":
         """One log dir, or a LIST of dirs for a sharded change log (one
         binlog/WAL per source shard — the standard CDC deployment). Shards
@@ -118,12 +122,47 @@ class IngestJob:
         each shard is its own file source (per-shard offset tracking in the
         one checkpoint) unioned into the same foreachBatch graph — a shard
         that stalls holds back only its own files, not the others' progress.
+
+        ``envelope='debezium'|'maxwell'`` reads the dirs as JSONL text files
+        of connector change records instead of a parquet event log: each
+        scan maps through sources/envelopes.py (one JVM-side from_json — the
+        log-tailing-connector extract step) before the per-batch core, with
+        ``envelope_options`` forwarded (e.g. ``seq_field='lsn'``,
+        ``wrapper=True``). The envelope's row schema is this job's payload
+        schema, so an evolved column must be declared there to be extracted.
+        Malformed records and Kafka tombstones are dropped at decode
+        (connector semantics); to count them into quarantine instead, parse
+        with ``keep_invalid=True`` yourself and feed ``apply_batch``.
         """
         self._source_path = path
+        if envelope is not None:
+            if envelope not in ("debezium", "maxwell"):
+                raise InvalidConfigException(f"unknown envelope {envelope!r}")
+            fmt = "text" if fmt == "parquet" else fmt
+        self._envelope = envelope
+        self._envelope_options = dict(envelope_options or {})
         self._source_format = fmt
         if event_schema is not None:
             self._event_schema = event_schema
         return self
+
+    def _scan_schema(self) -> T.StructType:
+        """Scan schema: the native event envelope, or one raw JSON string
+        column when an envelope adapter decodes downstream."""
+        if self._envelope is None:
+            return self._event_schema
+        return T.StructType([T.StructField("value", T.StringType())])
+
+    def _decode(self, df: DataFrame) -> DataFrame:
+        """Envelope decode (no-op for native event logs)."""
+        if self._envelope is None:
+            return df
+        from wprdc_etl_spark.sources.envelopes import parse_debezium, parse_maxwell
+
+        assert self._payload_schema is not None
+        row_schema = self._payload_schema.to_struct_type()
+        fn = parse_debezium if self._envelope == "debezium" else parse_maxwell
+        return fn(df, row_schema, **self._envelope_options)
 
     def schema(self, payload_schema: BaseSchema) -> "IngestJob":
         self._payload_schema = payload_schema
@@ -301,7 +340,11 @@ class IngestJob:
         Chunking by sequence range (not by file) makes replay results
         batch-plan-independent and restartable mid-way."""
         self._require_built()
-        df = spark.read.schema(self._event_schema).format(self._source_format).load(self._source_path)
+        df = self._decode(
+            spark.read.schema(self._scan_schema())
+            .format(self._source_format)
+            .load(self._source_path)
+        )
         if max_sequence_exclusive is None:
             max_sequence_exclusive = (df.agg(F.max("event_sequence")).collect()[0][0] or 0) + 1
         self._sink.ensure(self.target_schema())  # type: ignore[union-attr]
@@ -331,8 +374,8 @@ class IngestJob:
         )
 
         def one(p):
-            return (
-                spark.readStream.schema(self._event_schema)
+            return self._decode(
+                spark.readStream.schema(self._scan_schema())
                 .option("maxFilesPerTrigger", self.max_files_per_trigger)
                 .format(self._source_format)
                 .load(p)
