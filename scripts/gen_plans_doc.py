@@ -106,6 +106,19 @@ sections.append(("Interval/range join (bucketed expansion)",
   cap(interval_join(clicks2, promos, ts="ts", start="s", end="e", on="user_id",
                     payload=["value"], bucket_seconds=3600))))
 
+from wprdc_etl_spark.plans.lake import diff_states
+from wprdc_etl_spark.plans.replicate import TableReplicator
+shutil.rmtree("/tmp/plandoc_rep", ignore_errors=True)
+rep_t = ParquetSnapshotTable(spark, "/tmp/plandoc_rep", n_buckets=4)
+rep = TableReplicator(t, rep_t, job="plan-rep")
+rep.sync()
+job.apply_batch(ev.limit(200), 1)
+changes = t.changes_between(rep.cursor(), t.current_version(), compare_cols=["content_sha"])
+batch = rep._materialize(changes, t.read())
+sections.append(("Incremental replication sync (changelog diff + late-mat payload join)",
+  "The version diff is ONE full-outer SortMergeJoin over (keys + content_sha) — every exchange on the diff side is narrow (no content column; pinned by test_incremental_sync_keeps_payload_out_of_diff_exchanges). Changed keys then join back to the target snapshot (`SHUFFLE_HASH` hint; AQE converts to broadcast when the change set is small), so content crosses exactly one exchange on its way into the replica's merge.",
+  cap(batch)))
+
 with open("/root/repo/docs/PLANS.md", "w") as fh:
     fh.write("# Physical plans of the hot paths (captured via explain('formatted'))\n\n")
     fh.write("Regenerate with `python scripts/gen_plans_doc.py` (this file is evidence\nthat pushdown/pruning/broadcast/partial-agg actually happen — SURVEY §5).\n")

@@ -132,6 +132,41 @@ def test_verify_before_any_sync_raises(spark, tmp_path):
         rep.verify()
 
 
+def test_incremental_sync_keeps_payload_out_of_diff_exchanges(spark, tmp_path):
+    """Scale shape of the incremental path: the full-outer version diff and
+    its exchanges run on (keys + content fingerprint) ONLY — the content
+    payload joins back late and never rides the diff shuffle."""
+    import re
+
+    from test_lake_merge import _formatted_plan
+
+    src = mk_table(spark, tmp_path, retain_history=8)
+    src.merge(ev(spark, [
+        (i, "I", f"r{i % 3}", f"p{i}", "c1", "py", f"v{i}") for i in range(12)
+    ]), job="j", batch_id=0)
+    rep = _rep(spark, tmp_path, src, compare_cols=["lang"])
+    rep.sync()
+    src.merge(ev(spark, [(20, "U", "r1", "p1", "c1", "py", "new")]), job="j", batch_id=1)
+
+    last, to_v = rep.cursor(), src.current_version()
+    changes = src.changes_between(last, to_v, compare_cols=["lang"])
+    batch = rep._materialize(changes, src.read(version=to_v))
+    plan = _formatted_plan(batch)
+    # Diff-side exchanges (identifiable by the _a_/_b_ compare aliases or
+    # change_op) must be narrow. The ONE exchange allowed to carry content
+    # is the late-materialization join's snapshot side, which carries
+    # neither alias. At least one exchange of each kind must exist.
+    diff_seen = payload_seen = False
+    for m in re.finditer(r"\(\d+\) (\w*Exchange\w*)[^\n]*\n((?:[A-Za-z][^\n]*\n)*)", plan):
+        body = m.group(2)
+        if "_a_lang#" in body or "_b_lang#" in body or "change_op#" in body:
+            diff_seen = True
+            assert "content#" not in body, f"payload crossed {m.group(1)}:\n{body}"
+        elif "content#" in body:
+            payload_seen = True
+    assert diff_seen and payload_seen
+
+
 def test_empty_delta_still_advances_cursor(spark, tmp_path):
     src = mk_table(spark, tmp_path, retain_history=8)
     src.merge(ev(spark, [(1, "I", "r1", "a", "c1", "py", "x")]), job="j", batch_id=0)
