@@ -107,3 +107,15 @@ def test_rebucket_and_write_mode_sql():
     for prop in ("write.merge.mode", "write.update.mode", "write.delete.mode"):
         assert f"'{prop}' = 'merge-on-read'" in mor
     assert "'write.merge.mode' = 'copy-on-write'" in ice.write_mode_sql("t", "cow")
+
+
+def test_file_stats_and_snapshot_count_sql():
+    # metadata-only inputs for plan_maintenance/optimize — must target the
+    # `files` / `snapshots` metadata tables, never the data table itself
+    fs = ice.file_stats_sql("cat.db.t")
+    assert "FROM cat.db.t.files" in fs
+    for alias in ("n_files", "total_bytes", "avg_bytes"):
+        assert f"AS {alias}" in fs
+    assert ice.snapshot_count_sql("cat.db.t") == (
+        "SELECT count(*) AS n_snapshots FROM cat.db.t.snapshots"
+    )

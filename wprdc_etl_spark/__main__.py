@@ -120,10 +120,12 @@ def main() -> None:
         return
     if args.mode == "optimize":
         # auto-maintenance: compact / rebucket / expire only when due, decided
-        # from the manifest alone (no scan) — safe to cron every few minutes
+        # from metadata alone (manifest / Iceberg metadata tables, no data
+        # scan) — safe to cron every few minutes
         if args.sink == "iceberg":
-            ap.error("optimize mode currently supports the parquet-snapshot sink only")
-        r = table.optimize(target_rows_per_bucket=args.target_rows_per_bucket)
+            r = table.optimize()
+        else:
+            r = table.optimize(target_rows_per_bucket=args.target_rows_per_bucket)
         print(f"optimize plan={r['plan']} actions={r['actions'] or 'none (healthy)'}")
         spark.stop()
         return

@@ -159,6 +159,23 @@ def rebucket_sql(table: str, old_n_buckets: int, new_n_buckets: int,
     )
 
 
+def file_stats_sql(table: str) -> str:
+    """Inputs for the maintenance planner, from the ``files`` metadata table
+    (a metadata-only scan — no data files touched): live file count, total
+    bytes and mean file size."""
+    return (
+        f"SELECT count(*) AS n_files, "
+        f"coalesce(sum(file_size_in_bytes), 0) AS total_bytes, "
+        f"coalesce(avg(file_size_in_bytes), 0) AS avg_bytes "
+        f"FROM {table}.files"
+    )
+
+
+def snapshot_count_sql(table: str) -> str:
+    """Snapshot count for the expiration decision (metadata-only)."""
+    return f"SELECT count(*) AS n_snapshots FROM {table}.snapshots"
+
+
 def write_mode_sql(table: str, mode: str) -> str:
     """ParquetSnapshotTable write_mode ('cow'/'mor') analog: Iceberg's
     row-level-operation modes are table properties."""
@@ -294,6 +311,46 @@ class IcebergTable(LakeTable):
         if mode not in ("cow", "mor"):
             raise SinkCommitError(f"write mode must be 'cow' or 'mor', got {mode!r}")
         self.spark.sql(write_mode_sql(self.table, mode))
+
+    def plan_maintenance(
+        self,
+        *,
+        target_file_mb: int = 256,
+        expire_slack: int = 64,
+        retain_last: int = 8,
+    ) -> dict:
+        """ParquetSnapshotTable.plan_maintenance parity, from Iceberg's own
+        metadata tables (metadata-only scans, no data files touched):
+        compaction is due when the mean live data file is under half the
+        target size (the small-files signal rewrite_data_files exists for);
+        expiration when the snapshot count exceeds ``retain_last`` by more
+        than ``expire_slack``."""
+        f = self.spark.sql(file_stats_sql(self.table)).collect()[0]
+        s = self.spark.sql(snapshot_count_sql(self.table)).collect()[0]
+        avg_mb = float(f["avg_bytes"]) / (1024 * 1024)
+        return {
+            "compact": f["n_files"] > 1 and avg_mb < target_file_mb / 2,
+            "n_files": int(f["n_files"]),
+            "avg_file_mb": round(avg_mb, 2),
+            "expire": int(s["n_snapshots"]) > retain_last + expire_slack,
+            "n_snapshots": int(s["n_snapshots"]),
+        }
+
+    def optimize(self, *, retain_last: int = 8, **plan_kwargs) -> dict:
+        """Run whatever plan_maintenance says is due (drop-in parity with
+        the snapshot table's optimize; rebucketing is intentionally absent —
+        Iceberg partition-spec evolution is a DDL decision, not a
+        size-triggered one). Safe to cron: both procedures are no-op-cheap
+        when nothing qualifies."""
+        plan = self.plan_maintenance(retain_last=retain_last, **plan_kwargs)
+        actions: dict = {}
+        if plan["compact"]:
+            self.compact()
+            actions["compact"] = True
+        if plan["expire"]:
+            self.expire_snapshots(retain_last)
+            actions["expired_to_retain_last"] = retain_last
+        return {"plan": plan, "actions": actions}
 
     # ---- guard / state via snapshot summary properties ---------------------
 
