@@ -282,6 +282,33 @@ def _q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.changes_between(ver, compare_cols=["content_sha"])
 
 
+def _q_cdc_modified_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental export (Iceberg incremental-read analog on the CURRENT
+    snapshot): live rows whose winning version's sequence is at or past the
+    chunk-2 boundary of a 4-chunk replay. Zone maps in the manifest prune
+    buckets whose max_seq falls below the cutoff driver-side before any file
+    is listed (plans/lake.py::modified_since); the DuckDB twin filters the
+    golden replay's winners by the same boundary arithmetic."""
+    log = _fixture_log(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    target = os.path.join(FIXTURES, "_targets", f"{label}_ms")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16)
+    job = (
+        IngestJob(f"ms-{label}")
+        .source(log)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=4)
+    max_seq = spark.read.parquet(log).agg(F.max("event_sequence")).collect()[0][0]
+    bound = 2 * ((int(max_seq) + 1 + 3) // 4)  # run_batch's chunk arithmetic
+    return table.modified_since(bound).select(
+        "repo", "path", "commit", "lang", "content_sha"
+    )
+
+
 def _q_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintenance ops preserve state: replay, then compact() (tombstone GC
     below the replay horizon, delta-chain fold) and rebucket() (bucket-layout
@@ -992,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_maintenance": _q_cdc_maintenance,
         "cdc_changelog": _q_cdc_changelog,
+        "cdc_modified_since": _q_cdc_modified_since,
         "cdc_scd2": _q_cdc_scd2,
         "cdc_rollup_incremental": _q_cdc_rollup_incremental,
         "cdc_replicate": _q_cdc_replicate,
@@ -1078,6 +1106,26 @@ valid AS (
 )
 SELECT repo, path, commit, lang, sha256(content) AS content_sha
 FROM latest WHERE op <> 'D'
+""",
+        # the winner-level cutoff: same golden replay, keep only keys whose
+        # WINNING version sits at/past the chunk-2 sequence boundary
+        "cdc_modified_since": f"""
+WITH bound AS (
+  SELECT 2 * ((max(event_sequence) + 1 + 3) // 4) AS lo FROM {log}
+),
+{dedup_cte.lstrip()},
+valid AS (
+  SELECT event_sequence, op, repo, path, commit, trim(lang) AS lang, content
+  FROM dedup WHERE {_valid_pred()}
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY repo, path, commit
+        ORDER BY event_sequence DESC, op DESC) AS rn
+    FROM valid) t WHERE rn = 1
+)
+SELECT repo, path, commit, lang, sha256(content) AS content_sha
+FROM latest WHERE op <> 'D' AND event_sequence >= (SELECT lo FROM bound)
 """,
         "cdc_log_scan": f"SELECT event_sequence, op, repo, path, commit, lang, content FROM {log}",
         "cdc_dedup": f"""

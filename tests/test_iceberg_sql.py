@@ -119,3 +119,12 @@ def test_file_stats_and_snapshot_count_sql():
     assert ice.snapshot_count_sql("cat.db.t") == (
         "SELECT count(*) AS n_snapshots FROM cat.db.t.snapshots"
     )
+
+
+def test_modified_since_sql_filters_winners_and_time_travels():
+    sql = ice.modified_since_sql("cat.db.t", 1000)
+    assert "WHERE _op <> 'D' AND _seq >= 1000" in sql
+    assert "VERSION AS OF" not in sql
+    sql_tt = ice.modified_since_sql("cat.db.t", 1000, version=42)
+    assert "cat.db.t VERSION AS OF 42" in sql_tt
+    assert "_seq >= 1000" in sql_tt

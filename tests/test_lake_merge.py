@@ -619,3 +619,92 @@ def test_cluster_within_buckets_layout_and_state(spark, tmp_path):
     for f in files:
         langs = [r["lang"] for r in spark.read.parquet(f).select("lang").collect()]
         assert langs == sorted(langs), f
+
+
+# ---------------------------------------------------------------------------
+# zone maps + modified_since (Iceberg incremental-read analog)
+# ---------------------------------------------------------------------------
+
+
+def test_modified_since_semantics(spark, tmp_path):
+    """modified_since(s) = live rows whose WINNING version has _seq >= s:
+    updated keys appear, untouched keys don't, deletes stay invisible, and
+    an old row that merely shares a bucket with new data is filtered by the
+    residual predicate (pruning is bucket-granular, the filter is exact)."""
+    t = mk_table(spark, tmp_path, n_buckets=4)
+    rows = [(i, "I", f"r{i}", f"p{i}", f"c{i}", "py", f"v{i}") for i in range(16)]
+    t.merge(ev(spark, rows), job="j", batch_id=0)
+    t.merge(
+        ev(spark, [
+            (100, "U", "r1", "p1", "c1", "py", "new1"),
+            (101, "I", "rX", "pX", "cX", "py", "vX"),
+            (102, "D", "r2", "p2", "c2", "py", None),
+        ]),
+        job="j", batch_id=1,
+    )
+    got = {(r["repo"], r["path"]): r["content"] for r in t.modified_since(100).collect()}
+    assert got == {("r1", "p1"): "new1", ("rX", "pX"): "vX"}
+    # cutoff 0 = full live state; cutoff past max = empty
+    assert t.modified_since(0).count() == t.read().count()
+    assert t.modified_since(10_000).count() == 0
+
+
+def test_modified_since_prunes_buckets_driver_side(spark, tmp_path):
+    """The zone maps prune untouched buckets BEFORE any file is listed:
+    after a trickle batch touching one key, _zone_survivors keeps only the
+    bucket(s) the batch landed in — a steady-state incremental export reads
+    k touched dirs, not all n."""
+    t = mk_table(spark, tmp_path, n_buckets=8)
+    rows = [(i, "I", f"r{i}", f"p{i}", f"c{i}", "py", f"v{i}") for i in range(64)]
+    t.merge(ev(spark, rows), job="j", batch_id=0)
+    t.merge(ev(spark, [(500, "U", "r1", "p1", "c1", "py", "new")]), job="j", batch_id=1)
+    man = t._read_manifest()
+    assert len(man["bucket_zones"]) == 8
+    survivors = t._zone_survivors(man, 500)
+    assert len(survivors) == 1
+    got = t.modified_since(500).collect()
+    assert len(got) == 1 and got[0]["content"] == "new"
+    # the pruned plan reads only the surviving bucket's files
+    plan = t.modified_since(500)._jdf.queryExecution().executedPlan().toString()
+    assert "_bucket_dir=" not in plan or plan.count("data/v") <= 2
+
+
+def test_zones_widen_conservatively_then_tighten_on_compact(spark, tmp_path):
+    """A COW rewrite drops superseded rows but merge-time zones only widen
+    (sound for pruning, possibly stale-wide). compact() rescans and resets
+    every zone to exact [min,max] bounds."""
+    t = mk_table(spark, tmp_path, n_buckets=1)
+    t.merge(ev(spark, [(0, "I", "r", "p", "c", "py", "x")]), job="j", batch_id=0)
+    t.merge(ev(spark, [(100, "U", "r", "p", "c", "py", "y")]), job="j", batch_id=1)
+    man = t._read_manifest()
+    assert man["bucket_zones"]["0"] == [0, 100]  # conservative: seq-0 row is gone
+    t.compact()
+    man2 = t._read_manifest()
+    assert man2["bucket_zones"]["0"] == [100, 100]  # exact after rescan
+    assert t.modified_since(100).count() == 1
+
+
+def test_zone_survivors_conservative_without_zones(spark, tmp_path):
+    """Manifests written before zone maps existed have no bucket_zones —
+    every bucket must survive (correctness over pruning)."""
+    t = mk_table(spark, tmp_path, n_buckets=4)
+    rows = [(i, "I", f"r{i}", f"p{i}", f"c{i}", "py", f"v{i}") for i in range(8)]
+    t.merge(ev(spark, rows), job="j", batch_id=0)
+    man = t._read_manifest()
+    legacy = dict(man)
+    legacy.pop("bucket_zones")
+    assert sorted(t._zone_survivors(legacy, 10_000)) == sorted(
+        int(b) for b in man["buckets"]
+    )
+
+
+def test_modified_since_time_travel(spark, tmp_path):
+    """modified_since composes with version= time travel: the cutoff applies
+    to the PAST snapshot's winners, not the current ones."""
+    t = mk_table(spark, tmp_path, n_buckets=2, retain_history=4)
+    t.merge(ev(spark, [(0, "I", "r", "p", "c", "py", "x")]), job="j", batch_id=0)
+    t.merge(ev(spark, [(10, "U", "r", "p", "c", "py", "y")]), job="j", batch_id=1)
+    t.merge(ev(spark, [(20, "U", "r", "p", "c", "py", "z")]), job="j", batch_id=2)
+    v2 = t.current_version() - 1
+    got = t.modified_since(10, version=v2).collect()
+    assert len(got) == 1 and got[0]["content"] == "y"

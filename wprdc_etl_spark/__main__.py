@@ -34,7 +34,7 @@ def main() -> None:
     ap.add_argument("--checkpoint", help="streaming checkpoint location (stream mode)")
     ap.add_argument("--mode",
                     choices=["stream", "batch", "compact", "rebucket", "changelog",
-                             "history", "rollup", "optimize", "replicate"],
+                             "export", "history", "rollup", "optimize", "replicate"],
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
@@ -51,7 +51,11 @@ def main() -> None:
     ap.add_argument("--from-version", type=int, help="changelog mode: starting table version")
     ap.add_argument("--to-version", type=int, default=None,
                     help="changelog mode: ending version (default: current)")
-    ap.add_argument("--output", help="changelog/rollup mode: output directory")
+    ap.add_argument("--output", help="changelog/export/rollup mode: output directory")
+    ap.add_argument("--since-seq", type=int, default=None,
+                    help="export mode: emit live rows whose winning version's "
+                         "sequence is >= this cutoff (incremental export on "
+                         "the current snapshot; zone-map/manifest-stat pruned)")
     ap.add_argument("--group-cols", default="repo",
                     help="rollup mode: comma-separated grouping columns")
     ap.add_argument("--target-rows-per-bucket", type=int, default=4_000_000,
@@ -127,6 +131,16 @@ def main() -> None:
         else:
             r = table.optimize(target_rows_per_bucket=args.target_rows_per_bucket)
         print(f"optimize plan={r['plan']} actions={r['actions'] or 'none (healthy)'}")
+        spark.stop()
+        return
+    if args.mode == "export":
+        # modified_since is a drop-in on BOTH sinks (zone maps on the
+        # parquet snapshot table; manifest column stats on Iceberg)
+        if args.since_seq is None or not args.output:
+            ap.error("--since-seq and --output are required in export mode")
+        table.modified_since(args.since_seq).write.mode("overwrite").parquet(args.output)
+        print(f"incremental export (winners with seq >= {args.since_seq}) "
+              f"written to {args.output}")
         spark.stop()
         return
     if args.mode in ("compact", "rebucket", "changelog", "history"):

@@ -78,6 +78,20 @@ def time_travel_sql(table: str, version: int) -> str:
     return f"SELECT * FROM {table} VERSION AS OF {version}"
 
 
+def modified_since_sql(table: str, since_seq: int, version: int | None = None) -> str:
+    """Incremental export (ParquetSnapshotTable.modified_since analog):
+    live rows whose winning version's ``_seq`` is at/past the cutoff, read
+    on the current (or AS-OF) snapshot so it works past changelog
+    retention. Iceberg needs no zone-map bookkeeping — the ``_seq``
+    predicate pushes down to per-file column stats in the manifests, so
+    untouched data files are pruned at planning time (the built-in analog
+    of the parquet sink's ``bucket_zones``)."""
+    src = f"{table} VERSION AS OF {version}" if version is not None else table
+    return (
+        f"SELECT * FROM {src} WHERE _op <> 'D' AND _seq >= {int(since_seq)}"
+    )
+
+
 def history_sql(table: str) -> str:
     """Commit log (history() analog): snapshots oldest-first for display.
     (Programmatic newest-first resolution uses the parent-id ancestry walk
@@ -255,6 +269,14 @@ class IcebergTable(LakeTable):
             else self.spark.table(self.table)
         )
         return df.where(F.col("_op") != "D").drop("_seq", "_op")
+
+    def modified_since(self, since_seq: int, version: int | None = None) -> DataFrame:
+        """Incremental export drop-in for ParquetSnapshotTable.modified_since:
+        winners at/past ``since_seq`` on the current (or AS-OF) snapshot.
+        File pruning comes free from manifest column stats on ``_seq``."""
+        return self.spark.sql(
+            modified_since_sql(self.table, since_seq, version)
+        ).drop("_seq", "_op")
 
     def read_lineage(self) -> DataFrame:
         return self.spark.table(self.lineage_table)

@@ -182,6 +182,16 @@ def _rank(op_col: Column) -> Column:
     )
 
 
+def _merge_zone(old: list | None, lo: int, hi: int) -> list[int]:
+    """Widen a bucket's [min_seq, max_seq] zone with a new commit's range.
+    Zones are CONSERVATIVE (may be wider than the rows actually present
+    after a COW rewrite drops superseded versions) — sound for pruning,
+    tightened to exact bounds whenever compact()/rebucket() rescans."""
+    if old is None:
+        return [int(lo), int(hi)]
+    return [min(int(old[0]), int(lo)), max(int(old[1]), int(hi))]
+
+
 def diff_states(
     a: DataFrame, b: DataFrame, keys: list[str], compare_cols: list[str]
 ) -> DataFrame:
@@ -653,6 +663,7 @@ class ParquetSnapshotTable(LakeTable):
                 "schema": schema.jsonValue(),
                 "buckets": {},
                 "bucket_rows": {},
+                "bucket_zones": {},
                 "committed": {},
                 "state": {},
                 "lineage": [],
@@ -667,6 +678,7 @@ class ParquetSnapshotTable(LakeTable):
         man["version"] += 1
         man["buckets"] = {}
         man["bucket_rows"] = {}
+        man["bucket_zones"] = {}
         man["committed"] = {}
         man["state"] = {}
         man["lineage"] = []
@@ -774,6 +786,37 @@ class ParquetSnapshotTable(LakeTable):
         raise instead of reading partially."""
         man = self._manifest_at(version)
         return self._resolved(man).where(F.col("_op") != "D").drop(*INTERNAL_COLS)
+
+    def _zone_survivors(self, man: dict, since_seq: int) -> list[int]:
+        """Buckets that can contain a live row with _seq >= since_seq, by the
+        manifest zone maps (driver-side, no Spark job). A bucket whose
+        max_seq < since_seq cannot hold a winner at or past the cutoff (LWW
+        winners only ever carry a _seq present in the bucket), so it is
+        pruned before any file is listed. Missing zone entry (pre-zone-map
+        manifest versions) → kept, conservatively."""
+        zones = man.get("bucket_zones", {})
+        return [
+            int(b) for b in man["buckets"]
+            if zones.get(b) is None or int(zones[b][1]) >= since_seq
+        ]
+
+    def modified_since(self, since_seq: int, version: int | None = None) -> DataFrame:
+        """Incremental export (the Iceberg incremental-read analog, but on
+        the CURRENT snapshot so it works past changelog retention): live rows
+        whose winning version's event_sequence >= ``since_seq``. Zone maps
+        prune entire buckets driver-side before the scan — a steady-state
+        table where a trickle batch touched k of n buckets reads k dirs, not
+        n. The residual ``_seq >= since_seq`` filter must run AFTER the LWW
+        resolve (an old row may be the winner), so pruning — not pushdown —
+        is the scale lever here."""
+        man = self._manifest_at(version)
+        keep = self._zone_survivors(man, since_seq)
+        return (
+            self._resolved(man, keep)
+            .where(F.col("_op") != "D")
+            .where(F.col("_seq") >= int(since_seq))
+            .drop(*INTERNAL_COLS)
+        )
 
     def lookup(self, repo: str | None = None, path: str | None = None,
                commit: str | None = None, **key_values) -> DataFrame:
@@ -998,6 +1041,7 @@ class ParquetSnapshotTable(LakeTable):
             stats = bwin.groupBy("_bucket").agg(
                 F.count("*").alias("n"),
                 F.sum(F.when(F.col("_op") == "D", 1).otherwise(0)).alias("n_del"),
+                F.min("_seq").alias("min_seq"),
                 F.max("_seq").alias("max_seq"),
                 F.sum(F.xxhash64(*self.keys, "_seq").cast("decimal(38,0)")).alias("h"),
             ).collect()
@@ -1164,16 +1208,19 @@ class ParquetSnapshotTable(LakeTable):
                     # base+delta chain
                     new_buckets[str(b)] = [f"{data_rel}/_bucket_dir={b}"]
             new_bucket_rows = dict(old_rows)
+            new_zones = dict(man.get("bucket_zones", {}))
             for r in stats:
                 b = str(int(r["_bucket"]))
                 # upper-bound estimate (updates double-count until compact());
                 # only used to size output file counts, never for correctness
                 new_bucket_rows[b] = int(old_rows.get(b, 0)) + int(r["n"])
+                new_zones[b] = _merge_zone(new_zones.get(b), r["min_seq"], r["max_seq"])
             man_new = dict(man)
             man_new["version"] = version
             man_new["schema"] = evolved_schema.jsonValue()
             man_new["buckets"] = new_buckets
             man_new["bucket_rows"] = new_bucket_rows
+            man_new["bucket_zones"] = new_zones
             man_new["committed"] = {**man["committed"], job: batch_id}
             if job_state is not None:
                 man_new["state"] = {**man["state"], job: job_state}
@@ -1253,14 +1300,17 @@ class ParquetSnapshotTable(LakeTable):
         self._write_lineage(man, stats, job, batch_id, counts, os.path.join(self.root, lineage_rel))
 
         new_bucket_rows = dict(old_rows)
+        new_zones = dict(man.get("bucket_zones", {}))
         for r in stats:
             b = str(int(r["_bucket"]))
             new_bucket_rows[b] = int(old_rows.get(b, 0)) + int(r["n"])
+            new_zones[b] = _merge_zone(new_zones.get(b), r["min_seq"], r["max_seq"])
         man_new = dict(man)
         man_new["version"] = version
         man_new["schema"] = evolved_schema.jsonValue()
         man_new["buckets"] = new_buckets
         man_new["bucket_rows"] = new_bucket_rows
+        man_new["bucket_zones"] = new_zones
         man_new["committed"] = {**man["committed"], job: batch_id}
         if job_state is not None:
             man_new["state"] = {**man["state"], job: job_state}
@@ -1550,13 +1600,17 @@ class ParquetSnapshotTable(LakeTable):
         version = man["version"] + 1
         data_rel = f"data/v{version}"
         df = df.persist()
-        counts_by_bucket = {
-            int(r["_b"]): int(r["n"])
-            for r in df.groupBy(
-                bucket_of(n_buckets, man.get("bucket_keys", self.bucket_keys)).alias("_b")
-            ).count()
-            .withColumnRenamed("count", "n").collect()
-        }
+        per_bucket = df.groupBy(
+            bucket_of(n_buckets, man.get("bucket_keys", self.bucket_keys)).alias("_b")
+        ).agg(
+            F.count("*").alias("n"),
+            # full rescan anyway → refresh the zones to EXACT bounds here,
+            # shedding the conservative widening merge-time zones accrue
+            F.min("_seq").alias("min_seq"),
+            F.max("_seq").alias("max_seq"),
+        ).collect()
+        counts_by_bucket = {int(r["_b"]): int(r["n"]) for r in per_bucket}
+        zones_by_bucket = {int(r["_b"]): [int(r["min_seq"]), int(r["max_seq"])] for r in per_bucket}
         self._write_bucketed(
             df, os.path.join(self.root, data_rel), n_buckets, sum(counts_by_bucket.values())
         )
@@ -1567,6 +1621,7 @@ class ParquetSnapshotTable(LakeTable):
         man_new["n_buckets"] = n_buckets
         man_new["buckets"] = {str(b): [f"{data_rel}/_bucket_dir={b}"] for b in sorted(written)}
         man_new["bucket_rows"] = {str(b): counts_by_bucket.get(b, 0) for b in sorted(written)}
+        man_new["bucket_zones"] = {str(b): zones_by_bucket[b] for b in sorted(written) if b in zones_by_bucket}
         self._swap_manifest(man_new)
         self._gc_orphans(man_new)
         return version
