@@ -309,6 +309,35 @@ def _q_cdc_modified_since(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback + reconvergence (Iceberg rollback_to_snapshot analog,
+    plans/lake.py::rollback): replay 4 chunks, roll the table back to the
+    version chunk 2 committed (metadata-only — the restored manifest
+    re-references the old data dirs), then re-run the SAME job. The
+    restored batch guard makes chunks 1-2 no-ops and RE-APPLIES chunks 3-4,
+    so the table must reconverge to the full golden replay — proving the
+    rollback restored guard+state exactly, not just row content."""
+    log = _fixture_log(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    target = os.path.join(FIXTURES, "_targets", f"{label}_rb")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16, retain_history=8)
+    job = (
+        IngestJob(f"rb-{label}")
+        .source(log)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=4)
+    ver = max(
+        h["version"] for h in table.history() if h["committed"].get(f"rb-{label}") == 1
+    )
+    table.rollback(ver)
+    job.run_batch(spark, n_chunks=4)  # guard skips 1-2, re-applies 3-4
+    return table.read().select("repo", "path", "commit", "lang", "content_sha")
+
+
 def _q_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintenance ops preserve state: replay, then compact() (tombstone GC
     below the replay horizon, delta-chain fold) and rebucket() (bucket-layout
@@ -1018,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_maintenance": _q_cdc_maintenance,
+        "cdc_rollback": _q_cdc_rollback,
         "cdc_changelog": _q_cdc_changelog,
         "cdc_modified_since": _q_cdc_modified_since,
         "cdc_scd2": _q_cdc_scd2,
@@ -1068,6 +1098,23 @@ dedup AS (
 )"""
     out = {
         "cdc_final_state": f"""
+WITH {dedup_cte.lstrip()},
+valid AS (
+  SELECT event_sequence, op, repo, path, commit, trim(lang) AS lang, content
+  FROM dedup WHERE {_valid_pred()}
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY repo, path, commit
+        ORDER BY event_sequence DESC, op DESC) AS rn
+    FROM valid) t WHERE rn = 1
+)
+SELECT repo, path, commit, lang, sha256(content) AS content_sha
+FROM latest WHERE op <> 'D'
+""",
+        # rollback restores guard+state, so re-running the job reconverges
+        # to the FULL golden replay — same final-state rule as above
+        "cdc_rollback": f"""
 WITH {dedup_cte.lstrip()},
 valid AS (
   SELECT event_sequence, op, repo, path, commit, trim(lang) AS lang, content

@@ -128,3 +128,11 @@ def test_modified_since_sql_filters_winners_and_time_travels():
     sql_tt = ice.modified_since_sql("cat.db.t", 1000, version=42)
     assert "cat.db.t VERSION AS OF 42" in sql_tt
     assert "_seq >= 1000" in sql_tt
+
+
+def test_rollback_sql_is_metadata_procedure():
+    sql = ice.rollback_sql("cat.db.t", 12345)
+    assert sql == (
+        "CALL cat.system.rollback_to_snapshot(table => 'db.t', "
+        "snapshot_id => 12345)"
+    )

@@ -708,3 +708,98 @@ def test_modified_since_time_travel(spark, tmp_path):
     v2 = t.current_version() - 1
     got = t.modified_since(10, version=v2).collect()
     assert len(got) == 1 and got[0]["content"] == "y"
+
+
+# ---------------------------------------------------------------------------
+# rollback (Iceberg rollback_to_snapshot analog)
+# ---------------------------------------------------------------------------
+
+
+def test_rollback_restores_state_guard_and_keeps_forward_history(spark, tmp_path):
+    """rollback(v) creates a NEW version whose content, batch guard and job
+    state equal v's; the rolled-over versions stay time-travelable."""
+    t = mk_table(spark, tmp_path, retain_history=8)
+    t.merge(ev(spark, [(0, "I", "r", "p", "c", "py", "v1")]), job="j", batch_id=0)
+    t.merge(ev(spark, [(10, "U", "r", "p", "c", "py", "v2")]), job="j", batch_id=1,
+            job_state={"max_seq": 10})
+    t.merge(ev(spark, [(20, "U", "r", "p", "c", "py", "v3")]), job="j", batch_id=2,
+            job_state={"max_seq": 20})
+    v_target = t.current_version() - 1  # the batch_id=1 commit
+    new_v = t.rollback(v_target)
+    assert new_v == v_target + 2
+    assert state(t) == {("r", "p", "c"): "v2"}
+    man = t._read_manifest()
+    assert man["committed"]["j"] == 1       # guard rewound: batch 2 re-appliable
+    assert man["state"]["j"] == {"max_seq": 10}
+    # the rolled-over v3 state is still addressable for audit
+    assert {r["content"] for r in t.read(version=v_target + 1).collect()} == {"v3"}
+
+
+def test_rollback_is_metadata_only(spark, tmp_path):
+    """The restored manifest re-references the old version's data dirs —
+    no data directory is written by the rollback commit."""
+    import os
+
+    t = mk_table(spark, tmp_path, retain_history=8)
+    rows = [(i, "I", f"r{i}", f"p{i}", f"c{i}", "py", f"v{i}") for i in range(16)]
+    t.merge(ev(spark, rows), job="j", batch_id=0)
+    v1 = t.current_version()
+    man_v1 = t._read_manifest()
+    t.merge(ev(spark, [(100, "U", "r1", "p1", "c1", "py", "new")]), job="j", batch_id=1)
+    dirs_before = sorted(os.listdir(os.path.join(t.root, "data")))
+    t.rollback(v1)
+    assert sorted(os.listdir(os.path.join(t.root, "data"))) == dirs_before
+    assert t._read_manifest()["buckets"] == man_v1["buckets"]
+
+
+def test_rollback_then_replay_reconverges(spark, tmp_path):
+    """After a rollback, re-merging the rolled-back batch (same batch_id)
+    APPLIES — its guard entry went with the rollback — and the table
+    reconverges to the pre-rollback state."""
+    t = mk_table(spark, tmp_path, retain_history=8)
+    t.merge(ev(spark, [(0, "I", "r", "p", "c", "py", "v1")]), job="j", batch_id=0)
+    v1 = t.current_version()
+    batch2 = [(10, "U", "r", "p", "c", "py", "v2")]
+    t.merge(ev(spark, batch2), job="j", batch_id=1)
+    golden = state(t)
+    t.rollback(v1)
+    r = t.merge(ev(spark, batch2), job="j", batch_id=1)
+    assert r.applied
+    assert state(t) == golden
+
+
+def test_rollback_edge_cases(spark, tmp_path):
+    t = mk_table(spark, tmp_path, retain_history=1)
+    t.merge(ev(spark, [(0, "I", "r", "p", "c", "py", "a")]), job="j", batch_id=0)
+    t.merge(ev(spark, [(1, "U", "r", "p", "c", "py", "b")]), job="j", batch_id=1)
+    t.merge(ev(spark, [(2, "U", "r", "p", "c", "py", "d")]), job="j", batch_id=2)
+    cur = t.current_version()
+    assert t.rollback(cur) == cur  # no-op
+    with pytest.raises(SinkCommitError):
+        t.rollback(cur + 5)  # never existed / no history snapshot
+    # v0 (the ensure() commit) is a real snapshot: rollback to it = empty
+    # table with the guard fully rewound — then the no-op check again
+    assert t.rollback(0) == cur + 1
+    assert t.read().count() == 0
+    assert t._read_manifest()["committed"] == {}
+    t.expire_snapshots(keep=1)
+    with pytest.raises(SinkCommitError):
+        t.rollback(cur - 2)  # expired
+
+
+def test_rollback_across_rebucket_restores_layout(spark, tmp_path):
+    """A rollback across a rebucket restores the OLD bucket layout (readers
+    and the writer handle take n_buckets from the manifest), and a
+    subsequent merge works under it."""
+    t = mk_table(spark, tmp_path, n_buckets=4, retain_history=8)
+    rows = [(i, "I", f"r{i}", f"p{i}", f"c{i}", "py", f"v{i}") for i in range(16)]
+    t.merge(ev(spark, rows), job="j", batch_id=0)
+    v1 = t.current_version()
+    t.rebucket(8)
+    assert t._read_manifest()["n_buckets"] == 8
+    t.rollback(v1)
+    man = t._read_manifest()
+    assert man["n_buckets"] == 4 and t.n_buckets == 4
+    t.merge(ev(spark, [(100, "U", "r1", "p1", "c1", "py", "new")]), job="j", batch_id=1)
+    got = state(t)
+    assert got[("r1", "p1", "c1")] == "new" and len(got) == 16

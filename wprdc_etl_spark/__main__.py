@@ -34,7 +34,8 @@ def main() -> None:
     ap.add_argument("--checkpoint", help="streaming checkpoint location (stream mode)")
     ap.add_argument("--mode",
                     choices=["stream", "batch", "compact", "rebucket", "changelog",
-                             "export", "history", "rollup", "optimize", "replicate"],
+                             "export", "history", "rollback", "rollup", "optimize",
+                             "replicate"],
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
@@ -50,7 +51,8 @@ def main() -> None:
     ap.add_argument("--new-n-buckets", type=int, help="rebucket mode: target bucket count")
     ap.add_argument("--from-version", type=int, help="changelog mode: starting table version")
     ap.add_argument("--to-version", type=int, default=None,
-                    help="changelog mode: ending version (default: current)")
+                    help="changelog mode: ending version (default: current); "
+                         "rollback mode: version to restore (required)")
     ap.add_argument("--output", help="changelog/export/rollup mode: output directory")
     ap.add_argument("--since-seq", type=int, default=None,
                     help="export mode: emit live rows whose winning version's "
@@ -131,6 +133,21 @@ def main() -> None:
         else:
             r = table.optimize(target_rows_per_bucket=args.target_rows_per_bucket)
         print(f"optimize plan={r['plan']} actions={r['actions'] or 'none (healthy)'}")
+        spark.stop()
+        return
+    if args.mode == "rollback":
+        # disaster recovery: restore a past version as a NEW commit
+        # (metadata-only on both sinks; forward history kept for audit).
+        # Rolled-back batches lose their guard entries, so re-running the
+        # ingest job from checkpoint re-applies them.
+        if args.to_version is None:
+            ap.error("--to-version is required in rollback mode")
+        if args.sink == "iceberg":
+            table.rollback(args.to_version)
+            print(f"rolled back to snapshot {args.to_version}")
+        else:
+            v = table.rollback(args.to_version)
+            print(f"restored version {args.to_version} as new version {v}")
         spark.stop()
         return
     if args.mode == "export":

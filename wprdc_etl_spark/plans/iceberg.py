@@ -140,6 +140,17 @@ def changelog_sql(table: str, start_snapshot: int, end_snapshot: int,
     return call, select
 
 
+def rollback_sql(table: str, snapshot_id: int) -> str:
+    """rollback(version) analog: restore the table to a past snapshot as a
+    metadata-only operation (Iceberg keeps the forward snapshots for audit
+    exactly like the parquet sink keeps its history manifests)."""
+    cat, ident = _catalog_and_ident(table)
+    return (
+        f"CALL {cat}.system.rollback_to_snapshot(table => '{ident}', "
+        f"snapshot_id => {int(snapshot_id)})"
+    )
+
+
 def compact_sql(table: str) -> str:
     """compact() analog: bin-pack small files (and MOR delete files) back
     into full-size data files."""
@@ -309,6 +320,15 @@ class IcebergTable(LakeTable):
         call, select = changelog_sql(self.table, v_from, v_to, keys=self.keys)
         self.spark.sql(call)
         return self.spark.sql(select)
+
+    def rollback(self, snapshot_id: int) -> None:
+        """Restore the table to a past snapshot (metadata-only; forward
+        snapshots retained for audit — ParquetSnapshotTable.rollback
+        parity). The batch guard rides the snapshot summary, so guard
+        entries committed after the target snapshot vanish with the
+        rollback and replay re-applies those batches, same as the parquet
+        sink."""
+        self.spark.sql(rollback_sql(self.table, snapshot_id))
 
     def compact(self) -> None:
         """Bin-pack small files (the inline-compaction analog; run it on the

@@ -607,6 +607,34 @@ class ParquetSnapshotTable(LakeTable):
             actions["expired_snapshots"] = self.expire_snapshots()
         return {"plan": plan, "actions": actions}
 
+    def rollback(self, version: int) -> int:
+        """Restore the table to a past ``version`` as a NEW commit (Iceberg
+        ``rollback_to_snapshot`` analog). Metadata-only: the new manifest
+        re-references the old version's data dirs verbatim — no file is
+        copied or rewritten, so rollback of a petabyte table is one JSON
+        swap under the same CAS guard as any commit. Everything the old
+        snapshot pinned is restored together: buckets, row estimates, zone
+        maps, schema, job state, the batch guard and lineage — so a replay
+        from checkpoint RE-APPLIES the rolled-back batches (their guard
+        entries are gone with the rollback, matching Iceberg semantics where
+        un-committed-by-rollback data must be re-ingested). The forward
+        history is retained for audit: rolling back v5→v2 produces v6 whose
+        content equals v2, and v3..v5 stay time-travelable until expired.
+        Returns the new version number; rolling back to the current version
+        is a no-op returning the current version."""
+        man = self._require_manifest()
+        if version == man["version"]:
+            return int(man["version"])
+        old = self._manifest_at(version)  # validates readability / expiry
+        man_new = dict(old)
+        man_new["version"] = man["version"] + 1
+        # layout fields travel with the restored snapshot (a rollback across
+        # a rebucket restores the OLD bucket count — readers take n_buckets
+        # from the manifest, so this is just another layout evolution)
+        self._swap_manifest(man_new)
+        self.n_buckets = int(man_new["n_buckets"])
+        return int(man_new["version"])
+
     def history(self) -> list[dict]:
         """Commit log (Iceberg snapshot-list analog): one driver-side dict per
         retained manifest version, oldest first — version, per-job committed
