@@ -233,6 +233,59 @@ def _q_cdc_hot_repo_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 extension — type-WIDENING evolution (plans/lake.py::_widen_type):
+    phase 1 merges a ``size`` column as INT (octet_length of content);
+    phase 2 arrives with ``size`` as LONG carrying values past 2^31. The
+    merge promotes the table column metadata-only (old narrow parquet files
+    are read under the widened schema via SPARK-40876); the DuckDB twin
+    computes the same per-phase sizes with BIGINT arithmetic."""
+    log = _fixture_log(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    ev = dedup_events(spark.read.parquet(log)).withColumn("lang", F.trim("lang"))
+    valid = ev.where(
+        ~((F.col("op") != "D") & (F.col("content").isNull() | ~F.col("lang").isin(list(LANGS))))
+    )
+    # bound over the RAW log (not the validity-filtered view) — must mirror
+    # the oracle's `FROM {log}` exactly
+    max_seq = spark.read.parquet(log).agg(F.max("event_sequence")).collect()[0][0]
+    cut = (int(max_seq) + 1) // 2
+    target = os.path.join(FIXTURES, "_targets", f"{label}_widen")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16)
+    from pyspark.sql import types as T
+
+    table.ensure(
+        T.StructType(
+            [
+                T.StructField("repo", T.StringType()),
+                T.StructField("path", T.StringType()),
+                T.StructField("commit", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("content", T.StringType()),
+                T.StructField("size", T.IntegerType()),
+            ]
+        )
+    )
+    table.merge(
+        valid.where(F.col("event_sequence") < cut)
+        .withColumn("size", F.octet_length("content").cast("int"))
+        .drop("event_ts"),
+        job="widen", batch_id=0,
+    )
+    table.merge(
+        valid.where(F.col("event_sequence") >= cut)
+        .withColumn("size", (F.lit(5_000_000_000) + F.col("event_sequence")).cast("long"))
+        .drop("event_ts"),
+        job="widen", batch_id=1,
+    )
+    assert table.schema()["size"].dataType.typeName() == "long"
+    return table.read().select(
+        "repo", "path", "commit", "size",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    )
+
+
 def _q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel (Iceberg-snapshot analog): replay the log in 4 chunks with
     ``retain_history`` set, then read the table AS OF the version committed by
@@ -1045,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_op_stats": _q_cdc_op_stats,
         "cdc_hot_repo_profile": _q_cdc_hot_repo_profile,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
+        "cdc_type_widening": _q_cdc_type_widening,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_maintenance": _q_cdc_maintenance,
         "cdc_rollback": _q_cdc_rollback,
@@ -1110,6 +1164,32 @@ valid AS (
     FROM valid) t WHERE rn = 1
 )
 SELECT repo, path, commit, lang, sha256(content) AS content_sha
+FROM latest WHERE op <> 'D'
+""",
+        # per-phase size rule as BIGINT arithmetic; the winner carries the
+        # phase-appropriate width (old int values read back exactly under
+        # the widened schema)
+        "cdc_type_widening": f"""
+WITH bound AS (
+  SELECT (max(event_sequence) + 1) // 2 AS cut FROM {log}
+),
+{dedup_cte.lstrip()},
+valid AS (
+  SELECT event_sequence, op, repo, path, commit, trim(lang) AS lang, content
+  FROM dedup WHERE {_valid_pred()}
+), sized AS (
+  SELECT *, CASE WHEN event_sequence < (SELECT cut FROM bound)
+      THEN CAST(strlen(content) AS BIGINT)
+      ELSE 5000000000 + event_sequence END AS size
+  FROM valid
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY repo, path, commit
+        ORDER BY event_sequence DESC, op DESC) AS rn
+    FROM sized) t WHERE rn = 1
+)
+SELECT repo, path, commit, size, sha256(content) AS content_sha
 FROM latest WHERE op <> 'D'
 """,
         # rollback restores guard+state, so re-running the job reconverges

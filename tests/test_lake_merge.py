@@ -803,3 +803,94 @@ def test_rollback_across_rebucket_restores_layout(spark, tmp_path):
     t.merge(ev(spark, [(100, "U", "r1", "p1", "c1", "py", "new")]), job="j", batch_id=1)
     got = state(t)
     assert got[("r1", "p1", "c1")] == "new" and len(got) == 16
+
+
+# ---------------------------------------------------------------------------
+# type-widening schema evolution (B9 extension)
+# ---------------------------------------------------------------------------
+
+WIDE_SCHEMA = T.StructType(
+    list(SCHEMA.fields) + [T.StructField("size", T.IntegerType())]
+)
+
+
+def wev(spark, rows, size_type=T.IntegerType()):
+    sch = T.StructType(list(EV_SCHEMA.fields) + [T.StructField("size", size_type)])
+    return spark.createDataFrame(rows, sch)
+
+
+def test_type_widening_int_to_long(spark, tmp_path):
+    """A long batch into an int column widens the TABLE type metadata-only:
+    old narrow parquet files are read under the widened schema (SPARK-40876),
+    values past 2^31 round-trip, and the manifest schema says long."""
+    t = ParquetSnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=4)
+    t.ensure(WIDE_SCHEMA)
+    t.merge(wev(spark, [(0, "I", "r", "p", "c1", "py", "a", 100)]), job="j", batch_id=0)
+    big = 5_000_000_000
+    t.merge(
+        wev(spark, [(10, "I", "r", "p", "c2", "py", "b", big)], T.LongType()),
+        job="j", batch_id=1,
+    )
+    assert dict(t.schema().fields[-1].__dict__.items())["dataType"] == T.LongType()
+    got = {r["commit"]: r["size"] for r in t.read().collect()}
+    assert got == {"c1": 100, "c2": big}
+
+
+def test_type_widening_narrow_batch_upcasts(spark, tmp_path):
+    """A narrower batch (int into a long column) does NOT narrow the table:
+    the batch upcasts losslessly at alignment."""
+    t = ParquetSnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=4)
+    t.ensure(T.StructType(list(SCHEMA.fields) + [T.StructField("size", T.LongType())]))
+    t.merge(wev(spark, [(0, "I", "r", "p", "c", "py", "a", 7)]), job="j", batch_id=0)
+    assert t.schema().fields[-1].dataType == T.LongType()
+    assert t.read().collect()[0]["size"] == 7
+
+
+def test_type_widening_float_to_double_and_incompatible_raises(spark, tmp_path):
+    t = ParquetSnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=2)
+    t.ensure(T.StructType(list(SCHEMA.fields) + [T.StructField("score", T.FloatType())]))
+    sch = T.StructType(list(EV_SCHEMA.fields) + [T.StructField("score", T.DoubleType())])
+    t.merge(
+        spark.createDataFrame([(0, "I", "r", "p", "c", "py", "a", 0.5)], sch),
+        job="j", batch_id=0,
+    )
+    assert t.schema().fields[-1].dataType == T.DoubleType()
+    # string -> int on the same table: loud failure, not a silent cast
+    bad = T.StructType(list(EV_SCHEMA.fields) + [T.StructField("score", T.StringType())])
+    with pytest.raises(SinkCommitError, match="incompatible type change"):
+        t.merge(
+            spark.createDataFrame([(1, "I", "r", "p", "c2", "py", "b", "oops")], bad),
+            job="j", batch_id=1,
+        )
+    # fractional -> integral is NOT a widening either
+    badi = T.StructType(list(EV_SCHEMA.fields) + [T.StructField("score", T.LongType())])
+    with pytest.raises(SinkCommitError, match="incompatible type change"):
+        t.merge(
+            spark.createDataFrame([(2, "I", "r", "p", "c3", "py", "d", 1)], badi),
+            job="j", batch_id=2,
+        )
+
+
+def test_key_column_type_change_raises(spark, tmp_path):
+    """Bucket routing hashes key VALUES — xxhash64 of the same number at a
+    different width is a different hash, so key-type changes must refuse."""
+    keyed = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("commit", T.IntegerType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    t = ParquetSnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=2)
+    t.ensure(keyed)
+    bsch = T.StructType(
+        [T.StructField("event_sequence", T.LongType()), T.StructField("op", T.StringType()),
+         T.StructField("repo", T.StringType()), T.StructField("path", T.StringType()),
+         T.StructField("commit", T.LongType()), T.StructField("content", T.StringType())]
+    )
+    with pytest.raises(SinkCommitError, match="key/bucket column"):
+        t.merge(
+            spark.createDataFrame([(0, "I", "r", "p", 1, "a")], bsch),
+            job="j", batch_id=0,
+        )

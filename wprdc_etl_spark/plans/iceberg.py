@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from wprdc_etl_spark.exceptions import SinkCommitError
-from wprdc_etl_spark.plans.lake import LakeTable, LineageCounts, MergeResult, _lww_reduce
+from wprdc_etl_spark.plans.lake import (
+    LakeTable,
+    LineageCounts,
+    MergeResult,
+    _lww_reduce,
+    _widen_type,
+)
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -60,6 +66,13 @@ def ensure_sql(table: str, schema: T.StructType, *, n_buckets: int = 64) -> str:
 def evolve_sql(table: str, new_fields: list[T.StructField]) -> str:
     adds = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in new_fields)
     return f"ALTER TABLE {table} ADD COLUMNS ({adds})"
+
+
+def widen_column_sql(table: str, col: str, new_type: T.DataType) -> str:
+    """Type-widening evolution (ParquetSnapshotTable._widen_type analog):
+    Iceberg natively supports int->long / float->double promotion as a
+    metadata-only ALTER — old data files are read under the widened type."""
+    return f"ALTER TABLE {table} ALTER COLUMN {col} TYPE {new_type.simpleString()}"
 
 
 def _catalog_and_ident(table: str) -> tuple[str, str]:
@@ -450,14 +463,26 @@ class IcebergTable(LakeTable):
         last = self.last_committed_batch(job)
         if last is not None and batch_id <= last:
             return MergeResult(applied=False, version=-1, skipped_reason=f"batch<=last({last})")
-        # additive schema evolution (B9)
-        existing = set(self.spark.table(self.table).columns)
+        # schema evolution (B9): additive columns append; shared columns may
+        # widen (int->long, float->double — Iceberg-native metadata-only
+        # promotion), same lattice the parquet sink enforces in _widen_type
+        table_fields = {
+            f.name: f.dataType for f in self.spark.table(self.table).schema.fields
+        }
         new_cols = [
             f for f in batch_df.schema.fields
-            if f.name not in existing and f.name not in ("op", "event_sequence", "event_ts")
+            if f.name not in table_fields and f.name not in ("op", "event_sequence", "event_ts")
         ]
         if new_cols:
             self.spark.sql(evolve_sql(self.table, new_cols))
+        for f in batch_df.schema.fields:
+            cur = table_fields.get(f.name)
+            if cur is None or f.name in ("op", "event_sequence", "event_ts"):
+                continue
+            if cur != f.dataType:
+                widened = _widen_type(f.name, cur, f.dataType)
+                if widened != cur:
+                    self.spark.sql(widen_column_sql(self.table, f.name, widened))
         # batch-local LWW with the same hash-aggregate the snapshot table uses
         shaped = (
             batch_df.withColumn("_seq", F.col("event_sequence").cast("long"))

@@ -182,6 +182,36 @@ def _rank(op_col: Column) -> Column:
     )
 
 
+# legal type-promotion chains (Iceberg's schema-evolution rules): integrals
+# widen toward long, float widens to double. Everything else is an
+# incompatible type change and must fail loudly — a silent cast here is
+# data corruption at 10^10 rows.
+_INTEGRAL_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+_FRACTIONAL_RANK = {"float": 0, "double": 1}
+
+
+def _widen_type(name: str, table_t: T.DataType, batch_t: T.DataType) -> T.DataType:
+    """Resolve the evolved type for a column present in BOTH the table and
+    the batch. Equal → unchanged. Batch narrower on a legal chain → keep the
+    table type (the batch upcasts losslessly at alignment). Table narrower →
+    promote the table type: metadata-only, because Spark 4's parquet reader
+    (SPARK-40876 widening promotions) reads the old narrow files under the
+    widened read schema — no rewrite, verified by test_type_widening. Any
+    other pair (string↔numeric, integral↔fractional, narrowing across
+    chains) raises."""
+    if table_t == batch_t:
+        return table_t
+    for chain in (_INTEGRAL_RANK, _FRACTIONAL_RANK):
+        a, b = chain.get(table_t.typeName()), chain.get(batch_t.typeName())
+        if a is not None and b is not None:
+            return table_t if a >= b else batch_t
+    raise SinkCommitError(
+        f"incompatible type change for column {name!r}: table has "
+        f"{table_t.simpleString()}, batch has {batch_t.simpleString()} — only "
+        f"widening promotions (byte/short/int->long, float->double) evolve"
+    )
+
+
 def _merge_zone(old: list | None, lo: int, hi: int) -> list[int]:
     """Widen a bucket's [min_seq, max_seq] zone with a new commit's range.
     Zones are CONSERVATIVE (may be wider than the rows actually present
@@ -993,9 +1023,35 @@ class ParquetSnapshotTable(LakeTable):
             if k not in payload_cols:
                 raise SinkCommitError(f"merge batch missing key column {k!r}")
         new_cols = [c for c in payload_cols if c not in table_schema.fieldNames()]
+        # B9 evolution: additive columns append; shared columns may WIDEN
+        # (byte/short/int->long, float->double — metadata-only under
+        # SPARK-40876 parquet widening reads). Key/bucket columns must not
+        # change type: bucket routing hashes their VALUES, and xxhash64 of
+        # the same number at different widths is a different hash — a
+        # widened key would silently strand existing rows in wrong buckets.
+        keyish = set(self.keys) | set(man.get("bucket_keys", self.bucket_keys))
+        evolved_fields: list[T.StructField] = []
+        for f in table_schema.fields:
+            if f.name in payload_cols and batch.schema[f.name].dataType != f.dataType:
+                if f.name in keyish:
+                    raise SinkCommitError(
+                        f"type change on key/bucket column {f.name!r} "
+                        f"({f.dataType.simpleString()} -> "
+                        f"{batch.schema[f.name].dataType.simpleString()}) is not "
+                        f"supported: bucket routing hashes key values, so a "
+                        f"width change would re-route existing rows"
+                    )
+                evolved_fields.append(
+                    T.StructField(
+                        f.name,
+                        _widen_type(f.name, f.dataType, batch.schema[f.name].dataType),
+                        True,
+                    )
+                )
+            else:
+                evolved_fields.append(f)
         evolved_schema = T.StructType(
-            list(table_schema.fields)
-            + [batch.schema[c] for c in new_cols]
+            evolved_fields + [batch.schema[c] for c in new_cols]
         )
         # ---- LATE MATERIALIZATION (the 10^10-event design) ----------------
         # Wide payloads (content can be KBs/row) must never ride a shuffle or
