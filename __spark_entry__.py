@@ -34,6 +34,7 @@ from wprdc_etl_spark.streaming.job import IngestJob  # noqa: E402
 from wprdc_etl_spark.functions import dedup as _dedup_sql  # noqa: E402
 from wprdc_etl_spark.functions import multimodal as _media_sql  # noqa: E402
 from wprdc_etl_spark.functions import similarity as _sim_sql  # noqa: E402
+from wprdc_etl_spark.functions import packing as _packing  # noqa: E402
 from wprdc_etl_spark.functions import text as _text_sql  # noqa: E402
 from wprdc_etl_spark.testgen import LANGS, gen_change_events, write_event_log  # noqa: E402
 
@@ -974,6 +975,18 @@ def _q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-aware training-shard packing (functions/packing.py): hash docs
+    into groups, sort each group by token count, deal round-robin with a
+    group offset — balanced shard token totals with NO global sort. The
+    sha2 leaf makes the assignment bit-identical in DuckDB."""
+    from wprdc_etl_spark.functions.packing import pack_shards
+
+    return pack_shards(
+        _docs(spark, sf_dir), 16, n_groups=8, hash_fn="sha2"
+    )
+
+
 def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wprdc_etl_spark.functions.text import quality_score
 
@@ -1128,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_fingerprint": _q_documents_fingerprint,
         "documents_exact_dedup": _q_documents_exact_dedup,
         "doc_token_counts": _q_doc_token_counts,
+        "doc_pack_shards": _q_doc_pack_shards,
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
@@ -1543,6 +1557,14 @@ SELECT doc_id,
   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
 FROM documents
 """,
+        "doc_pack_shards": _packing.pack_shards_sql(
+            "documents", 16,
+            tokens_sql=(
+                r"CASE WHEN length(trim(text)) = 0 THEN 0 "
+                r"ELSE len(string_split_regex(trim(text), '\s+')) END"
+            ),
+            n_groups=8,
+        ),
         "doc_quality": f"SELECT doc_id, {_text_sql.quality_score_sql('text')} AS quality FROM documents",
         "doc_lang_id": f"SELECT doc_id, {_text_sql.lang_id_sql('text')} AS lang_pred FROM documents",
         "doc_ngram_jaccard": r"""

@@ -362,3 +362,105 @@ def test_ngram_max_doc_freq_caps_pathological_block(spark):
     # the 60 stop-phrase docs share ONLY capped ngrams → no pair emitted
     assert all(a == 1000 or a > n_docs or b > n_docs for a, b in got if (a, b) != (1000, 1001)), got
     assert len(got) == 1
+
+
+# ---------------------------------------------------------------------------
+# token-aware shard packing (functions/packing.py)
+# ---------------------------------------------------------------------------
+
+
+def _pack_docs(spark, n=200):
+    rows = [(i, "w " * ((i * 37) % 97 + 1)) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_shards_covers_all_docs_in_range(spark):
+    from wprdc_etl_spark.functions.packing import pack_shards
+
+    docs = _pack_docs(spark)
+    packed = pack_shards(docs, 8, n_groups=4).collect()
+    assert len(packed) == 200
+    assert {r["doc_id"] for r in packed} == set(range(200))
+    assert all(0 <= r["shard_id"] < 8 for r in packed)
+
+
+def test_pack_shards_deterministic_across_partitionings(spark):
+    from wprdc_etl_spark.functions.packing import pack_shards
+
+    docs = _pack_docs(spark)
+    a = {r["doc_id"]: r["shard_id"] for r in pack_shards(docs, 8).collect()}
+    b = {
+        r["doc_id"]: r["shard_id"]
+        for r in pack_shards(docs.repartition(13), 8).collect()
+    }
+    assert a == b
+
+
+def test_pack_shards_balances_tokens(spark):
+    from wprdc_etl_spark.functions.packing import pack_shards, shard_stats
+
+    # heavily skewed doc lengths: a few 5000-token giants, many small
+    rows = [(i, "w " * (5000 if i % 50 == 0 else (i % 40 + 1))) for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n_groups = 4
+    stats = shard_stats(pack_shards(docs, 8, n_groups=n_groups)).collect()
+    totals = [r["total_tokens"] for r in stats]
+    assert len(totals) == 8
+    # sorted round-robin's guarantee: within each group any two shards
+    # differ by at most one document, so the total spread is bounded by
+    # n_groups * max_doc_tokens — absolute, independent of corpus size
+    # (at 100 TB the bound is invisible next to corpus/n_shards; in this
+    # tiny fixture it is the dominant term, which is what makes it testable)
+    assert max(totals) - min(totals) <= n_groups * 5000
+    # naive doc-count dealing by id is unboundedly worse here: the giants
+    # share residue classes (i % 50 == 0 → only even shards of i % 8)
+    naive = {}
+    for i in range(1000):
+        naive[i % 8] = naive.get(i % 8, 0) + (5000 if i % 50 == 0 else (i % 40 + 1))
+    assert max(naive.values()) / min(naive.values()) > max(totals) / min(totals)
+    # giant-free regime: totals concentrate to within one small doc per group
+    uni = spark.createDataFrame(
+        [(i, "w " * (i % 40 + 1)) for i in range(1000)], "doc_id long, text string"
+    )
+    ut = [r["total_tokens"] for r in shard_stats(pack_shards(uni, 8, n_groups=n_groups)).collect()]
+    assert max(ut) - min(ut) <= n_groups * 40
+    assert max(ut) / min(ut) < 1.1
+
+
+def test_pack_shards_precomputed_tokens_and_sha2(spark):
+    from wprdc_etl_spark.functions.packing import pack_shards
+
+    docs = _pack_docs(spark, 50).withColumn("ntok", F.length("text"))
+    packed = pack_shards(docs, 4, tokens_col="ntok", hash_fn="sha2").collect()
+    assert len(packed) == 50
+    got = {r["doc_id"]: r["n_tokens"] for r in packed}
+    want = {r["doc_id"]: r["ntok"] for r in docs.collect()}
+    assert got == want
+
+
+def test_pack_shards_sql_twin_matches(spark, tmp_path):
+    """The DuckDB twin reproduces the EXACT assignment (sha2 leaf)."""
+    import duckdb
+
+    from wprdc_etl_spark.functions.packing import pack_shards, pack_shards_sql
+
+    docs = _pack_docs(spark, 120)
+    pq = str(tmp_path / "docs.parquet")
+    docs.write.mode("overwrite").parquet(pq)
+    spark_out = {
+        (r["doc_id"], r["n_tokens"], r["shard_id"])
+        for r in pack_shards(spark.read.parquet(pq), 6, n_groups=4, hash_fn="sha2").collect()
+    }
+    tokens_sql = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    )
+    duck_out = set(
+        duckdb.sql(
+            pack_shards_sql(
+                f"read_parquet('{pq}/*.parquet')", 6,
+                tokens_sql=tokens_sql, n_groups=4,
+            )
+        ).fetchall()
+    )
+    assert spark_out == duck_out

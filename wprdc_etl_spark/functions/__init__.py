@@ -12,6 +12,10 @@ from wprdc_etl_spark.functions.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from wprdc_etl_spark.functions.packing import (
+    pack_shards,
+    shard_stats,
+)
 from wprdc_etl_spark.functions.similarity import (
     cosine_similarity_col,
     cosine_topk,
@@ -34,4 +38,6 @@ __all__ = [
     "cosine_topk",
     "rp_lsh_bucket",
     "ann_topk_lsh",
+    "pack_shards",
+    "shard_stats",
 ]
