@@ -363,6 +363,41 @@ def _q_cdc_modified_since(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_tagged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tags (Iceberg named-ref analog, plans/lake.py::create_tag): merge the
+    first half of the log, tag the version, merge the rest, then run
+    compact + expire with retain_history=0 — every untagged old version is
+    GC'd, but the tagged snapshot must stay byte-readable. The twin is the
+    chunk-2-truncated golden replay (same boundary as cdc_time_travel)."""
+    log = _fixture_log(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    ev = dedup_events(spark.read.parquet(log)).withColumn("lang", F.trim("lang"))
+    valid = ev.where(
+        ~((F.col("op") != "D") & (F.col("content").isNull() | ~F.col("lang").isin(list(LANGS))))
+    )
+    max_seq = spark.read.parquet(log).agg(F.max("event_sequence")).collect()[0][0]
+    cut = 2 * ((int(max_seq) + 1 + 3) // 4)  # the chunk-2 boundary
+    target = os.path.join(FIXTURES, "_targets", f"{label}_tag")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16, retain_history=0)
+    table.ensure(IngestJob.default_payload_schema().to_struct_type())
+    table.merge(
+        valid.where(F.col("event_sequence") < cut).drop("event_ts"),
+        job="tag", batch_id=0,
+    )
+    table.create_tag("after-chunk-2")
+    table.merge(
+        valid.where(F.col("event_sequence") >= cut).drop("event_ts"),
+        job="tag", batch_id=1,
+    )
+    table.compact()
+    table.expire_snapshots()
+    return table.read(tag="after-chunk-2").select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    )
+
+
 def _q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollback + reconvergence (Iceberg rollback_to_snapshot analog,
     plans/lake.py::rollback): replay 4 chunks, roll the table back to the
@@ -1113,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_type_widening": _q_cdc_type_widening,
         "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_tagged_read": _q_cdc_tagged_read,
         "cdc_maintenance": _q_cdc_maintenance,
         "cdc_rollback": _q_cdc_rollback,
         "cdc_changelog": _q_cdc_changelog,
@@ -1226,6 +1262,32 @@ FROM latest WHERE op <> 'D'
         # run_batch's chunk arithmetic, as SQL: step = ceil((max+1)/4); the
         # version committed by chunk 2 holds exactly events with seq < 2*step
         "cdc_time_travel": f"""
+WITH bound AS (
+  SELECT 2 * ((max(event_sequence) + 1 + 3) // 4) AS hi FROM {log}
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY repo, path, commit, event_sequence ORDER BY op) AS rn
+    FROM {log} WHERE event_sequence < (SELECT hi FROM bound)) t WHERE rn = 1
+),
+valid AS (
+  SELECT event_sequence, op, repo, path, commit, trim(lang) AS lang, content
+  FROM dedup WHERE {_valid_pred()}
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY repo, path, commit
+        ORDER BY event_sequence DESC, op DESC) AS rn
+    FROM valid) t WHERE rn = 1
+)
+SELECT repo, path, commit, lang, sha256(content) AS content_sha
+FROM latest WHERE op <> 'D'
+""",
+        # the tagged snapshot is the chunk-2 state — same truncated-replay
+        # twin as cdc_time_travel (the query additionally proves it survives
+        # compact + expire at retain_history=0)
+        "cdc_tagged_read": f"""
 WITH bound AS (
   SELECT 2 * ((max(event_sequence) + 1 + 3) // 4) AS hi FROM {log}
 ),

@@ -136,3 +136,18 @@ def test_rollback_sql_is_metadata_procedure():
         "CALL cat.system.rollback_to_snapshot(table => 'db.t', "
         "snapshot_id => 12345)"
     )
+
+
+def test_tag_sql_builders():
+    assert ice.create_tag_sql("cat.db.t", "train-v1", 42) == (
+        "ALTER TABLE cat.db.t CREATE TAG `train-v1` AS OF VERSION 42"
+    )
+    assert ice.create_tag_sql("cat.db.t", "tip") == (
+        "ALTER TABLE cat.db.t CREATE TAG `tip`"
+    )
+    assert ice.drop_tag_sql("cat.db.t", "train-v1") == (
+        "ALTER TABLE cat.db.t DROP TAG `train-v1`"
+    )
+    assert ice.tag_read_sql("cat.db.t", "train-v1") == (
+        "SELECT * FROM cat.db.t VERSION AS OF 'train-v1'"
+    )

@@ -894,3 +894,58 @@ def test_key_column_type_change_raises(spark, tmp_path):
             spark.createDataFrame([(0, "I", "r", "p", 1, "a")], bsch),
             job="j", batch_id=0,
         )
+
+
+# ---------------------------------------------------------------------------
+# tags (Iceberg named-ref analog)
+# ---------------------------------------------------------------------------
+
+
+def test_tag_lifecycle_and_read(spark, tmp_path):
+    t = mk_table(spark, tmp_path, retain_history=4)
+    t.merge(ev(spark, [(0, "I", "r", "p", "c", "py", "v1")]), job="j", batch_id=0)
+    tagged_v = t.create_tag("train-v1")
+    t.merge(ev(spark, [(10, "U", "r", "p", "c", "py", "v2")]), job="j", batch_id=1)
+    assert t.tags() == {"train-v1": tagged_v}
+    assert t.resolve_tag("train-v1") == tagged_v
+    got = t.read(tag="train-v1").collect()
+    assert [r["content"] for r in got] == ["v1"]
+    with pytest.raises(SinkCommitError, match="already exists"):
+        t.create_tag("train-v1")
+    with pytest.raises(SinkCommitError, match="not both"):
+        t.read(version=1, tag="train-v1")
+    t.drop_tag("train-v1")
+    with pytest.raises(SinkCommitError, match="does not exist"):
+        t.resolve_tag("train-v1")
+    with pytest.raises(SinkCommitError, match="does not exist"):
+        t.drop_tag("train-v1")
+
+
+def test_tagged_version_survives_expiration_and_gc(spark, tmp_path):
+    """The point of tags: a pinned version stays readable after the rolling
+    retention window has expired and GC'd everything else around it."""
+    t = mk_table(spark, tmp_path, retain_history=0)
+    t.merge(ev(spark, [(0, "I", "r", "p", "c", "py", "old")]), job="j", batch_id=0)
+    tagged_v = t.create_tag("audit")
+    # several COW rewrites of the same bucket + maintenance GC
+    for i in range(3):
+        t.merge(ev(spark, [(10 + i, "U", "r", "p", "c", "py", f"v{i}")]),
+                job="j", batch_id=1 + i)
+    t.compact()
+    assert t.expire_snapshots() >= 0
+    assert [r["content"] for r in t.read(tag="audit").collect()] == ["old"]
+    # dropping the tag releases it: the next expiration removes the manifest
+    t.drop_tag("audit")
+    t.expire_snapshots()
+    with pytest.raises(SinkCommitError):
+        t.read(version=tagged_v)
+
+
+def test_rollback_keeps_tags(spark, tmp_path):
+    t = mk_table(spark, tmp_path, retain_history=8)
+    t.merge(ev(spark, [(0, "I", "r", "p", "c", "py", "a")]), job="j", batch_id=0)
+    v1 = t.current_version()
+    t.merge(ev(spark, [(1, "U", "r", "p", "c", "py", "b")]), job="j", batch_id=1)
+    t.create_tag("keep-me")
+    t.rollback(v1)
+    assert "keep-me" in t.tags()

@@ -35,7 +35,7 @@ def main() -> None:
     ap.add_argument("--mode",
                     choices=["stream", "batch", "compact", "rebucket", "changelog",
                              "export", "history", "rollback", "rollup", "optimize",
-                             "replicate"],
+                             "replicate", "tag", "drop-tag"],
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
@@ -58,6 +58,9 @@ def main() -> None:
                     help="export mode: emit live rows whose winning version's "
                          "sequence is >= this cutoff (incremental export on "
                          "the current snapshot; zone-map/manifest-stat pruned)")
+    ap.add_argument("--tag-name", default=None,
+                    help="tag/drop-tag modes: the ref name (tagged versions "
+                         "are exempt from snapshot expiration until dropped)")
     ap.add_argument("--group-cols", default="repo",
                     help="rollup mode: comma-separated grouping columns")
     ap.add_argument("--target-rows-per-bucket", type=int, default=4_000_000,
@@ -133,6 +136,21 @@ def main() -> None:
         else:
             r = table.optimize(target_rows_per_bucket=args.target_rows_per_bucket)
         print(f"optimize plan={r['plan']} actions={r['actions'] or 'none (healthy)'}")
+        spark.stop()
+        return
+    if args.mode in ("tag", "drop-tag"):
+        if not args.tag_name:
+            ap.error("--tag-name is required in tag/drop-tag modes")
+        if args.mode == "tag":
+            if args.sink == "iceberg":
+                table.create_tag(args.tag_name, args.to_version)
+                print(f"tag {args.tag_name!r} created")
+            else:
+                v = table.create_tag(args.tag_name, args.to_version)
+                print(f"tag {args.tag_name!r} pins version {v}")
+        else:
+            table.drop_tag(args.tag_name)
+            print(f"tag {args.tag_name!r} dropped")
         spark.stop()
         return
     if args.mode == "rollback":

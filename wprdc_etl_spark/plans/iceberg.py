@@ -153,6 +153,22 @@ def changelog_sql(table: str, start_snapshot: int, end_snapshot: int,
     return call, select
 
 
+def create_tag_sql(table: str, name: str, snapshot_id: int | None = None) -> str:
+    """create_tag analog — a named ref pinning a snapshot outside the
+    expiration window (Iceberg SQL-extension DDL)."""
+    as_of = f" AS OF VERSION {int(snapshot_id)}" if snapshot_id is not None else ""
+    return f"ALTER TABLE {table} CREATE TAG `{name}`{as_of}"
+
+
+def drop_tag_sql(table: str, name: str) -> str:
+    return f"ALTER TABLE {table} DROP TAG `{name}`"
+
+
+def tag_read_sql(table: str, name: str) -> str:
+    """read(tag=) analog: VERSION AS OF accepts a ref name."""
+    return f"SELECT * FROM {table} VERSION AS OF '{name}'"
+
+
 def rollback_sql(table: str, snapshot_id: int) -> str:
     """rollback(version) analog: restore the table to a past snapshot as a
     metadata-only operation (Iceberg keeps the forward snapshots for audit
@@ -333,6 +349,21 @@ class IcebergTable(LakeTable):
         call, select = changelog_sql(self.table, v_from, v_to, keys=self.keys)
         self.spark.sql(call)
         return self.spark.sql(select)
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Pin a snapshot under a stable name (exempt from expire_snapshots
+        until dropped — ParquetSnapshotTable.create_tag parity)."""
+        self.spark.sql(create_tag_sql(self.table, name, snapshot_id))
+
+    def drop_tag(self, name: str) -> None:
+        self.spark.sql(drop_tag_sql(self.table, name))
+
+    def read_tag(self, name: str) -> DataFrame:
+        return (
+            self.spark.sql(tag_read_sql(self.table, name))
+            .where(F.col("_op") != "D")
+            .drop("_seq", "_op")
+        )
 
     def rollback(self, snapshot_id: int) -> None:
         """Restore the table to a past snapshot (metadata-only; forward

@@ -544,12 +544,13 @@ class ParquetSnapshotTable(LakeTable):
             raise SinkCommitError(f"keep must be >= 0, got {keep}")
         hdir = os.path.join(self.root, "history")
         removed = 0
+        tagged = {int(v) for v in man.get("refs", {}).values()}
         if os.path.isdir(hdir):
             for name in os.listdir(hdir):
                 if not name.startswith("manifest.v"):
                     continue
                 v = self._version_of(name[len("manifest."):-len(".json")])
-                if v < man["version"] - keep:
+                if v < man["version"] - keep and v not in tagged:
                     try:
                         os.remove(os.path.join(hdir, name))
                         removed += 1
@@ -604,11 +605,12 @@ class ParquetSnapshotTable(LakeTable):
                 new_n *= 2
         hdir = os.path.join(self.root, "history")
         expirable = 0
+        tagged = {int(v) for v in man.get("refs", {}).values()}
         if os.path.isdir(hdir):
             for name in os.listdir(hdir):
                 if name.startswith("manifest.v"):
                     v = self._version_of(name[len("manifest."):-len(".json")])
-                    if v < man["version"] - self.retain_history:
+                    if v < man["version"] - self.retain_history and v not in tagged:
                         expirable += 1
         return {
             "compact": max_chain >= threshold,
@@ -637,6 +639,52 @@ class ParquetSnapshotTable(LakeTable):
             actions["expired_snapshots"] = self.expire_snapshots()
         return {"plan": plan, "actions": actions}
 
+    # ---- tags (Iceberg named-ref analog; tags only — branches imply
+    # multi-head writes, out of scope for the single-writer deployment) ----
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``version`` (default: current) under a stable name. A tagged
+        version is EXEMPT from snapshot expiration and data-dir GC until the
+        tag is dropped — the retention story for audits/reproducibility
+        ("the exact table the model trained on") that a rolling
+        ``retain_history`` window can't give. Metadata-only commit; returns
+        the tagged version."""
+        man = self._require_manifest()
+        version = int(man["version"]) if version is None else int(version)
+        self._manifest_at(version)  # must exist and still be readable
+        refs = dict(man.get("refs", {}))
+        if name in refs:
+            raise SinkCommitError(
+                f"tag {name!r} already exists (points at version {refs[name]})"
+            )
+        refs[name] = version
+        man_new = dict(man)
+        man_new["version"] = man["version"] + 1
+        man_new["refs"] = refs
+        self._swap_manifest(man_new)
+        return version
+
+    def drop_tag(self, name: str) -> None:
+        """Remove a tag; its version re-enters the normal GC policy."""
+        man = self._require_manifest()
+        refs = dict(man.get("refs", {}))
+        if name not in refs:
+            raise SinkCommitError(f"tag {name!r} does not exist")
+        del refs[name]
+        man_new = dict(man)
+        man_new["version"] = man["version"] + 1
+        man_new["refs"] = refs
+        self._swap_manifest(man_new)
+
+    def tags(self) -> dict[str, int]:
+        return dict(self._require_manifest().get("refs", {}))
+
+    def resolve_tag(self, name: str) -> int:
+        refs = self._require_manifest().get("refs", {})
+        if name not in refs:
+            raise SinkCommitError(f"tag {name!r} does not exist")
+        return int(refs[name])
+
     def rollback(self, version: int) -> int:
         """Restore the table to a past ``version`` as a NEW commit (Iceberg
         ``rollback_to_snapshot`` analog). Metadata-only: the new manifest
@@ -658,6 +706,9 @@ class ParquetSnapshotTable(LakeTable):
         old = self._manifest_at(version)  # validates readability / expiry
         man_new = dict(old)
         man_new["version"] = man["version"] + 1
+        # tags are table-level refs, not snapshot content: they survive a
+        # rollback (Iceberg parity — rollback_to_snapshot keeps refs)
+        man_new["refs"] = dict(man.get("refs", {}))
         # layout fields travel with the restored snapshot (a rollback across
         # a rebucket restores the OLD bucket count — readers take n_buckets
         # from the manifest, so this is just another layout evolution)
@@ -837,11 +888,16 @@ class ParquetSnapshotTable(LakeTable):
             out = out.unionByName(p)
         return out
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, tag: str | None = None) -> DataFrame:
         """Table state (tombstones filtered, internal columns dropped).
         ``version`` time-travels to a past committed snapshot — readable for
         the last ``retain_history`` versions (GC policy); expired versions
-        raise instead of reading partially."""
+        raise instead of reading partially. ``tag`` reads a named pinned
+        version (exempt from expiration until dropped)."""
+        if tag is not None:
+            if version is not None:
+                raise SinkCommitError("pass version= or tag=, not both")
+            version = self.resolve_tag(tag)
         man = self._manifest_at(version)
         return self._resolved(man).where(F.col("_op") != "D").drop(*INTERNAL_COLS)
 
@@ -1613,7 +1669,11 @@ class ParquetSnapshotTable(LakeTable):
         retention). Best-effort; never fails a commit."""
         retain = self.retain_history if retain is None else retain
         manifests = [man]
-        for v in range(max(0, man["version"] - retain), man["version"]):
+        # tagged versions are pinned outside the rolling window
+        window = set(range(max(0, man["version"] - retain), man["version"]))
+        window |= {int(v) for v in man.get("refs", {}).values()}
+        window.discard(man["version"])
+        for v in sorted(window):
             hpath = os.path.join(self.root, "history", f"manifest.v{v}.json")
             try:
                 with open(hpath, "r", encoding="utf-8") as fh:
