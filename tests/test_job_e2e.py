@@ -155,6 +155,55 @@ def test_quarantine_persisted(spark, tmp_path, log_dir):
     assert spark.read.parquet(qdir).count() == n_q
 
 
+def test_requeue_quarantine_after_schema_fix(spark, tmp_path, log_dir):
+    """Dead-letter replay: quarantine rows re-validate under a corrected
+    schema and merge exactly-once; the final state equals the golden replay
+    computed WITH the relaxed rule — recovery costs O(bad rows), not O(log).
+    (The reference's only recovery path is re-running the whole pipeline.)"""
+    from wprdc_etl_spark.schema import event_payload_schema
+    from wprdc_etl_spark.testgen import LANGS
+
+    table = ParquetSnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=8)
+    qdir = str(tmp_path / "quarantine")
+    job = (
+        IngestJob("rq", quarantine_dir=qdir)
+        .source(log_dir)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=3)
+
+    # "rule fix ships": klingon is a language now
+    relaxed = event_payload_schema(list(LANGS) + ["klingon"])
+    r1 = job.requeue_quarantine(spark, schema=relaxed)
+    assert sum(v["requeued"] for v in r1.values()) > 0  # klingon rows drained
+    assert sum(v["still_bad"] for v in r1.values()) > 0  # null-content stays
+
+    # final state == golden computed with the relaxed validity rule
+    con = duckdb.connect()
+    sql = golden_final_state_sql(
+        f"read_parquet('{log_dir}/*.parquet')", known_langs=tuple(LANGS) + ("klingon",)
+    )
+    relaxed_golden = {tuple(r) for r in con.execute(sql).fetchall()}
+    con.close()
+    assert engine_state(table) == relaxed_golden
+
+    # still-bad rows live on under a bumped generation; a second requeue with
+    # the same schema drains nothing and leaves state + quarantine unchanged
+    import os
+
+    names = sorted(os.listdir(qdir))
+    assert names and all(".g1" in n for n in names)
+    n_left = spark.read.parquet(qdir).count()
+    r2 = job.requeue_quarantine(spark, schema=relaxed)
+    assert sum(v["requeued"] for v in r2.values()) == 0
+    assert sum(v["still_bad"] for v in r2.values()) == n_left
+    assert engine_state(table) == relaxed_golden
+    assert spark.read.parquet(qdir).count() == n_left
+    assert all(".g2" in n for n in sorted(os.listdir(qdir)))
+
+
 def test_incomplete_pipeline_raises(spark):
     """A6 parity: Pipeline.enforce_full_pipeline → RuntimeError."""
     with pytest.raises(IncompletePipelineError):

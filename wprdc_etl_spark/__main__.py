@@ -35,7 +35,7 @@ def main() -> None:
     ap.add_argument("--mode",
                     choices=["stream", "batch", "compact", "rebucket", "changelog",
                              "export", "history", "rollback", "rollup", "optimize",
-                             "replicate", "tag", "drop-tag"],
+                             "replicate", "tag", "drop-tag", "requeue"],
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
@@ -58,6 +58,10 @@ def main() -> None:
                     help="export mode: emit live rows whose winning version's "
                          "sequence is >= this cutoff (incremental export on "
                          "the current snapshot; zone-map/manifest-stat pruned)")
+    ap.add_argument("--quarantine-dir", default=None,
+                    help="stream/batch: persist invalid rows (with per-field "
+                         "errors) here, one dir per batch; requeue mode: "
+                         "re-validate + merge them after a rule fix")
     ap.add_argument("--tag-name", default=None,
                     help="tag/drop-tag modes: the ref name (tagged versions "
                          "are exempt from snapshot expiration until dropped)")
@@ -65,6 +69,10 @@ def main() -> None:
                     help="rollup mode: comma-separated grouping columns")
     ap.add_argument("--target-rows-per-bucket", type=int, default=4_000_000,
                     help="optimize mode: rebucket sizing target")
+    ap.add_argument("--known-langs", default=None,
+                    help="requeue mode: comma-separated corrected lang "
+                         "vocabulary (the 'rule fix'); default: the builtin "
+                         "set, which re-quarantines everything unchanged")
     ap.add_argument("--envelope", choices=["debezium", "maxwell"], default=None,
                     help="stream/batch modes: the source is JSONL connector "
                          "change records, decoded via sources/envelopes.py")
@@ -90,8 +98,31 @@ def main() -> None:
             watermark_delay=args.watermark_delay,
             lateness=args.lateness,
             max_files_per_trigger=args.max_files_per_trigger,
+            quarantine_dir=args.quarantine_dir,
         )
     )
+    if args.mode == "requeue":
+        # dead-letter replay: re-validate quarantined rows (after a schema/
+        # rule fix ships) and merge the now-valid ones, exactly-once per
+        # original batch; still-bad rows stay quarantined
+        if not args.quarantine_dir:
+            ap.error("--quarantine-dir is required in requeue mode")
+        sch = IngestJob.default_payload_schema()
+        if args.known_langs:
+            from wprdc_etl_spark.schema import event_payload_schema
+
+            sch = event_payload_schema(
+                [x.strip() for x in args.known_langs.split(",") if x.strip()]
+            )
+        job = job.schema(sch).sink(table)
+        job._built = True  # requeue needs no source
+        r = job.requeue_quarantine(spark)
+        total_ok = sum(v["requeued"] for v in r.values())
+        total_bad = sum(v["still_bad"] for v in r.values())
+        print(f"requeue drained {total_ok} rows across {len(r)} batches; "
+              f"{total_bad} still quarantined")
+        spark.stop()
+        return
     if args.mode == "rollup":
         # continuous aggregate refresh: cron this after (or alongside) the
         # ingest job — each run is a no-op, an O(|changes|) incremental

@@ -325,6 +325,97 @@ class IngestJob:
         for view in self._rollups:
             view.refresh()
 
+    def requeue_quarantine(
+        self, spark: SparkSession, *, schema: BaseSchema | None = None
+    ) -> dict:
+        """Dead-letter replay: re-validate the persisted quarantine rows
+        under ``schema`` (default: the job's schema — pass a corrected or
+        relaxed one after a rule fix) and merge the now-valid rows into the
+        sink. The reference's recovery story is "fix the data, re-run the
+        whole pipeline" (wprdc-etl keeps failed rows nowhere); here the
+        quarantine IS the replay source, so recovery costs O(bad rows), not
+        O(log).
+
+        Exactly-once, multi-round. Each quarantine dir carries a
+        *generation* suffix (``batch_id=7`` is gen 0; after a partial drain
+        it is rewritten as ``batch_id=7.g1``, then ``.g2``, ...). A
+        generation's merge commits under job ``<name>:requeue:g<gen>`` with
+        the ORIGINAL batch_id, and the generation only advances when the
+        post-merge rewrite of the dir succeeds — so a crash between the
+        merge and the rewrite re-reads the same generation, the sink guard
+        skips the duplicate merge, and the rewrite completes. A LATER
+        requeue (after a further schema fix) sees the bumped generation and
+        merges under a fresh guard key, so still-bad rows are never
+        stranded. (Contract: retry a *crashed* requeue with the same schema
+        — the skipped merge committed that generation's valid set, so the
+        rewrite keeps only its still-bad rows.) Batches drain in ascending
+        numeric batch_id order, matching the sink's monotone per-job guard.
+        Requeued rows are SAFE regardless of how late they arrive: the
+        sequence-aware LWW merge can never regress a key the table has
+        since superseded.
+
+        Returns ``{batch_id: {"requeued": n, "still_bad": n}}``.
+        """
+        import os
+        import re
+        import shutil
+        import uuid
+
+        self._require_built()
+        assert self._sink is not None and self._payload_schema is not None
+        if self.quarantine_dir is None:
+            raise InvalidConfigException(
+                "requeue_quarantine needs the job built with quarantine_dir"
+            )
+        sch = schema or self._payload_schema
+        out: dict = {}
+        if not os.path.isdir(self.quarantine_dir):
+            return out
+        dirs: list[tuple[int, int, str]] = []  # (bid, gen, dirname)
+        for name in os.listdir(self.quarantine_dir):
+            m = re.fullmatch(r"batch_id=(\d+)(?:\.g(\d+))?", name)
+            if m:
+                dirs.append((int(m.group(1)), int(m.group(2) or 0), name))
+        for bid, gen, name in sorted(dirs):
+            d = os.path.join(self.quarantine_dir, name)
+            applied = sch.apply(spark.read.parquet(d).drop("_errors"))
+            row_ok = (F.size(F.col("_errors")) == 0) & ~(
+                (F.col("op") != "D") & F.col("content").isNull()
+            )
+            applied = applied.persist()
+            try:
+                valid = applied.where(row_ok).drop("_errors")
+                bad = applied.where(~row_ok).withColumn(
+                    "_errors", F.concat_ws("; ", F.col("_errors"))
+                )
+                n_ok = valid.count()
+                n_bad = bad.count()
+                if self.compute_content_sha:
+                    valid = with_content_sha(valid)
+                self._sink.merge(
+                    valid,
+                    job=f"{self.name}:requeue:g{gen}",
+                    batch_id=bid,
+                    counts=LineageCounts(extra={"requeued": n_ok, "still_bad": n_bad}),
+                )
+                if n_bad:
+                    # never overwrite a dir Spark is lazily reading from:
+                    # write aside, then swap under the NEXT generation's name
+                    tmp = os.path.join(
+                        self.quarantine_dir, f".requeue_tmp_{uuid.uuid4().hex}"
+                    )
+                    bad.write.mode("overwrite").parquet(tmp)
+                    shutil.rmtree(d, ignore_errors=True)
+                    os.rename(tmp, os.path.join(
+                        self.quarantine_dir, f"batch_id={bid}.g{gen + 1}"
+                    ))
+                else:
+                    shutil.rmtree(d, ignore_errors=True)
+            finally:
+                applied.unpersist()
+            out[bid] = {"requeued": int(n_ok), "still_bad": int(n_bad)}
+        return out
+
     # ---- batch replay (B13 replay windows) ---------------------------------
 
     def run_batch(
