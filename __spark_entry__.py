@@ -906,6 +906,30 @@ def _q_documents_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(dropped, "doc_id", "left_anti").select("doc_id", "source")
 
 
+def _q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE dup clusters — the stage after verified pairs: hash-min
+    connected components over the LSH→Jaccard pair graph
+    (functions/graph.py: one keyed shuffle per round, rounds = graph
+    diameter ≈ 2-3 on dup clusters, labels localCheckpoint-ed so the
+    iterative plan stays flat). Every doc gets (component, is_canonical);
+    canonical = the cluster's min doc_id. Oracle: the identical pair chain
+    + a recursive CTE computing min-reachable-id per vertex."""
+    from wprdc_etl_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from wprdc_etl_spark.functions.graph import dedup_clusters
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, n_hashes=32, shingle_k=5, hash_fn="sha2")
+    cands = lsh_candidate_pairs(sigs, n_bands=8, est_threshold=0.3)
+    verified = ngram_jaccard_pairs(
+        docs, n=2, threshold=0.3, candidates=cands.select("id_a", "id_b")
+    )
+    return dedup_clusters(docs, verified.select("id_a", "id_b"))
+
+
 def _q_sales_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-schema relational analytics over the driver's TPC-H-ish tables:
     1996 order revenue per ASIA nation. Dims (nation, region) are explicitly
@@ -1172,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _q_events_pivot,
         "sales_rollup": _q_sales_rollup,
         "documents_near_dedup": _q_documents_near_dedup,
+        "doc_dedup_clusters": _q_doc_dedup_clusters,
         "sales_by_nation": _q_sales_by_nation,
         "lineitem_pricing": _q_lineitem_pricing,
         "documents_fingerprint": _q_documents_fingerprint,
@@ -1568,6 +1593,46 @@ toks AS (
 )
 SELECT d.doc_id, d.source FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+""",
+        # same verified-pair chain as documents_near_dedup, then transitive
+        # closure: WITH RECURSIVE reach = every (vertex, reachable-id) pair,
+        # component = min reachable id (the hash-min fixpoint, exactly)
+        "doc_dedup_clusters": f"""
+WITH RECURSIVE cand AS ({_dedup_sql.lsh_pairs_sql(n_hashes=32, shingle_k=5, n_bands=8, est_threshold=0.3)}),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), ng AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN ng a ON a.doc_id = c.id_a
+  JOIN ng b ON b.doc_id = c.id_b AND b.g = a.g
+  GROUP BY c.id_a, c.id_b
+), verified AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(i / (sa.n + sb.n - i), 4) >= 0.3
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM verified
+  UNION
+  SELECT id_b, id_a FROM verified
+), reach(v, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.v
+), comp AS (
+  SELECT v, min(r) AS component FROM reach GROUP BY v
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       (coalesce(c.component, d.doc_id) = d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
 """,
         "sales_by_nation": """
 SELECT n_name, count(*) AS n_orders,

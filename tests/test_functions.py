@@ -464,3 +464,57 @@ def test_pack_shards_sql_twin_matches(spark, tmp_path):
         ).fetchall()
     )
     assert spark_out == duck_out
+
+
+# ---- connected components (functions/graph.py) ---------------------------
+
+
+def test_connected_components_transitive(spark):
+    """Chains must close transitively: a~b, b~c (no a~c edge) is ONE
+    component labelled by its min id — the case the per-pair drop policy
+    can't express."""
+    from wprdc_etl_spark.functions.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 11)], ["id_a", "id_b"]
+    )
+    got = {(r["v"], r["component"]) for r in connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
+
+
+def test_connected_components_partition_invariant(spark):
+    """Component naming is min-reachable-id: deterministic under any input
+    partitioning/order."""
+    from wprdc_etl_spark.functions.graph import connected_components
+
+    edges = [(i, i + 1) for i in range(0, 40, 2)] + [(5, 7), (7, 9), (20, 24)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    a = {(r["v"], r["component"]) for r in connected_components(pairs).collect()}
+    b = {
+        (r["v"], r["component"])
+        for r in connected_components(pairs.repartition(7, "id_b")).collect()
+    }
+    assert a == b
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from wprdc_etl_spark.functions.graph import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(6)], ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(chain, max_iters=2)
+
+
+def test_dedup_clusters_singletons_and_canonicals(spark):
+    from wprdc_etl_spark.functions.graph import dedup_clusters
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(6)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], ["id_a", "id_b"])
+    got = {
+        (r["doc_id"], r["component"], r["is_canonical"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {
+        (0, 0, True), (3, 0, False), (5, 0, False),
+        (1, 1, True), (2, 2, True), (4, 4, True),
+    }

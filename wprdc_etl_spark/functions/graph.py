@@ -1,0 +1,120 @@
+"""Distributed connected components — the missing last stage of near-dedup.
+
+LSH/Jaccard stages end at verified PAIRS; a training-data pipeline must then
+group pairs into transitive duplicate CLUSTERS and keep one canonical doc per
+cluster (the per-pair "drop the larger id" policy under-deletes on chains:
+a~b, b~c but not a~c keeps b out but also keeps c, whose canonical a is two
+hops away). The reference has no graph stage at all (wprdc-etl upserts rows
+independently); this is one of the engine's beyond-reference LLM-pipeline
+operators (SURVEY §2 extension table).
+
+Algorithm: iterative hash-min label propagation — every vertex starts with
+its own id as label, each round takes the min label over itself and its
+neighbors, converging in O(graph diameter) rounds. Spark shape per round:
+ONE keyed shuffle (edges ⋈ labels on src, then a min hash-aggregate on dst);
+edges are symmetrized once and cached; labels are ``localCheckpoint``-ed
+each round so the iterative plan's lineage doesn't grow (classic iterative-
+algorithm trap: without truncation round k replans rounds 1..k−1).
+
+100-TB shape: near-dup graphs are unions of near-cliques (every member of a
+dup cluster shares bands with most others), so diameter ≈ 2-3 and the loop
+runs 3-4 rounds of edge-count-sized shuffles. For adversarial high-diameter
+graphs (long chains) the large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SOCC'14) halves path lengths
+per round (O(log d) rounds) — hash-min is chosen here because dedup graphs
+make its round count constant in practice and each round is one shuffle
+cheaper. On a real cluster pass ``use_local_checkpoint=False`` +
+``spark.sparkContext.setCheckpointDir(...)`` so label state survives
+executor loss (localCheckpoint pins to executor storage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iters: int = 25,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """→ one row per vertex appearing in ``pairs``: ``(v, component)`` where
+    ``component`` is the MINIMUM vertex id reachable from ``v`` (so each
+    component is named by its smallest member — deterministic under any
+    partitioning / input order).
+
+    Raises ``ValueError`` if labels haven't converged after ``max_iters``
+    rounds (diameter > max_iters — not a dedup-shaped graph).
+    """
+    e = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    e = e.persist()
+    try:
+        labels = (
+            e.select(F.col("s").alias("v")).distinct().withColumn("lbl", F.col("v"))
+        )
+        labels = (
+            labels.localCheckpoint(eager=True) if use_local_checkpoint
+            else labels.checkpoint(eager=True)
+        )
+        for _ in range(max_iters):
+            prop = (
+                e.join(labels.withColumnRenamed("v", "s"), "s")
+                .select(F.col("d").alias("v"), "lbl")
+            )
+            new_labels = (
+                labels.union(prop).groupBy("v").agg(F.min("lbl").alias("lbl"))
+            )
+            new_labels = (
+                new_labels.localCheckpoint(eager=True) if use_local_checkpoint
+                else new_labels.checkpoint(eager=True)
+            )
+            # convergence probe: any vertex whose label still moved? limit(1)
+            # lets Spark stop at the first witness instead of counting all.
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "v")
+                .where(F.col("n.lbl") != F.col("o.lbl"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels.select(F.col("v"), F.col("lbl").alias("component"))
+        raise ValueError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"(graph diameter exceeds max_iters; raise it or use a "
+            f"star-contraction algorithm for chain-shaped graphs)"
+        )
+    finally:
+        e.unpersist()
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Assign every document its duplicate-cluster id and canonical flag:
+    ``(id_col, component, is_canonical)``. Docs in no verified pair are
+    their own singleton component. The canonical member is the cluster's
+    smallest id — the keep-policy used by large-scale dedup pipelines
+    (deterministic, join-free to apply downstream: filter is_canonical).
+    """
+    cc = connected_components(pairs, src, dst)
+    comp = F.coalesce(F.col("component"), F.col(id_col))
+    return (
+        docs.join(cc, docs[id_col] == cc["v"], "left")
+        .select(
+            F.col(id_col),
+            comp.alias("component"),
+            (comp == F.col(id_col)).alias("is_canonical"),
+        )
+    )
