@@ -449,6 +449,53 @@ def _q_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("repo", "path", "commit", "lang", "content_sha")
 
 
+def _q_cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level predicate DELETE (plans/lake.py::delete_where) — the
+    compliance-delete path: replay the log, then ``DELETE WHERE lang='go'``.
+    The verb compiles the predicate to key-only 'D' tombstones one sequence
+    past the committed max and feeds the ordinary merge, so only buckets
+    holding matches are rewritten and the delete is exactly-once, time-
+    travelable and changelog-visible. Oracle: golden replay minus the
+    predicate's rows."""
+    label = _sf_label(sf_dir)
+    target = os.path.join(FIXTURES, "_targets", f"{label}_delwhere")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16)
+    job = (
+        IngestJob(f"delwhere-{label}")
+        .source(_fixture_log(spark, sf_dir))
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=1)
+    table.delete_where(F.col("lang") == "go")
+    return table.read().select("repo", "path", "commit", "lang", "content_sha")
+
+
+def _q_cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level predicate UPDATE (plans/lake.py::update_where) — backfill
+    correction: replay, then ``UPDATE SET lang='golang' WHERE lang='go'``.
+    Only matching rows ride the batch (late-materialized like any merge);
+    key/bucket columns are unassignable (re-routing guard). content_sha is
+    untouched, so the oracle's per-row sha equality still binds every other
+    column. Oracle: golden replay with the CASE-mapped lang."""
+    label = _sf_label(sf_dir)
+    target = os.path.join(FIXTURES, "_targets", f"{label}_updwhere")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16)
+    job = (
+        IngestJob(f"updwhere-{label}")
+        .source(_fixture_log(spark, sf_dir))
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=1)
+    table.update_where(F.col("lang") == "go", {"lang": F.lit("golang")})
+    return table.read().select("repo", "path", "commit", "lang", "content_sha")
+
+
 def _q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9 — two-phase replay with additive evolution: phase 1 merges WITHOUT
     the ``license`` column (the files on disk genuinely lack it), phase 2
@@ -1120,6 +1167,29 @@ def _q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, n_bands=8, est_threshold=0.3)
 
 
+def _q_doc_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup (functions/neardup_index.py::NearDupIndex — the
+    CDC × dedup synthesis): the corpus arrives in two batches; each add()
+    merges the batch's LSH band rows into a persisted index table bucketed
+    by (band, band_hash) and probes ONLY the buckets the batch's bands
+    route to (driver-side pruning, lookup()-style). The union of the two
+    batches' new-pair outputs must equal the full-batch LSH pair set
+    EXACTLY — the oracle is doc_minhash_pairs' own SQL twin, unchanged."""
+    from wprdc_etl_spark.functions.neardup_index import NearDupIndex
+
+    docs = _docs(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    root = os.path.join(FIXTURES, "_targets", f"{label}_ndidx")
+    shutil.rmtree(root, ignore_errors=True)
+    idx = NearDupIndex(
+        spark, root, n_hashes=32, shingle_k=5, n_bands=8,
+        hash_fn="sha2", est_threshold=0.3, n_buckets=8,
+    )
+    p0 = idx.add(docs.where(F.col("doc_id") % 2 == 0), batch_id=0)
+    p1 = idx.add(docs.where(F.col("doc_id") % 2 == 1), batch_id=1)
+    return p0.unionByName(p1)
+
+
 def _q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints, oracle-parity variant (sha2 leaf, 60 bits)."""
     from wprdc_etl_spark.functions.dedup import simhash
@@ -1169,6 +1239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_fingerprint": _q_cdc_fingerprint,
         "cdc_op_stats": _q_cdc_op_stats,
         "cdc_hot_repo_profile": _q_cdc_hot_repo_profile,
+        "cdc_delete_where": _q_cdc_delete_where,
+        "cdc_update_where": _q_cdc_update_where,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_type_widening": _q_cdc_type_widening,
         "cdc_time_travel": _q_cdc_time_travel,
@@ -1210,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_topk": _q_emb_ann_topk,
         "emb_near_dup": _q_emb_near_dup,
         "doc_minhash_pairs": _q_doc_minhash_pairs,
+        "doc_incremental_near_dup": _q_doc_incremental_near_dup,
         "doc_simhash": _q_doc_simhash,
         "doc_rolling_fp": _q_doc_rolling_fp,
         "media_features": _q_media_features,
@@ -1747,6 +1820,22 @@ SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <=
     out["emb_ann_topk"] = out["emb_cosine_topk"]
     # key-sharded logs unioned must replay to the single-log golden state
     out["cdc_multi_log"] = out["cdc_final_state"]
+    # DML twins: the golden replay with the predicate applied relationally —
+    # DELETE drops its rows, UPDATE CASE-maps the assigned column
+    out["cdc_delete_where"] = out["cdc_final_state"].replace(
+        "FROM latest WHERE op <> 'D'",
+        "FROM latest WHERE op <> 'D' AND lang <> 'go'",
+    )
+    out["cdc_update_where"] = out["cdc_final_state"].replace(
+        "SELECT repo, path, commit, lang, sha256(content) AS content_sha",
+        "SELECT repo, path, commit, "
+        "CASE WHEN lang = 'go' THEN 'golang' ELSE lang END AS lang, "
+        "sha256(content) AS content_sha",
+    )
+    assert out["cdc_delete_where"] != out["cdc_final_state"]  # replace() anchored
+    assert out["cdc_update_where"] != out["cdc_final_state"]
+    # incremental-index pairs must equal the batch LSH pair set exactly
+    out["doc_incremental_near_dup"] = out["doc_minhash_pairs"]
     # bootstrap + incremental changelog replication must land the replica on
     # the source's golden final state (exactly-once per source version)
     out["cdc_replicate"] = out["cdc_final_state"]

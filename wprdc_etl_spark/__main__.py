@@ -35,7 +35,8 @@ def main() -> None:
     ap.add_argument("--mode",
                     choices=["stream", "batch", "compact", "rebucket", "changelog",
                              "export", "history", "rollback", "rollup", "optimize",
-                             "replicate", "tag", "drop-tag", "requeue"],
+                             "replicate", "tag", "drop-tag", "requeue",
+                             "delete", "update"],
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
@@ -73,6 +74,12 @@ def main() -> None:
                     help="requeue mode: comma-separated corrected lang "
                          "vocabulary (the 'rule fix'); default: the builtin "
                          "set, which re-quarantines everything unchanged")
+    ap.add_argument("--where", default=None,
+                    help="delete/update modes: SQL predicate over the table "
+                         "columns (e.g. \"repo = 'org/forgotten'\")")
+    ap.add_argument("--set", action="append", default=None, metavar="COL=EXPR",
+                    help="update mode: column assignment as a SQL expression "
+                         "(repeatable); key/bucket columns are rejected")
     ap.add_argument("--envelope", choices=["debezium", "maxwell"], default=None,
                     help="stream/batch modes: the source is JSONL connector "
                          "change records, decoded via sources/envelopes.py")
@@ -197,6 +204,37 @@ def main() -> None:
         else:
             v = table.rollback(args.to_version)
             print(f"restored version {args.to_version} as new version {v}")
+        spark.stop()
+        return
+    if args.mode in ("delete", "update"):
+        # row-level DML: compliance deletes / backfill corrections, routed
+        # through the merge machinery (exactly-once, bucket-pruned rewrite,
+        # time travel + changelog visibility) — see plans/lake.py DML verbs
+        if not args.where:
+            ap.error("--where is required in delete/update modes")
+        if args.mode == "update" and not args.set:
+            ap.error("--set COL=EXPR is required in update mode")
+        sets = None
+        if args.set:
+            sets = {}
+            for s in args.set:
+                if "=" not in s:
+                    ap.error(f"--set expects COL=EXPR, got {s!r}")
+                c, e = s.split("=", 1)
+                sets[c.strip()] = e.strip()
+        if args.sink == "iceberg":
+            if args.mode == "delete":
+                table.delete_where(args.where)
+                print(f"tombstoned rows matching {args.where!r}")
+            else:
+                table.update_where(sets, args.where)
+                print(f"updated rows matching {args.where!r}")
+        elif args.mode == "delete":
+            r = table.delete_where(args.where)
+            print(f"delete committed version {r.version}")
+        else:
+            r = table.update_where(args.where, sets)
+            print(f"update committed version {r.version}")
         spark.stop()
         return
     if args.mode == "export":

@@ -122,22 +122,16 @@ def minhash_signatures(
     return tmp.select(F.col(id_col), sig.alias("signature"))
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame,
-    id_col: str = "doc_id",
-    *,
-    n_bands: int = 16,
-    est_threshold: float | None = None,
+def band_rows(
+    sigs: DataFrame, id_col: str = "doc_id", *, n_bands: int = 16,
+    keep_signature: bool = True,
 ) -> DataFrame:
-    """Band the signatures, bucket-join, emit candidate pairs (a < b) with the
-    signature-estimated Jaccard. With r rows per band the candidate curve is
-    the classic (1 - (1 - j^r)^b).
-
-    Scale shape: explode to n_bands rows per doc, groupBy (band, hash) — a
-    single shuffle keyed by band hash; buckets are tiny unless docs really
-    collide. Self-join happens within buckets only.
-    """
-    banded = sigs.select(
+    """Explode signatures to their LSH band rows — ``(id, band:int,
+    band_hash:long[, signature])``, n_bands rows per doc. The shared
+    banding leaf of ``lsh_candidate_pairs`` (batch self-join) and
+    ``NearDupIndex`` (persisted incremental index): both must hash bands
+    identically or incremental candidates would diverge from batch ones."""
+    out = sigs.select(
         F.col(id_col),
         F.col("signature"),
         F.posexplode(
@@ -160,6 +154,35 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    return out if keep_signature else out.drop("signature")
+
+
+def sig_est_jaccard(sa: Column, sb: Column) -> Column:
+    """Signature-estimated Jaccard: matching positions / n_hashes, rounded
+    the way every pair emitter here rounds (stable across batch/incremental)."""
+    return F.round(
+        F.size(F.filter(F.zip_with(sa, sb, lambda a, b: a == b), lambda x: x))
+        / F.size(sa),
+        4,
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    n_bands: int = 16,
+    est_threshold: float | None = None,
+) -> DataFrame:
+    """Band the signatures, bucket-join, emit candidate pairs (a < b) with the
+    signature-estimated Jaccard. With r rows per band the candidate curve is
+    the classic (1 - (1 - j^r)^b).
+
+    Scale shape: explode to n_bands rows per doc, groupBy (band, hash) — a
+    single shuffle keyed by band hash; buckets are tiny unless docs really
+    collide. Self-join happens within buckets only.
+    """
+    banded = band_rows(sigs, id_col, n_bands=n_bands)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -179,11 +202,10 @@ def lsh_candidate_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = (
-        F.size(F.filter(F.zip_with("_sa", "_sb", lambda a, b: a == b), lambda x: x))
-        / F.size("_sa")
-    ).alias("est_jaccard")
-    out = pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+    out = pairs.select(
+        "id_a", "id_b",
+        sig_est_jaccard(F.col("_sa"), F.col("_sb")).alias("est_jaccard"),
+    )
     if est_threshold is not None:
         out = out.where(F.col("est_jaccard") >= est_threshold)
     return out

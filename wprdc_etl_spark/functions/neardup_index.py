@@ -1,0 +1,195 @@
+"""Incremental near-duplicate detection — the CDC × dedup synthesis.
+
+Batch LSH (``lsh_candidate_pairs``) recomputes every band bucket from
+scratch; a 100-TB training-data pipeline ingesting documents continuously
+cannot re-shingle the corpus per batch. ``NearDupIndex`` persists the LSH
+band rows as a bucketed snapshot table and turns near-dup detection into an
+INCREMENTAL operation: each ``add(batch)`` merges the batch's band rows into
+the index (exactly-once, via the ordinary merge guard) and returns only the
+NEW candidate pairs — batch-internal ones plus batch-vs-corpus ones.
+
+Invariant (oracle-gated by ``doc_incremental_near_dup``): for any split of a
+corpus into batches, the union of ``add()`` outputs equals
+``lsh_candidate_pairs`` over the whole corpus, exactly — every pair is
+emitted exactly once, in the batch where its later member arrives.
+
+Scale shape:
+
+- The index table is keyed ``(band, band_hash, doc_id)`` and BUCKETED by
+  ``(band, band_hash)`` — the same xxhash64 routing the merge uses — so a
+  batch's probe touches only the buckets its band hashes route to. The
+  bucket set is computed with one tiny Spark aggregate over the batch's
+  band rows (≤ n_buckets ids collected, never data rows) and the index read
+  prunes to those dirs driver-side (``ParquetSnapshotTable.read_pruned``).
+  A trickle batch against a 4096-bucket corpus index reads a handful of
+  dirs, not the corpus.
+- Signatures ride the band rows (n_bands copies of n_hashes longs — a few
+  hundred bytes, orders below the documents they index) so the
+  est-Jaccard filter needs no extra join back to a signature table.
+- The probe join is (batch band rows) ⋈ (pruned index): Spark broadcasts
+  the small batch side under AQE; the corpus side streams.
+
+Deletions compose with the DML verbs: ``remove_where`` tombstones index
+rows through ``delete_where``, so forgotten documents stop matching without
+any index rebuild.
+
+Reference parity: none — wprdc-etl has no similarity machinery (SURVEY §2
+extension table); this is one of the engine's beyond-reference LLM-pipeline
+operators, wedding its own lake sink to its own dedup functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wprdc_etl_spark.functions.dedup import (
+    band_rows,
+    minhash_signatures,
+    sig_est_jaccard,
+)
+from wprdc_etl_spark.plans.lake import ParquetSnapshotTable, bucket_of
+
+
+class NearDupIndex:
+    """Persistent, incrementally-maintained LSH band index.
+
+    ``hash_fn='sha2'`` selects the oracle-parity leaf hash (DuckDB twin:
+    ``lsh_pairs_sql`` with identical parameters); the default ``xxhash64``
+    is the production leaf.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        *,
+        n_hashes: int = 32,
+        shingle_k: int = 5,
+        n_bands: int = 8,
+        hash_fn: str = "xxhash64",
+        seed: int = 42,
+        n_buckets: int = 16,
+        est_threshold: float | None = None,
+        retain_history: int = 2,
+    ) -> None:
+        self.spark = spark
+        self.n_hashes = n_hashes
+        self.shingle_k = shingle_k
+        self.n_bands = n_bands
+        self.hash_fn = hash_fn
+        self.seed = seed
+        self.est_threshold = est_threshold
+        # retain_history >= 1: a pairs DataFrame returned by add() holds a
+        # plan over the CURRENT index version's dirs; the next add() commits
+        # a new version, and a zero-retention GC would delete the dirs under
+        # that still-unconsumed plan. Two versions of slack let callers
+        # pipeline add -> add -> consume (the driver query does exactly that).
+        self.table = ParquetSnapshotTable(
+            spark,
+            root,
+            keys=["band", "band_hash", "doc_id"],
+            bucket_keys=["band", "band_hash"],
+            n_buckets=n_buckets,
+            retain_history=max(1, retain_history),
+        )
+
+    SCHEMA = T.StructType(
+        [
+            T.StructField("band", T.IntegerType()),
+            T.StructField("band_hash", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("signature", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _bands_of(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        sigs = minhash_signatures(
+            docs,
+            text_col,
+            id_col,
+            n_hashes=self.n_hashes,
+            shingle_k=self.shingle_k,
+            seed=self.seed,
+            hash_fn=self.hash_fn,
+        )
+        return band_rows(sigs, id_col, n_bands=self.n_bands).withColumnRenamed(
+            id_col, "doc_id"
+        )
+
+    def add(
+        self,
+        docs: DataFrame,
+        *,
+        batch_id: int,
+        job: str = "neardup",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Index a batch; return its NEW candidate pairs
+        ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b``.
+
+        Exactly-once per ``(job, batch_id)``: the merge guard skips a
+        redelivered batch's index mutation, and the probe — which runs
+        against the post-merge index either way — returns the identical
+        pair set, so crash-retry consumers reconverge.
+        """
+        if not self.table.exists():
+            self.table.ensure(self.SCHEMA)
+        bands = self._bands_of(docs, id_col, text_col)
+        self.table.merge(
+            bands.withColumn("op", F.lit("I")).withColumn(
+                "event_sequence", F.lit(int(batch_id)).cast("long")
+            ),
+            job=job,
+            batch_id=batch_id,
+        )
+        # ---- probe: batch bands vs the updated index, bucket-pruned ------
+        man = self.table._require_manifest()
+        hit = (
+            bands.select(
+                bucket_of(man["n_buckets"], ["band", "band_hash"]).alias("_b")
+            )
+            .distinct()
+            .collect()
+        )  # <= n_buckets rows — the only thing collected
+        index = self.table.read_pruned([r["_b"] for r in hit])
+        b = bands.alias("b")
+        i = index.alias("i")
+        pairs = (
+            b.join(
+                i,
+                on=[
+                    F.col("b.band") == F.col("i.band"),
+                    F.col("b.band_hash") == F.col("i.band_hash"),
+                    F.col("b.doc_id") != F.col("i.doc_id"),
+                ],
+            )
+            .select(
+                F.least("b.doc_id", "i.doc_id").alias("id_a"),
+                F.greatest("b.doc_id", "i.doc_id").alias("id_b"),
+                F.col("b.signature").alias("_sa"),
+                F.col("i.signature").alias("_sb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+            .select(
+                "id_a", "id_b",
+                sig_est_jaccard(F.col("_sa"), F.col("_sb")).alias("est_jaccard"),
+            )
+        )
+        if self.est_threshold is not None:
+            pairs = pairs.where(F.col("est_jaccard") >= self.est_threshold)
+        return pairs
+
+    def remove_where(self, predicate) -> None:
+        """Forget documents (compliance path): tombstone their band rows via
+        the DML verb — no rebuild, forgotten docs stop matching immediately.
+        The predicate sees the index schema (band, band_hash, doc_id,
+        signature); the common call is ``F.col('doc_id').isin(...)``."""
+        self.table.delete_where(predicate)
+
+    def indexed_count(self) -> int:
+        """Distinct documents currently indexed (an O(index) aggregate —
+        diagnostics, not a hot-path call)."""
+        return self.table.read().select("doc_id").distinct().count()

@@ -241,6 +241,36 @@ def write_mode_sql(table: str, mode: str) -> str:
     )
 
 
+def delete_where_sql(table: str, predicate: str, seq: int) -> str:
+    """delete_where analog. NOT a bare ``DELETE FROM``: the engine's rows
+    carry (_seq, _op) and a physical delete would forget the key entirely —
+    a late log straggler (lower sequence) would then re-insert it through
+    the NOT MATCHED arm. Writing a TOMBSTONE (_op='D' at one sequence past
+    the committed max) keeps LWW protection, exactly like the parquet
+    sink's delete_where; read()/read_tag() already filter _op <> 'D'."""
+    return (
+        f"UPDATE {table} SET _op = 'D', _seq = {int(seq)} "
+        f"WHERE ({predicate}) AND _op <> 'D'"
+    )
+
+
+def update_where_sql(table: str, assignments: dict, predicate: str, seq: int) -> str:
+    """update_where analog: assign the requested columns and restamp the row
+    at one sequence past the committed max so the update outranks every
+    stored version (and loses to any later log event, same total order)."""
+    sets = ", ".join(f"{c} = {e}" for c, e in assignments.items())
+    return (
+        f"UPDATE {table} SET {sets}, _seq = {int(seq)}, _op = 'U' "
+        f"WHERE ({predicate}) AND _op <> 'D'"
+    )
+
+
+def next_seq_sql(table: str) -> str:
+    """Driver-side next-sequence probe for the DML verbs (parquet-stats-
+    backed max aggregate; no shuffle)."""
+    return f"SELECT coalesce(max(_seq), -1) + 1 AS next_seq FROM {table}"
+
+
 def merge_sql(table: str, keys: list[str], batch_cols: list[str], table_cols: list[str]) -> str:
     """The sequence-aware LWW MERGE.
 
@@ -383,6 +413,27 @@ class IcebergTable(LakeTable):
         if retain_last < 1:
             raise SinkCommitError(f"retain_last must be >= 1, got {retain_last}")
         self.spark.sql(expire_snapshots_sql(self.table, retain_last))
+
+    # ---- row-level DML verbs (ParquetSnapshotTable.delete_where/update_where
+    # drop-ins; see delete_where_sql for why these tombstone, not DELETE) ----
+
+    def _next_seq(self) -> int:
+        return int(
+            self.spark.sql(next_seq_sql(self.table)).collect()[0]["next_seq"]
+        )
+
+    def delete_where(self, predicate: str) -> None:
+        self.spark.sql(delete_where_sql(self.table, predicate, self._next_seq()))
+
+    def update_where(self, assignments: dict, predicate: str) -> None:
+        bad = [c for c in assignments if c in self.keys or c.startswith("_")]
+        if bad:
+            raise SinkCommitError(
+                f"update_where cannot assign key/internal columns {bad}"
+            )
+        self.spark.sql(
+            update_where_sql(self.table, assignments, predicate, self._next_seq())
+        )
 
     def rebucket(self, old_n_buckets: int, new_n_buckets: int) -> None:
         """Partition-spec evolution: new writes use the new bucket count;

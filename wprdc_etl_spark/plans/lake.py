@@ -901,6 +901,20 @@ class ParquetSnapshotTable(LakeTable):
         man = self._manifest_at(version)
         return self._resolved(man).where(F.col("_op") != "D").drop(*INTERNAL_COLS)
 
+    def read_pruned(self, buckets: list[int], version: int | None = None) -> DataFrame:
+        """Table state restricted to the given bucket ids — the set-valued
+        sibling of ``lookup()``: callers that already know which buckets
+        their keys hash into (e.g. an incremental probe joining a small
+        batch against a huge index) read ONLY those dirs, driver-side, no
+        Spark job to plan the pruning. Unknown bucket ids are ignored
+        (a rebucket may have changed the layout under the caller)."""
+        man = self._manifest_at(version)
+        return (
+            self._resolved(man, [int(b) for b in buckets])
+            .where(F.col("_op") != "D")
+            .drop(*INTERNAL_COLS)
+        )
+
     def _zone_survivors(self, man: dict, since_seq: int) -> list[int]:
         """Buckets that can contain a live row with _seq >= since_seq, by the
         manifest zone maps (driver-side, no Spark job). A bucket whose
@@ -1006,6 +1020,81 @@ class ParquetSnapshotTable(LakeTable):
             common = [c for c in b_full.columns if c in a_full.columns and c not in self.keys]
             compare_cols = ["content_sha"] if "content_sha" in common else common
         return diff_states(a_full, b_full, self.keys, compare_cols)
+
+    # ---- row-level DML verbs (Iceberg DELETE/UPDATE ... WHERE analogs) ----
+    #
+    # The reference's only row-level mutations arrive as upsert rows
+    # (CKANDatastoreLoader method='upsert'); a lake table also needs
+    # PREDICATE mutations — compliance deletes ("forget every row of repo X")
+    # and backfill corrections — without synthesizing a change log by hand.
+    # Both verbs compile the predicate to a tombstone/update batch and feed
+    # the ordinary merge, so they inherit every merge property for free:
+    # exactly-once batch guard, bucket-pruned rewrite (only buckets holding
+    # matches are touched — COW rewrites them, MOR appends deltas), time
+    # travel, changelog visibility, lineage, and CAS-protected commit.
+    #
+    # Sequencing: DML rows are stamped `event_sequence = _next_seq()`, one
+    # past everything committed, entering the SAME total order as the change
+    # log (Iceberg's serializable snapshot semantics, expressed in log
+    # coordinates). A log replay resumed PAST a DML commit must carry higher
+    # sequences to override it — same rule as any out-of-order CDC event.
+
+    def _next_seq(self, man: dict) -> int:
+        """Smallest sequence strictly above every committed row, from the
+        manifest zone maps alone (driver-side, no Spark job). Zones are
+        conservative — never narrower than the rows actually present — so
+        ``max(zone hi) + 1`` outranks every stored version."""
+        zones = man.get("bucket_zones", {})
+        hi = max((int(z[1]) for z in zones.values() if z), default=-1)
+        return hi + 1
+
+    def delete_where(self, predicate, *, job: str = "__dml__") -> MergeResult:
+        """``DELETE FROM table WHERE predicate`` — resolve the current state,
+        keep only the KEY columns of matching rows (narrow: payload bytes
+        never enter the delete batch), and merge them as 'D' tombstones one
+        sequence past the committed max. Buckets with no matches are
+        untouched; a key-column predicate additionally pushes down into the
+        bucket scan."""
+        man = self._require_manifest()
+        seq = self._next_seq(man)
+        matches = self.read().where(predicate).select(*self.keys)
+        batch = matches.withColumn("op", F.lit("D")).withColumn(
+            "event_sequence", F.lit(seq).cast("long")
+        )
+        last = self.last_committed_batch(job)
+        return self.merge(batch, job=job, batch_id=0 if last is None else last + 1)
+
+    def update_where(self, predicate, assignments: dict, *, job: str = "__dml__") -> MergeResult:
+        """``UPDATE table SET col = expr WHERE predicate``. ``assignments``
+        maps column name → Column (or SQL-string) expression evaluated
+        against the matching row. Key/bucket columns cannot be assigned —
+        bucket routing hashes their values, so changing one is a
+        delete+insert, not an update (same rule merge enforces for type
+        changes). Only matching rows ride the batch; the merge late-
+        materializes and rewrites only their buckets."""
+        man = self._require_manifest()
+        bad = [c for c in assignments
+               if c in set(self.keys) | set(man.get("bucket_keys", self.bucket_keys))]
+        if bad:
+            raise SinkCommitError(
+                f"update_where cannot assign key/bucket columns {bad}: changing "
+                f"a key re-routes the row; delete_where + a fresh upsert instead"
+            )
+        table_cols = set(T.StructType.fromJson(man["schema"]).fieldNames())
+        unknown = [c for c in assignments if c not in table_cols]
+        if unknown:
+            raise SinkCommitError(f"update_where on unknown columns {unknown}")
+        seq = self._next_seq(man)
+        matches = self.read().where(predicate)
+        for name, expr in assignments.items():
+            matches = matches.withColumn(
+                name, F.expr(expr) if isinstance(expr, str) else expr
+            )
+        batch = matches.withColumn("op", F.lit("U")).withColumn(
+            "event_sequence", F.lit(seq).cast("long")
+        )
+        last = self.last_committed_batch(job)
+        return self.merge(batch, job=job, batch_id=0 if last is None else last + 1)
 
     def read_lineage(self) -> DataFrame:
         man = self._require_manifest()
