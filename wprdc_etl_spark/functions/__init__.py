@@ -16,6 +16,11 @@ from wprdc_etl_spark.functions.packing import (
     pack_shards,
     shard_stats,
 )
+from wprdc_etl_spark.functions.graph import (
+    connected_components,
+    dedup_clusters,
+)
+from wprdc_etl_spark.functions.neardup_index import NearDupIndex
 from wprdc_etl_spark.functions.similarity import (
     cosine_similarity_col,
     cosine_topk,
@@ -40,4 +45,7 @@ __all__ = [
     "ann_topk_lsh",
     "pack_shards",
     "shard_stats",
+    "connected_components",
+    "dedup_clusters",
+    "NearDupIndex",
 ]
