@@ -449,6 +449,31 @@ def _q_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("repo", "path", "commit", "lang", "content_sha")
 
 
+def _q_cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (plans/lake.py WAP section): the whole replay
+    commits STAGED (IngestJob(staged=True)) — readers resolve the published
+    version (empty) while the chain is open; one metadata-only publish()
+    then exposes every staged batch atomically. The query RAISES unless the
+    chain really gated visibility, then returns the published state, which
+    must equal the golden replay."""
+    label = _sf_label(sf_dir)
+    target = os.path.join(FIXTURES, "_targets", f"{label}_wap")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16)
+    job = (
+        IngestJob(f"wap-{label}", staged=True)
+        .source(_fixture_log(spark, sf_dir))
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=2)
+    if table.read().count() != 0 or not table.staged_versions():
+        raise AssertionError("staged replay leaked into the published view")
+    table.publish()
+    return table.read().select("repo", "path", "commit", "lang", "content_sha")
+
+
 def _q_cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level predicate DELETE (plans/lake.py::delete_where) — the
     compliance-delete path: replay the log, then ``DELETE WHERE lang='go'``.
@@ -1239,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_fingerprint": _q_cdc_fingerprint,
         "cdc_op_stats": _q_cdc_op_stats,
         "cdc_hot_repo_profile": _q_cdc_hot_repo_profile,
+        "cdc_wap_publish": _q_cdc_wap_publish,
         "cdc_delete_where": _q_cdc_delete_where,
         "cdc_update_where": _q_cdc_update_where,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
@@ -1820,6 +1846,8 @@ SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <=
     out["emb_ann_topk"] = out["emb_cosine_topk"]
     # key-sharded logs unioned must replay to the single-log golden state
     out["cdc_multi_log"] = out["cdc_final_state"]
+    # a staged (WAP) replay, once published, equals the golden replay
+    out["cdc_wap_publish"] = out["cdc_final_state"]
     # DML twins: the golden replay with the predicate applied relationally —
     # DELETE drops its rows, UPDATE CASE-maps the assigned column
     out["cdc_delete_where"] = out["cdc_final_state"].replace(

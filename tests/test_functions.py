@@ -518,3 +518,44 @@ def test_dedup_clusters_singletons_and_canonicals(spark):
         (0, 0, True), (3, 0, False), (5, 0, False),
         (1, 1, True), (2, 2, True), (4, 4, True),
     }
+
+
+def test_star_components_equal_hash_min(spark):
+    from wprdc_etl_spark.functions.graph import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(0, 40, 2)]
+        + [(5, 7), (7, 9), (20, 24), (100, 101), (101, 103), (103, 100)]
+    )
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    a = {(r["v"], r["component"]) for r in connected_components(pairs).collect()}
+    b = {
+        (r["v"], r["component"])
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert a == b
+
+
+def test_star_components_converge_on_long_chain(spark):
+    """A 60-vertex chain: hash-min needs 60 rounds (raises at 10); star
+    halves path lengths and finishes well inside 10."""
+    from wprdc_etl_spark.functions.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["id_a", "id_b"]
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(chain, max_iters=10)
+    got = {
+        (r["v"], r["component"])
+        for r in connected_components(chain, algorithm="star", max_iters=10).collect()
+    }
+    assert got == {(i, 0) for i in range(61)}
+
+
+def test_unknown_cc_algorithm_raises(spark):
+    from wprdc_etl_spark.functions.graph import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(pairs, algorithm="nope")

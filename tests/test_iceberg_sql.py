@@ -151,3 +151,31 @@ def test_tag_sql_builders():
     assert ice.tag_read_sql("cat.db.t", "train-v1") == (
         "SELECT * FROM cat.db.t VERSION AS OF 'train-v1'"
     )
+
+
+def test_wap_branch_sql_builders():
+    from wprdc_etl_spark.plans.iceberg import (
+        branch_read_sql,
+        create_branch_sql,
+        drop_branch_sql,
+        fast_forward_sql,
+        wap_enable_sql,
+    )
+
+    assert wap_enable_sql("cat.db.t") == (
+        "ALTER TABLE cat.db.t SET TBLPROPERTIES ('write.wap.enabled' = 'true')"
+    )
+    assert create_branch_sql("cat.db.t", "audit") == (
+        "ALTER TABLE cat.db.t CREATE BRANCH `audit`"
+    )
+    assert drop_branch_sql("cat.db.t", "audit") == (
+        "ALTER TABLE cat.db.t DROP BRANCH `audit`"
+    )
+    assert branch_read_sql("cat.db.t", "audit") == (
+        "SELECT * FROM cat.db.t VERSION AS OF 'audit'"
+    )
+    # publish fast-forwards MAIN to the staged branch head
+    assert fast_forward_sql("cat.db.t", "audit") == (
+        "CALL cat.system.fast_forward(table => 'db.t', "
+        "branch => 'main', to => 'audit')"
+    )

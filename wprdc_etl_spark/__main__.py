@@ -36,7 +36,7 @@ def main() -> None:
                     choices=["stream", "batch", "compact", "rebucket", "changelog",
                              "export", "history", "rollback", "rollup", "optimize",
                              "replicate", "tag", "drop-tag", "requeue",
-                             "delete", "update"],
+                             "delete", "update", "publish", "abort-staged"],
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
@@ -74,6 +74,11 @@ def main() -> None:
                     help="requeue mode: comma-separated corrected lang "
                          "vocabulary (the 'rule fix'); default: the builtin "
                          "set, which re-quarantines everything unchanged")
+    ap.add_argument("--staged", action="store_true",
+                    help="stream/batch modes: commit write-audit-publish "
+                         "style — batches land on the version chain but "
+                         "readers keep the published version until --mode "
+                         "publish (parquet-snapshot sink only)")
     ap.add_argument("--where", default=None,
                     help="delete/update modes: SQL predicate over the table "
                          "columns (e.g. \"repo = 'org/forgotten'\")")
@@ -106,6 +111,7 @@ def main() -> None:
             lateness=args.lateness,
             max_files_per_trigger=args.max_files_per_trigger,
             quarantine_dir=args.quarantine_dir,
+            staged=args.staged,
         )
     )
     if args.mode == "requeue":
@@ -204,6 +210,21 @@ def main() -> None:
         else:
             v = table.rollback(args.to_version)
             print(f"restored version {args.to_version} as new version {v}")
+        spark.stop()
+        return
+    if args.mode in ("publish", "abort-staged"):
+        # close a write-audit-publish chain: make the staged batches visible
+        # atomically, or restore the published state (staged batches lose
+        # their guard entries and replay re-applies them)
+        if args.sink == "iceberg":
+            ap.error("publish/abort-staged support the parquet-snapshot sink only")
+        staged = table.staged_versions()
+        if args.mode == "publish":
+            v = table.publish()
+            print(f"published {len(staged)} staged version(s); now at version {v}")
+        else:
+            v = table.abort_staged()
+            print(f"aborted {len(staged)} staged version(s); restored as version {v}")
         spark.stop()
         return
     if args.mode in ("delete", "update"):

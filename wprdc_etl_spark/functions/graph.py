@@ -41,15 +41,31 @@ def connected_components(
     *,
     max_iters: int = 25,
     use_local_checkpoint: bool = True,
+    algorithm: str = "hash_min",
 ) -> DataFrame:
     """→ one row per vertex appearing in ``pairs``: ``(v, component)`` where
     ``component`` is the MINIMUM vertex id reachable from ``v`` (so each
     component is named by its smallest member — deterministic under any
     partitioning / input order).
 
+    ``algorithm='hash_min'`` (default) converges in O(diameter) rounds of
+    one keyed shuffle each — the right choice for dup-cluster graphs
+    (near-cliques, diameter 2-3). ``algorithm='star'`` is the
+    large-star/small-star alternation (Kiveris et al., SOCC'14): each
+    round halves path lengths, so chains/trees converge in O(log d)
+    rounds at the price of two keyed shuffles per round — the choice for
+    adversarial high-diameter graphs.
+
     Raises ``ValueError`` if labels haven't converged after ``max_iters``
     rounds (diameter > max_iters — not a dedup-shaped graph).
     """
+    if algorithm == "star":
+        return _star_components(
+            pairs, src, dst, max_iters=max_iters,
+            use_local_checkpoint=use_local_checkpoint,
+        )
+    if algorithm != "hash_min":
+        raise ValueError(f"unknown algorithm {algorithm!r} (hash_min | star)")
     e = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     e = e.persist()
@@ -92,6 +108,92 @@ def connected_components(
         )
     finally:
         e.unpersist()
+
+
+def _ckpt(df: DataFrame, local: bool) -> DataFrame:
+    return df.localCheckpoint(eager=True) if local else df.checkpoint(eager=True)
+
+
+def _star_components(
+    pairs: DataFrame, src: str, dst: str, *,
+    max_iters: int, use_local_checkpoint: bool,
+) -> DataFrame:
+    """Large-star/small-star alternation. Each step is groupBy-min + a join
+    back on the same key (two keyed shuffles per round); path lengths halve
+    per round, so max_iters bounds O(log d), not O(d). Convergence is
+    detected on the edge set itself: an order-insensitive (count, xor-ish
+    hash sum) checksum — one tiny aggregate per round, no driver-side edge
+    materialization."""
+    e = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
+        F.col("s") != F.col("d")
+    ).distinct()
+    vertices = (
+        e.select(F.col("s").alias("v"))
+        .union(e.select(F.col("d").alias("v")))
+        .distinct()
+    )
+    vertices = _ckpt(vertices, use_local_checkpoint).persist()
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        sym = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        m = sym.groupBy("s").agg(
+            F.least(F.min("d"), F.first("s")).alias("_m")
+        )
+        return (
+            sym.join(m, "s")
+            .where(F.col("d") > F.col("s"))
+            .select(F.col("d").alias("s"), F.col("_m").alias("d"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        o = edges.select(
+            F.greatest("s", "d").alias("s"), F.least("s", "d").alias("d")
+        ).distinct()
+        m = o.groupBy("s").agg(F.min("d").alias("_m"))  # all d < s here
+        nbrs = o.join(m, "s").select(F.col("d").alias("v"), F.col("_m"))
+        selfs = m.select(F.col("s").alias("v"), F.col("_m"))
+        return (
+            nbrs.union(selfs)
+            .where(F.col("v") != F.col("_m"))
+            .select(F.col("v").alias("s"), F.col("_m").alias("d"))
+            .distinct()
+        )
+
+    def checksum(edges: DataFrame):
+        r = edges.agg(
+            F.count("*").alias("n"),
+            # decimal(38,0) sum: |xxhash64| < 1e19, so 1e19 edges fit —
+            # a long sum would overflow under ANSI arithmetic
+            F.sum(F.xxhash64("s", "d").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    try:
+        e = _ckpt(e, use_local_checkpoint)
+        prev = None
+        for _ in range(max_iters):
+            e = _ckpt(small_star(large_star(e)), use_local_checkpoint)
+            cur = checksum(e)
+            if cur == prev:
+                # converged: edges are (child, root) stars, root = component
+                # min; roots/isolated vertices label themselves
+                labels = (
+                    e.groupBy(F.col("s").alias("v")).agg(F.min("d").alias("_c"))
+                )
+                return (
+                    vertices.join(labels, "v", "left")
+                    .select(
+                        F.col("v"), F.coalesce(F.col("_c"), F.col("v")).alias("component")
+                    )
+                )
+            prev = cur
+        raise ValueError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"(star algorithm; raise max_iters)"
+        )
+    finally:
+        vertices.unpersist()
 
 
 def dedup_clusters(

@@ -153,6 +153,11 @@ def changelog_sql(table: str, start_snapshot: int, end_snapshot: int,
     return call, select
 
 
+def timestamp_travel_sql(table: str, ts_ms: int) -> str:
+    """read_as_of analog — Spark/Iceberg time travel by wall-clock."""
+    return f"SELECT * FROM {table} TIMESTAMP AS OF timestamp_millis({int(ts_ms)})"
+
+
 def create_tag_sql(table: str, name: str, snapshot_id: int | None = None) -> str:
     """create_tag analog — a named ref pinning a snapshot outside the
     expiration window (Iceberg SQL-extension DDL)."""
@@ -238,6 +243,36 @@ def write_mode_sql(table: str, mode: str) -> str:
         f"ALTER TABLE {table} SET TBLPROPERTIES ("
         f"'write.merge.mode' = '{m}', 'write.update.mode' = '{m}', "
         f"'write.delete.mode' = '{m}')"
+    )
+
+
+def wap_enable_sql(table: str) -> str:
+    """Write-audit-publish prerequisite: snapshots written under a WAP
+    branch stay invisible to main until fast-forwarded."""
+    return f"ALTER TABLE {table} SET TBLPROPERTIES ('write.wap.enabled' = 'true')"
+
+
+def create_branch_sql(table: str, name: str) -> str:
+    """The staging ref for branch-based WAP (Iceberg snapshot branch)."""
+    return f"ALTER TABLE {table} CREATE BRANCH `{name}`"
+
+
+def drop_branch_sql(table: str, name: str) -> str:
+    return f"ALTER TABLE {table} DROP BRANCH `{name}`"
+
+
+def branch_read_sql(table: str, name: str) -> str:
+    """The audit surface: read the staged branch head (read_staged analog)."""
+    return f"SELECT * FROM {table} VERSION AS OF '{name}'"
+
+
+def fast_forward_sql(table: str, to_branch: str, from_branch: str = "main") -> str:
+    """publish() analog: fast-forward main to the staged branch head — one
+    metadata-only operation exposing every staged snapshot atomically."""
+    cat, ident = _catalog_and_ident(table)
+    return (
+        f"CALL {cat}.system.fast_forward(table => '{ident}', "
+        f"branch => '{from_branch}', to => '{to_branch}')"
     )
 
 
@@ -330,14 +365,20 @@ class IcebergTable(LakeTable):
             )
             self.spark.sql(f"CREATE TABLE {self.lineage_table} ({ddl}) USING iceberg")
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None,
+             timestamp_ms: int | None = None) -> DataFrame:
         """Table state; ``version`` (a snapshot id) time-travels via
-        ``VERSION AS OF`` — the ParquetSnapshotTable.read(version=) drop-in."""
-        df = (
-            self.spark.sql(time_travel_sql(self.table, version))
-            if version is not None
-            else self.spark.table(self.table)
-        )
+        ``VERSION AS OF`` — the ParquetSnapshotTable.read(version=) drop-in.
+        ``timestamp_ms`` travels by wall-clock (``TIMESTAMP AS OF``, the
+        read_as_of drop-in)."""
+        if version is not None and timestamp_ms is not None:
+            raise SinkCommitError("pass version= or timestamp_ms=, not both")
+        if timestamp_ms is not None:
+            df = self.spark.sql(timestamp_travel_sql(self.table, timestamp_ms))
+        elif version is not None:
+            df = self.spark.sql(time_travel_sql(self.table, version))
+        else:
+            df = self.spark.table(self.table)
         return df.where(F.col("_op") != "D").drop("_seq", "_op")
 
     def modified_since(self, since_seq: int, version: int | None = None) -> DataFrame:
@@ -413,6 +454,39 @@ class IcebergTable(LakeTable):
         if retain_last < 1:
             raise SinkCommitError(f"retain_last must be >= 1, got {retain_last}")
         self.spark.sql(expire_snapshots_sql(self.table, retain_last))
+
+    # ---- write-audit-publish (ParquetSnapshotTable WAP drop-ins) ----------
+    # Iceberg's branch-based WAP: writes under spark.wap.branch land on a
+    # staging branch; main is untouched until fast_forward. The session conf
+    # is the staging switch (Iceberg's design — the writer stays unchanged),
+    # so stage/unstage wrap the job rather than each merge call.
+
+    def stage_to_branch(self, branch: str = "audit") -> None:
+        """Open a WAP chain: enable WAP, create the staging branch, and route
+        this session's writes to it (merge(staged=True) analog)."""
+        self.spark.sql(wap_enable_sql(self.table))
+        self.spark.sql(create_branch_sql(self.table, branch))
+        self.spark.conf.set("spark.wap.branch", branch)
+
+    def read_staged(self, branch: str = "audit") -> DataFrame:
+        return (
+            self.spark.sql(branch_read_sql(self.table, branch))
+            .where(F.col("_op") != "D")
+            .drop("_seq", "_op")
+        )
+
+    def publish(self, branch: str = "audit") -> None:
+        """Fast-forward main to the staged branch head (publish() analog),
+        then stop routing writes to the branch."""
+        self.spark.sql(fast_forward_sql(self.table, branch))
+        self.spark.conf.unset("spark.wap.branch")
+        self.spark.sql(drop_branch_sql(self.table, branch))
+
+    def abort_staged(self, branch: str = "audit") -> None:
+        """Drop the staging branch unmerged (abort_staged analog): main never
+        saw the staged snapshots; their files expire with the branch."""
+        self.spark.conf.unset("spark.wap.branch")
+        self.spark.sql(drop_branch_sql(self.table, branch))
 
     # ---- row-level DML verbs (ParquetSnapshotTable.delete_where/update_where
     # drop-ins; see delete_where_sql for why these tombstone, not DELETE) ----

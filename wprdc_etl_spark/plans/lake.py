@@ -459,6 +459,7 @@ class ParquetSnapshotTable(LakeTable):
         crash between swap and snapshot loses only the history copy of the
         newest version, which ``_manifest_at`` serves from manifest.json
         anyway."""
+        manifest["committed_at_ms"] = int(time.time() * 1000)
         payload = json.dumps(manifest, indent=1, sort_keys=True)
         tmp = os.path.join(self.root, f"manifest.tmp.{uuid.uuid4().hex}")
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -509,7 +510,14 @@ class ParquetSnapshotTable(LakeTable):
         data files have been GC'd (older than ``retain_history``) raises a
         clear expiration error instead of a partial read."""
         man = self._require_manifest()
-        if version is None or version == man["version"]:
+        if version is None:
+            # readers resolve the PUBLISHED version; while a WAP staged
+            # chain is open that is behind the head (see publish())
+            pub = man.get("published_version")
+            if pub is not None and int(pub) != man["version"]:
+                return self._manifest_at(int(pub))
+            return man
+        if version == man["version"]:
             return man
         hpath = os.path.join(self.root, "history", f"manifest.v{version}.json")
         if not os.path.exists(hpath):
@@ -533,10 +541,49 @@ class ParquetSnapshotTable(LakeTable):
             )
         return old
 
-    def expire_snapshots(self, keep: int | None = None) -> int:
+    def version_at_timestamp(self, ts_ms: int) -> int:
+        """The version that was current at wall-clock ``ts_ms`` (Iceberg
+        ``TIMESTAMP AS OF`` resolution): the newest committed version whose
+        commit time is <= the timestamp. Driver-side walk of the history
+        manifests — no Spark job. Manifests from before commit-time stamping
+        count as arbitrarily old. Raises if the table didn't exist yet."""
+        man = self._require_manifest()
+        best: int | None = None
+        best_ts = -1
+        hdir = os.path.join(self.root, "history")
+        candidates: list[dict] = [man]
+        if os.path.isdir(hdir):
+            for name in os.listdir(hdir):
+                if not name.startswith("manifest.v"):
+                    continue
+                try:
+                    with open(os.path.join(hdir, name), "r", encoding="utf-8") as fh:
+                        candidates.append(json.load(fh))
+                except (OSError, ValueError):
+                    continue
+        for m in candidates:
+            cts = int(m.get("committed_at_ms", -1))
+            if cts <= int(ts_ms) and (cts, m["version"]) > (best_ts, best or -1):
+                best, best_ts = int(m["version"]), cts
+        if best is None:
+            raise SinkCommitError(
+                f"no version of {self.root} existed at timestamp {ts_ms}"
+            )
+        return best
+
+    def read_as_of(self, ts_ms: int) -> DataFrame:
+        """Time travel by wall-clock instead of version number — the
+        ``SELECT * FROM t TIMESTAMP AS OF ...`` analog."""
+        return self.read(version=self.version_at_timestamp(ts_ms))
+
+    def expire_snapshots(self, keep: int | None = None,
+                         older_than_ms: int | None = None) -> int:
         """Iceberg ``expire_snapshots`` analog: drop history manifests older
         than the last ``keep`` versions (default: ``retain_history``) and GC
-        the data files only they referenced. Returns the number of snapshots
+        the data files only they referenced. ``older_than_ms`` additionally
+        requires an expired snapshot's commit time to be below the cutoff
+        (the Iceberg ``older_than`` knob) — younger snapshots survive even
+        outside the version window. Returns the number of snapshots
         expired. The current manifest is never touched."""
         man = self._require_manifest()
         keep = self.retain_history if keep is None else keep
@@ -544,23 +591,43 @@ class ParquetSnapshotTable(LakeTable):
             raise SinkCommitError(f"keep must be >= 0, got {keep}")
         hdir = os.path.join(self.root, "history")
         removed = 0
+        age_kept_oldest = man["version"]
         tagged = {int(v) for v in man.get("refs", {}).values()}
+        if man.get("published_version") is not None:
+            tagged.add(int(man["published_version"]))
         if os.path.isdir(hdir):
             for name in os.listdir(hdir):
                 if not name.startswith("manifest.v"):
                     continue
                 v = self._version_of(name[len("manifest."):-len(".json")])
-                if v < man["version"] - keep and v not in tagged:
+                if v >= man["version"] - keep or v in tagged:
+                    continue
+                if older_than_ms is not None:
                     try:
-                        os.remove(os.path.join(hdir, name))
-                        removed += 1
-                    except OSError:
-                        pass
+                        with open(os.path.join(hdir, name), "r", encoding="utf-8") as fh:
+                            cts = int(json.load(fh).get("committed_at_ms", -1))
+                    except (OSError, ValueError):
+                        cts = -1
+                    if cts >= int(older_than_ms):
+                        # too young to expire: its manifest survives OUTSIDE
+                        # the version window, so widen the data-dir retention
+                        # to cover it (the expire-vs-GC consistency rule:
+                        # every surviving manifest must stay readable)
+                        age_kept_oldest = min(age_kept_oldest, v)
+                        continue
+                try:
+                    os.remove(os.path.join(hdir, name))
+                    removed += 1
+                except OSError:
+                    pass
         # _gc_orphans only retains dirs whose history manifest still exists,
         # so the expired versions' files fall out here. Retain by the
         # EFFECTIVE window: keep > retain_history must not GC data dirs of
         # versions the caller asked to keep (their manifests survive above).
-        self._gc_orphans(man, retain=max(keep, self.retain_history))
+        self._gc_orphans(
+            man,
+            retain=max(keep, self.retain_history, man["version"] - age_kept_oldest),
+        )
         return removed
 
     def plan_maintenance(
@@ -606,6 +673,8 @@ class ParquetSnapshotTable(LakeTable):
         hdir = os.path.join(self.root, "history")
         expirable = 0
         tagged = {int(v) for v in man.get("refs", {}).values()}
+        if man.get("published_version") is not None:
+            tagged.add(int(man["published_version"]))
         if os.path.isdir(hdir):
             for name in os.listdir(hdir):
                 if name.startswith("manifest.v"):
@@ -642,6 +711,94 @@ class ParquetSnapshotTable(LakeTable):
     # ---- tags (Iceberg named-ref analog; tags only — branches imply
     # multi-head writes, out of scope for the single-writer deployment) ----
 
+    # ---- write-audit-publish (Iceberg WAP analog) --------------------------
+    #
+    # The audit-then-publish CDC flow: merges committed with ``staged=True``
+    # advance the version chain but NOT the table readers see. ``read()``
+    # (and lookup/modified_since/changes_between defaults) resolve the
+    # PUBLISHED version; auditors read the staged head via ``read_staged()``
+    # / ``read(version=current_version())``, run their checks, then
+    # ``publish()`` (one metadata-only commit) makes the whole staged chain
+    # visible atomically, or ``abort_staged()`` restores the published state
+    # (rollback semantics: the staged batches lose their guard entries and a
+    # replay re-applies them). This is Iceberg's WAP workflow (stage via
+    # spark.wap.id, publish via cherry-pick/fast-forward) expressed in the
+    # snapshot table's linear history — no ref forking, so every existing
+    # invariant (CAS commit, exactly-once guard, GC, time travel) holds
+    # unchanged. While a chain is open, EVERY commit stays staged (a
+    # maintenance compact can't accidentally publish half an audit); only
+    # publish()/abort_staged() close it. The published version's data dirs
+    # are GC-exempt like tagged versions, so a long audit can't expire the
+    # readers' table out from under them.
+
+    def _stamp_published(self, man_new: dict, base: dict, staged: bool = False) -> None:
+        """Maintain ``published_version`` across a commit. Tables that never
+        stage never get the field (zero behavior change); once present:
+        staged commits and commits inside an open chain pin it, ordinary
+        commits on a closed chain track their own version."""
+        base_pub = base.get("published_version")
+        if staged:
+            man_new["published_version"] = (
+                base["version"] if base_pub is None else base_pub
+            )
+        elif base_pub is not None and base_pub < base["version"]:
+            man_new["published_version"] = base_pub  # chain open: stay pinned
+        elif "published_version" in man_new:
+            man_new["published_version"] = man_new["version"]
+
+    def published_version(self) -> int | None:
+        """The version readers resolve (== current_version() unless a staged
+        chain is open)."""
+        man = self._read_manifest()
+        if man is None:
+            return None
+        pv = man.get("published_version")
+        return int(man["version"] if pv is None else pv)
+
+    def staged_versions(self) -> list[int]:
+        """Versions committed but not yet published (empty = chain closed)."""
+        man = self._require_manifest()
+        pub = man.get("published_version", man["version"])
+        return list(range(int(pub) + 1, int(man["version"]) + 1))
+
+    def read_staged(self) -> DataFrame:
+        """The staged head — the audit surface; equals read() when no chain
+        is open."""
+        man = self._require_manifest()
+        return self._resolved(man).where(F.col("_op") != "D").drop(*INTERNAL_COLS)
+
+    def publish(self) -> int:
+        """Fast-forward the published pointer to the staged head — ONE
+        metadata-only commit making every staged batch visible atomically.
+        No-op (returns current version) when nothing is staged."""
+        man = self._require_manifest()
+        pub = man.get("published_version", man["version"])
+        if pub == man["version"]:
+            return int(man["version"])
+        man_new = dict(man)
+        man_new["version"] = man["version"] + 1
+        man_new["published_version"] = man_new["version"]
+        self._swap_manifest(man_new)
+        return int(man_new["version"])
+
+    def abort_staged(self) -> int:
+        """Discard the open staged chain: restore the published state as a
+        new PUBLISHED commit (rollback semantics — the staged batches' guard
+        entries vanish, so a replay re-ingests them after the audit failure
+        is fixed). No-op when nothing is staged."""
+        man = self._require_manifest()
+        pub = man.get("published_version", man["version"])
+        if pub == man["version"]:
+            return int(man["version"])
+        old = self._manifest_at(int(pub))
+        man_new = dict(old)
+        man_new["version"] = man["version"] + 1
+        man_new["published_version"] = man_new["version"]
+        man_new["refs"] = dict(man.get("refs", {}))
+        self._swap_manifest(man_new)
+        self.n_buckets = int(man_new["n_buckets"])
+        return int(man_new["version"])
+
     def create_tag(self, name: str, version: int | None = None) -> int:
         """Pin ``version`` (default: current) under a stable name. A tagged
         version is EXEMPT from snapshot expiration and data-dir GC until the
@@ -661,6 +818,7 @@ class ParquetSnapshotTable(LakeTable):
         man_new = dict(man)
         man_new["version"] = man["version"] + 1
         man_new["refs"] = refs
+        self._stamp_published(man_new, man)
         self._swap_manifest(man_new)
         return version
 
@@ -674,6 +832,7 @@ class ParquetSnapshotTable(LakeTable):
         man_new = dict(man)
         man_new["version"] = man["version"] + 1
         man_new["refs"] = refs
+        self._stamp_published(man_new, man)
         self._swap_manifest(man_new)
 
     def tags(self) -> dict[str, int]:
@@ -709,6 +868,7 @@ class ParquetSnapshotTable(LakeTable):
         # tags are table-level refs, not snapshot content: they survive a
         # rollback (Iceberg parity — rollback_to_snapshot keeps refs)
         man_new["refs"] = dict(man.get("refs", {}))
+        self._stamp_published(man_new, man)
         # layout fields travel with the restored snapshot (a rollback across
         # a rebucket restores the OLD bucket count — readers take n_buckets
         # from the manifest, so this is just another layout evolution)
@@ -739,6 +899,7 @@ class ParquetSnapshotTable(LakeTable):
             out.append(
                 {
                     "version": m["version"],
+                    "committed_at_ms": m.get("committed_at_ms"),
                     "committed": dict(m["committed"]),
                     "total_rows": sum(int(v) for v in m.get("bucket_rows", {}).values()),
                     "n_buckets_live": len(m["buckets"]),
@@ -784,6 +945,7 @@ class ParquetSnapshotTable(LakeTable):
         """Full-refresh reset (parity: ``CKANLoader.delete_datastore`` used by
         ``method='insert'``). Keeps the schema, drops data + guard state."""
         man = self._require_manifest()
+        base = dict(man)
         man["version"] += 1
         man["buckets"] = {}
         man["bucket_rows"] = {}
@@ -791,6 +953,7 @@ class ParquetSnapshotTable(LakeTable):
         man["committed"] = {}
         man["state"] = {}
         man["lineage"] = []
+        self._stamp_published(man, base)
         self._swap_manifest(man)
         self._gc_orphans(man)
 
@@ -953,7 +1116,7 @@ class ParquetSnapshotTable(LakeTable):
         pushdown inside that bucket's files. At n_buckets=4096 a lookup
         touches ~0.02% of the table. For non-default layouts pass the bucket
         keys (and any extra equality filters) as keyword args."""
-        man = self._require_manifest()
+        man = self._manifest_at(None)  # published view, like read()
         if repo is not None:
             key_values.setdefault("repo", repo)
         if path is not None:
@@ -1135,8 +1298,13 @@ class ParquetSnapshotTable(LakeTable):
         job_state: dict | None = None,
         properties: dict | None = None,
         finalize: Optional[Callable[[], tuple["LineageCounts", dict | None]]] = None,
+        staged: bool = False,
     ) -> MergeResult:
         """Apply one batch of change events, exactly once.
+
+        ``staged=True`` commits write-audit-publish style: the version chain
+        advances but readers keep resolving the published version until
+        ``publish()`` (see the WAP section).
 
         ``batch_df`` must carry the key columns, ``op`` ('I'|'U'|'D'),
         ``event_sequence`` (long) and any payload columns. Payload columns
@@ -1279,7 +1447,7 @@ class ParquetSnapshotTable(LakeTable):
                 counts, job_state = finalize()
             counts = counts or LineageCounts()
             if not stats:
-                return self._commit_empty(man, job, batch_id, counts, job_state, properties)
+                return self._commit_empty(man, job, batch_id, counts, job_state, properties, staged=staged)
 
             affected = sorted(int(r["_bucket"]) for r in stats)
             batch_rows = sum(r["n"] for r in stats)
@@ -1303,7 +1471,7 @@ class ParquetSnapshotTable(LakeTable):
                     job_state=job_state, properties=properties,
                     brows=brows, bwin=bwin, stats=stats, affected=affected,
                     batch_rows=int(batch_rows), old_rows=old_rows,
-                    evolved_schema=evolved_schema, mark=_mark,
+                    evolved_schema=evolved_schema, mark=_mark, staged=staged,
                 )
 
             if populated:
@@ -1456,6 +1624,7 @@ class ParquetSnapshotTable(LakeTable):
             if properties is not None:
                 man_new["properties"] = {**man["properties"], **properties}
             man_new["lineage"] = list(man["lineage"]) + [lineage_rel]
+            self._stamp_published(man_new, man, staged)
             self._swap_manifest(man_new)
             self._gc_orphans(man_new)
             return MergeResult(
@@ -1488,6 +1657,7 @@ class ParquetSnapshotTable(LakeTable):
         old_rows: dict,
         evolved_schema: T.StructType,
         mark,
+        staged: bool = False,
     ) -> MergeResult:
         """Merge-on-read commit: write ONLY the batch winners as a bucketed
         delta (LSM memtable-flush analog — the current table is never read),
@@ -1546,6 +1716,7 @@ class ParquetSnapshotTable(LakeTable):
         if properties is not None:
             man_new["properties"] = {**man["properties"], **properties}
         man_new["lineage"] = list(man["lineage"]) + [lineage_rel]
+        self._stamp_published(man_new, man, staged)
         self._swap_manifest(man_new)
         self._gc_orphans(man_new)
         return MergeResult(
@@ -1732,6 +1903,7 @@ class ParquetSnapshotTable(LakeTable):
         counts: LineageCounts,
         job_state: dict | None,
         properties: dict | None,
+        staged: bool = False,
     ) -> MergeResult:
         """An empty (or fully-quarantined) batch still advances the guard —
         otherwise a restart would re-run it forever."""
@@ -1746,6 +1918,7 @@ class ParquetSnapshotTable(LakeTable):
         if properties is not None:
             man_new["properties"] = {**man["properties"], **properties}
         man_new["lineage"] = list(man["lineage"]) + [lineage_rel]
+        self._stamp_published(man_new, man, staged)
         self._swap_manifest(man_new)
         return MergeResult(applied=True, version=version)
 
@@ -1761,6 +1934,8 @@ class ParquetSnapshotTable(LakeTable):
         # tagged versions are pinned outside the rolling window
         window = set(range(max(0, man["version"] - retain), man["version"]))
         window |= {int(v) for v in man.get("refs", {}).values()}
+        if man.get("published_version") is not None:
+            window.add(int(man["published_version"]))
         window.discard(man["version"])
         for v in sorted(window):
             hpath = os.path.join(self.root, "history", f"manifest.v{v}.json")
@@ -1855,6 +2030,7 @@ class ParquetSnapshotTable(LakeTable):
         man_new["buckets"] = {str(b): [f"{data_rel}/_bucket_dir={b}"] for b in sorted(written)}
         man_new["bucket_rows"] = {str(b): counts_by_bucket.get(b, 0) for b in sorted(written)}
         man_new["bucket_zones"] = {str(b): zones_by_bucket[b] for b in sorted(written) if b in zones_by_bucket}
+        self._stamp_published(man_new, man)
         self._swap_manifest(man_new)
         self._gc_orphans(man_new)
         return version

@@ -64,6 +64,7 @@ class IngestJob:
         compute_content_sha: bool = True,
         quarantine_dir: str | None = None,
         stream_dedup: str = "merge",
+        staged: bool = False,
     ) -> None:
         self.name = name
         self.lateness = lateness  # None → late events are applied, not dropped
@@ -85,6 +86,9 @@ class IngestJob:
         if stream_dedup not in ("merge", "state"):
             raise IncompletePipelineError(f"unknown stream_dedup {stream_dedup!r}")
         self.stream_dedup = stream_dedup
+        # WAP: commit every batch staged; an auditor publish()es the chain
+        # (plans/lake.py write-audit-publish section). Parquet sink only.
+        self.staged = staged
         # B5: persist quarantined rows (with their per-field error report)
         # for inspection — the distributed descendant of marshmallow's
         # returned ``errors`` dict. None → count-only (lineage).
@@ -302,7 +306,8 @@ class IngestJob:
                 new_state["max_event_ts"] = max(prev, cur) if prev else cur
             return counts, new_state
 
-        result = sink.merge(valid, job=self.name, batch_id=batch_id, finalize=finalize)
+        merge_kw = {"staged": True} if self.staged else {}
+        result = sink.merge(valid, job=self.name, batch_id=batch_id, finalize=finalize, **merge_kw)
 
         if self.quarantine_dir is not None and result.applied:
             # idempotent: one overwritten dir per batch — a replayed batch
