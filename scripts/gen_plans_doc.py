@@ -119,6 +119,22 @@ sections.append(("Incremental replication sync (changelog diff + late-mat payloa
   "The version diff is ONE full-outer SortMergeJoin over (keys + content_sha) — every exchange on the diff side is narrow (no content column; pinned by test_incremental_sync_keeps_payload_out_of_diff_exchanges). Changed keys then join back to the target snapshot (`SHUFFLE_HASH` hint; AQE converts to broadcast when the change set is small), so content crosses exactly one exchange on its way into the replica's merge.",
   cap(batch)))
 
+from wprdc_etl_spark.functions.neardup_index import NearDupIndex
+docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+shutil.rmtree("/tmp/plandoc_idx", ignore_errors=True)
+idx = NearDupIndex(spark, "/tmp/plandoc_idx", n_hashes=16, shingle_k=3, n_bands=4, n_buckets=8)
+idx.add(docs.where(F.col("doc_id") % 2 == 0), batch_id=0)
+probe = idx.add(docs.where(F.col("doc_id") % 2 == 1), batch_id=1)
+sections.append(("Incremental near-dup probe (bucket-pruned index join)",
+  "The batch's band rows join the PERSISTED index read from only the bucket dirs the batch's band hashes route to (driver-side pruning — the scan lists a subset of `_bucket_dir` paths, no filter on a full-table scan). Minhash/band expressions are codegen'd built-ins; the only collect in add() is the <=n_buckets bucket-id set.",
+  cap(probe)))
+
+del_batch = (t.read().where(F.col("lang") == "go").select("repo", "path", "commit")
+             .withColumn("op", F.lit("D")).withColumn("event_sequence", F.lit(10**6).cast("long")))
+sections.append(("Row-level DELETE WHERE (tombstone batch)",
+  "delete_where's batch: the current state filtered by the predicate and projected to the key columns before entering the merge — `ReadSchema` on the scan carries only the keys, the predicate column (lang) and `_op`; `content`, the wide column, never enters the delete batch, so a compliance delete moves no payload bytes. The merge then rewrites only buckets holding matches.",
+  cap(del_batch)))
+
 with open("/root/repo/docs/PLANS.md", "w") as fh:
     fh.write("# Physical plans of the hot paths (captured via explain('formatted'))\n\n")
     fh.write("Regenerate with `python scripts/gen_plans_doc.py` (this file is evidence\nthat pushdown/pruning/broadcast/partial-agg actually happen — SURVEY §5).\n")

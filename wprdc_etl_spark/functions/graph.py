@@ -203,6 +203,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    algorithm: str = "hash_min",
 ) -> DataFrame:
     """Assign every document its duplicate-cluster id and canonical flag:
     ``(id_col, component, is_canonical)``. Docs in no verified pair are
@@ -210,7 +211,7 @@ def dedup_clusters(
     smallest id — the keep-policy used by large-scale dedup pipelines
     (deterministic, join-free to apply downstream: filter is_canonical).
     """
-    cc = connected_components(pairs, src, dst)
+    cc = connected_components(pairs, src, dst, algorithm=algorithm)
     comp = F.coalesce(F.col("component"), F.col(id_col))
     return (
         docs.join(cc, docs[id_col] == cc["v"], "left")
