@@ -211,3 +211,16 @@ def test_expire_older_than_keeps_young_snapshots_readable(spark, tmp_path):
     assert removed > 0
     with pytest.raises(Exception):
         t.read(version=1).count()  # now genuinely expired
+
+
+def test_dml_inside_open_chain_sees_staged_rows(spark, tmp_path):
+    """DML commits on top of the head, so its predicate must see staged
+    rows; the mutation itself stays staged until publish."""
+    t = mk(spark, tmp_path)
+    t.merge(ev(spark, B0), job="j", batch_id=0)
+    t.merge(ev(spark, B1), job="j", batch_id=1, staged=True)  # b.py staged
+    t.delete_where(F.col("path") == "b.py")
+    assert rows(t.read()) == {("r1", "a.py", "c1"): "aa"}  # still published-only
+    assert ("r1", "b.py", "c1") not in rows(t.read_staged())  # staged row deleted
+    t.publish()
+    assert rows(t.read()) == {("r1", "a.py", "c1"): "aa"}

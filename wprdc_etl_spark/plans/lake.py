@@ -1220,7 +1220,10 @@ class ParquetSnapshotTable(LakeTable):
         bucket scan."""
         man = self._require_manifest()
         seq = self._next_seq(man)
-        matches = self.read().where(predicate).select(*self.keys)
+        # match against the STAGED HEAD, not the published view: the batch
+        # commits on top of the head, so an open WAP chain's rows are in
+        # scope (the delete itself stays staged until publish)
+        matches = self.read_staged().where(predicate).select(*self.keys)
         batch = matches.withColumn("op", F.lit("D")).withColumn(
             "event_sequence", F.lit(seq).cast("long")
         )
@@ -1248,7 +1251,7 @@ class ParquetSnapshotTable(LakeTable):
         if unknown:
             raise SinkCommitError(f"update_where on unknown columns {unknown}")
         seq = self._next_seq(man)
-        matches = self.read().where(predicate)
+        matches = self.read_staged().where(predicate)  # head, as in delete_where
         for name, expr in assignments.items():
             matches = matches.withColumn(
                 name, F.expr(expr) if isinstance(expr, str) else expr
