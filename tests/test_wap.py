@@ -224,3 +224,26 @@ def test_dml_inside_open_chain_sees_staged_rows(spark, tmp_path):
     assert ("r1", "b.py", "c1") not in rows(t.read_staged())  # staged row deleted
     t.publish()
     assert rows(t.read()) == {("r1", "a.py", "c1"): "aa"}
+
+
+def test_rollup_and_replica_ignore_staged_chain(spark, tmp_path):
+    """Downstream consumers (continuous aggregate, replica) must fold only
+    PUBLISHED versions — an open audit chain stays out of both."""
+    from wprdc_etl_spark.plans.replicate import TableReplicator
+    from wprdc_etl_spark.plans.rollup import RollupView
+
+    t = mk(spark, tmp_path)
+    t.merge(ev(spark, B0), job="j", batch_id=0)
+    view = RollupView(spark, str(tmp_path / "view"), t, group_cols=["repo"])
+    view.refresh()
+    rep_t = ParquetSnapshotTable(spark, str(tmp_path / "rep"), n_buckets=2)
+    rep = TableReplicator(t, rep_t, job="r")
+    rep.sync()
+
+    t.merge(ev(spark, B1), job="j", batch_id=1, staged=True)
+    assert view.refresh()["mode"] == "noop"  # staged chain invisible
+    assert rep.sync()["mode"] == "noop"
+    t.publish()
+    assert view.refresh()["mode"] == "incremental"
+    assert rep.sync()["mode"] == "incremental"
+    assert rep_t.read().count() == 2

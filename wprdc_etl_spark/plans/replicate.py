@@ -127,7 +127,8 @@ class TableReplicator:
         """Advance the replica to ``to_version`` (default: the source's
         current version). Returns a report dict: ``mode`` is 'noop' |
         'bootstrap' | 'incremental' | 'repair', plus applied/version info."""
-        src_v = self.source.current_version()
+        # PUBLISHED version (WAP): never replicate an unaudited staged chain
+        src_v = self.source.published_version()
         if src_v is None:
             raise SinkCommitError(
                 f"source table at {self.source.root} does not exist"

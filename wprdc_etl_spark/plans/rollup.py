@@ -127,7 +127,10 @@ class RollupView:
         """Bring the view up to the source's current version. Returns
         ``{"mode": "noop"|"bootstrap"|"incremental", "source_version": v}``.
         """
-        cur = self.source.current_version()
+        # PUBLISHED version, not the head: a source with an open
+        # write-audit-publish chain must not leak staged rows into the view
+        # (identical to current_version() for tables that never stage)
+        cur = self.source.published_version()
         if cur is None:
             raise SinkCommitError("source table has no committed version")
         meta = self._read_meta()
