@@ -191,6 +191,24 @@ def main() -> None:
     def q_emb_near_dup():
         cosine_near_dup_pairs(emb, dim=64, threshold=0.4).count()
 
+    # (doc_dedup_clusters is deliberately NOT benched: on the driver's tiny
+    # documents table the iterative CC loop measures pure per-round job
+    # latency — ~34 s of fixed overhead, zero throughput signal — and would
+    # only add spurious round-to-round noise. Its correctness gate is the
+    # doc_dedup_clusters oracle.)
+
+    def q_neardup_index_inc():
+        # incremental-index path: index half the corpus, then probe the
+        # other half against the persisted bucketed band table
+        from wprdc_etl_spark.functions.neardup_index import NearDupIndex
+
+        root = os.path.join(BENCH_TMP, "ndidx")
+        shutil.rmtree(root, ignore_errors=True)
+        idx = NearDupIndex(spark, root, n_hashes=32, shingle_k=5, n_bands=8,
+                           n_buckets=16)
+        idx.add(docs.where(F.col("doc_id") % 2 == 0), batch_id=0).count()
+        idx.add(docs.where(F.col("doc_id") % 2 == 1), batch_id=1).count()
+
     plan = [
         ("dedup", q_dedup),
         ("latest_per_key", q_latest_per_key),
@@ -203,6 +221,7 @@ def main() -> None:
         ("doc_minhash_lsh", q_doc_minhash_lsh),
         ("doc_quality_langid", q_doc_quality_langid),
         ("emb_near_dup", q_emb_near_dup),
+        ("neardup_index_inc", q_neardup_index_inc),
     ]
 
     # interleaved repetitions: a noise burst hits one rep of several queries,
