@@ -74,3 +74,83 @@ def test_redelivery_idempotence(spark, tmp_path_factory, log, dup_idx):
     assert apply_rows(spark, tmp / "a", rows, cuts=[]) == apply_rows(
         spark, tmp / "b", redelivered, cuts=[]
     )
+
+
+# ---- DML interleaving vs a pure-Python LWW reference ----------------------
+#
+# delete_where/update_where stamp event_sequence = (historical max) + 1 and
+# ride the ordinary merge, so ANY interleaving of log chunks and DML verbs
+# must equal a reference state machine that models exactly that total order
+# (later log events with HIGHER seqs override a DML; stragglers with lower
+# seqs lose to it).
+
+dml_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("merge"), events),
+        st.tuples(st.just("delete"), st.sampled_from(["rA", "rB"])),
+        st.tuples(st.just("update"), st.sampled_from(["rA", "rB"])),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=dml_ops)
+def test_dml_interleaving_matches_reference(spark, tmp_path_factory, ops):
+    from pyspark.sql import functions as F
+
+    tmp = tmp_path_factory.mktemp("dmlprop")
+    t = ParquetSnapshotTable(spark, str(tmp / "t"), n_buckets=2)
+    t.ensure(PAYLOAD)
+
+    store = {}  # key -> (seq, op, lang, content); tombstones retained
+    max_seq = -1
+
+    def visible():
+        return {k: v for k, v in store.items() if v[1] != "D"}
+
+    def lww(k, cand):
+        cur = store.get(k)
+        if cur is None or (cand[0], cand[1]) >= (cur[0], cur[1]):
+            store[k] = cand
+
+    next_seq = 0  # engine log seqs keep increasing across chunks
+    mbid = 0
+    for kind, arg in ops:
+        if kind == "merge":
+            rows = []
+            for (k, op, content) in arg:
+                seq = next_seq
+                next_seq += 1
+                rows.append((seq, op, k[0], k[1], k[2], "py",
+                             None if op == "D" else content))
+            t.merge(spark.createDataFrame(rows, EV_SCHEMA), job="prop", batch_id=mbid)
+            mbid += 1
+            for (seq, op, r, p, c, lang, content) in rows:
+                lww((r, p, c), (seq, op, lang, content))
+                max_seq = max(max_seq, seq)
+        elif kind == "delete":
+            t.delete_where(F.col("repo") == arg)
+            dseq = max_seq + 1
+            for k in list(visible()):
+                if k[0] == arg:
+                    store[k] = (dseq, "D", None, None)
+            max_seq = dseq
+            # next_seq deliberately NOT bumped: later generated log events
+            # may carry seqs at/below the DML's — the straggler case the
+            # tombstone must win (ties resolve by op rank, engine parity)
+        else:  # update: retag lang, content untouched
+            t.update_where(F.col("repo") == arg, {"lang": F.lit("LL")})
+            useq = max_seq + 1
+            for k, v in list(visible().items()):
+                if k[0] == arg:
+                    store[k] = (useq, "U", "LL", v[3])
+            max_seq = useq
+
+    got = {
+        (r["repo"], r["path"], r["commit"]): (r["lang"], r["content"])
+        for r in t.read().collect()
+    }
+    want = {k: (v[2], v[3]) for k, v in visible().items()}
+    assert got == want
