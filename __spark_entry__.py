@@ -578,6 +578,21 @@ def _q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type", "value")
 
 
+def _q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile (operators/analytics.py::profile_table): per-
+    column total/null/distinct counts in ONE global aggregate — the
+    acceptance report run before trusting a feed. Exact countDistinct here
+    (oracle-parity); approx=True is the Expand-free HLL scale path,
+    error-bound-tested in pytest. min/max are pytest-covered (string-cast
+    formatting differs across engines by design)."""
+    from wprdc_etl_spark.operators.analytics import profile_table
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return profile_table(
+        ev, ["user_id", "event_type", "value"], include_min_max=False
+    )
+
+
 def _q_events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4 over the driver's events table — latest event per user."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -675,6 +690,71 @@ def _q_events_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     got = spark.read.parquet(out_dir)
     return got.withColumn("value_sum", F.round(F.col("value_sum"), 4))
+
+
+def _q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (streaming/joins.py::stream_interval_join)
+    driven end to end: clicks and purchases read as two watermarked streams,
+    native stream-stream inner join with the event-time bound expressing the
+    same [promo_start, promo_start+2h] window as the batch interval_join —
+    inner-join emission doesn't depend on the watermark, so the availableNow
+    drain equals the batch join exactly and the oracle is the batch query's
+    own inequality-join SQL, unchanged."""
+    from wprdc_etl_spark.streaming.joins import stream_interval_join
+
+    label = _sf_label(sf_dir)
+    src = os.path.join(FIXTURES, label, "events_stream_src")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).coalesce(
+            4
+        ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    out_dir = os.path.join(FIXTURES, "_targets", f"{label}_stream_join")
+    ckpt = out_dir + "_ckpt"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def stream():
+        return spark.readStream.schema(schema).parquet(src)
+
+    clicks = (
+        stream()
+        .where(F.col("event_type") == "click")
+        .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    promos = (
+        stream()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("promo_start"),
+            F.round(F.col("value"), 4).alias("purchase_value"),
+        )
+    )
+    joined = stream_interval_join(
+        clicks, promos,
+        on="user_id", left_ts="ts", right_ts="promo_start",
+        lower_seconds=0, upper_seconds=7200, watermark_delay="0 seconds",
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "purchase_value",
+        F.col("promo_start").cast("timestamp_ntz").alias("promo_start"),
+        (F.col("promo_start") + F.expr("INTERVAL 2 HOURS"))
+        .cast("timestamp_ntz")
+        .alias("promo_end"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
 
 
 def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1280,6 +1360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replicate": _q_cdc_replicate,
         "cdc_debezium": _q_cdc_debezium,
         "events_dedup": _q_events_dedup,
+        "events_profile": _q_events_profile,
+        "events_stream_join": _q_events_stream_join,
         "events_latest_per_user": _q_events_latest_per_user,
         "events_props_json": _q_events_props_json,
         "events_asof_purchase": _q_events_asof_purchase,
@@ -1506,6 +1588,19 @@ WITH dedup AS (
 )
 SELECT repo, path, commit, lang, license, sha256(content) AS content_sha
 FROM latest WHERE op <> 'D'
+""",
+        "events_profile": """
+SELECT 'user_id' AS "column", count(*) AS total_count,
+       count(*) - count(user_id) AS null_count,
+       count(DISTINCT user_id) AS n_distinct
+FROM events
+UNION ALL
+SELECT 'event_type', count(*), count(*) - count(event_type),
+       count(DISTINCT event_type)
+FROM events
+UNION ALL
+SELECT 'value', count(*), count(*) - count(value), count(DISTINCT value)
+FROM events
 """,
         "events_dedup": """
 SELECT event_id, user_id, event_type, value FROM (
@@ -1864,6 +1959,8 @@ SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <=
     assert out["cdc_update_where"] != out["cdc_final_state"]
     # incremental-index pairs must equal the batch LSH pair set exactly
     out["doc_incremental_near_dup"] = out["doc_minhash_pairs"]
+    # the availableNow stream-stream join equals the batch interval join
+    out["events_stream_join"] = out["events_interval_join"]
     # bootstrap + incremental changelog replication must land the replica on
     # the source's golden final state (exactly-once per source version)
     out["cdc_replicate"] = out["cdc_final_state"]

@@ -469,3 +469,29 @@ def test_spark_xxhash64_date_timestamp_parity(spark):
         assert spark_xxhash64(r["d"], types=["date"]) == r["hd"]
         assert spark_xxhash64(r["t"], types=["timestamp_ntz"]) == r["ht"]
         assert spark_xxhash64(r["d"], r["t"], types=["date", "timestamp_ntz"]) == r["hdt"]
+
+
+# ---- profile_table (operators/analytics.py) -------------------------------
+
+
+def test_profile_table_exact_stats_native_order(spark):
+    from wprdc_etl_spark.operators.analytics import profile_table
+
+    df = spark.createDataFrame(
+        [(2, "a"), (10, "b"), (None, "b"), (7, None)], ["n", "s"]
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert got["n"]["total_count"] == 4
+    assert got["n"]["null_count"] == 1
+    assert got["n"]["n_distinct"] == 3
+    # native numeric order THEN string cast: max is 10, not "7"
+    assert (got["n"]["min_str"], got["n"]["max_str"]) == ("2", "10")
+    assert got["s"]["null_count"] == 1 and got["s"]["n_distinct"] == 2
+
+
+def test_profile_table_approx_within_bounds(spark):
+    from wprdc_etl_spark.operators.analytics import profile_table
+
+    df = spark.range(5000).selectExpr("id % 1000 AS k")
+    r = {x["column"]: x for x in profile_table(df, ["k"], approx=True).collect()}
+    assert abs(r["k"]["n_distinct"] - 1000) <= 150  # HLL++ rsd=0.05 slack

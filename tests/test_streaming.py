@@ -287,3 +287,68 @@ def test_sliding_stats_batch_and_streaming_agree(spark, tmp_path):
         for r in got if r["user"] != "zz"
     }
     assert got_s == got_b
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_path):
+    """Inner stream-stream join over a drained finite log == the plain batch
+    range join, boundaries inclusive on both ends."""
+    import datetime as dt
+
+    from wprdc_etl_spark.streaming.joins import stream_interval_join
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    rows = [
+        ("c1", "u1", ts(0), "click", 0.0),
+        ("c2", "u1", ts(60), "click", 0.0),    # exactly at upper bound of p1
+        ("c3", "u1", ts(61), "click", 0.0),    # just past it
+        ("c4", "u2", ts(10), "click", 0.0),    # other user
+        ("p1", "u1", ts(0), "purchase", 5.0),
+        ("p2", "u2", ts(10), "purchase", 7.0),  # lower bound: click at same ts
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value"]
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def side(kind, cols):
+        return (
+            spark.readStream.schema(schema).parquet(src)
+            .where(F.col("event_type") == kind)
+            .select(*cols)
+        )
+
+    clicks = side("click", ["event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")])
+    buys = side("purchase", [
+        "user_id", F.col("ts").cast("timestamp").alias("bts"), F.col("value"),
+    ])
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        stream_interval_join(
+            clicks, buys, on="user_id", left_ts="ts", right_ts="bts",
+            lower_seconds=0, upper_seconds=3600, watermark_delay="0 seconds",
+        )
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["event_id"], r["value"]) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {("c1", 5.0), ("c2", 5.0), ("c4", 7.0)}
+
+
+def test_stream_interval_join_rejects_bad_bounds(spark):
+    from wprdc_etl_spark.streaming.joins import stream_interval_join
+
+    with pytest.raises(ValueError, match="lower"):
+        stream_interval_join(
+            spark.range(1), spark.range(1), on="id", left_ts="ts",
+            right_ts="ts", lower_seconds=10, upper_seconds=5,
+        )

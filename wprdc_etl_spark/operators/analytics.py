@@ -185,3 +185,59 @@ def grouped_quantiles(
     return tmp.select(
         *group, *[F.col("_q").getItem(i).alias(label(p)) for i, p in enumerate(probs)]
     )
+
+
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    *,
+    approx: bool = False,
+    rsd: float = 0.05,
+    include_min_max: bool = True,
+) -> DataFrame:
+    """Data-quality profile, ONE pass: per column → ``(column, total_count,
+    null_count, n_distinct[, min_str, max_str])``, long format (one row per
+    profiled column). The ingestion-acceptance report a pipeline runs before
+    trusting a new feed — beyond the reference, whose only quality surface
+    is marshmallow field errors (SURVEY A16).
+
+    Scale shape: a SINGLE global aggregate computes every stat (no
+    per-column jobs or self-joins); the long format is an ``inline`` over
+    the one result row, not a shuffle. Exact ``countDistinct`` over k
+    columns plans an Expand (k× the input rows through the partial
+    aggregate) — fine for a profile run; ``approx=True`` swaps in the
+    mergeable HyperLogLog++ sketch (no Expand, the 100-TB path, same shape
+    as ``distinct_count``). min/max are computed in NATIVE column order and
+    cast to string only for the uniform schema.
+    """
+    cols = cols or df.columns
+    nd = (
+        (lambda c: F.approx_count_distinct(c, rsd)) if approx
+        else (lambda c: F.countDistinct(c))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            nd(c).alias(f"__nd_{c}"),
+        ]
+        if include_min_max:
+            aggs += [
+                F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+            ]
+    row = df.agg(*aggs)
+    fields = lambda c: (  # noqa: E731
+        [
+            F.lit(c).alias("column"),
+            F.col("__n").alias("total_count"),
+            (F.col("__n") - F.col(f"__nn_{c}")).alias("null_count"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+        ]
+        + (
+            [F.col(f"__mn_{c}").alias("min_str"), F.col(f"__mx_{c}").alias("max_str")]
+            if include_min_max
+            else []
+        )
+    )
+    return row.select(F.inline(F.array(*[F.struct(*fields(c)) for c in cols])))
