@@ -578,6 +578,47 @@ def _q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type", "value")
 
 
+def _q_cdc_canal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal (canal-json) envelope ingestion (sources/envelopes.py::
+    parse_canal): the fixture log serialized into Canal's batched shape —
+    ``data`` is an ARRAY of stringified row maps per record, INSERT/UPDATE/
+    DELETE type codes, ``id`` batch order, ``es`` millisecond event time —
+    and parsed back via from_json → explode_outer → typed casts (no UDF,
+    no shuffle). One row per record here so the round trip is exact;
+    multi-row batches and DDL/tombstone handling are pytest-gated."""
+    from wprdc_etl_spark.sources.envelopes import parse_canal
+
+    ev = _events(spark, sf_dir)
+    row_cols = ["repo", "path", "commit", "lang", "content"]
+    row_schema = T.StructType([T.StructField(c, T.StringType()) for c in row_cols])
+    canal_type = (
+        F.when(F.col("op") == "I", F.lit("INSERT"))
+        .when(F.col("op") == "U", F.lit("UPDATE"))
+        .when(F.col("op") == "D", F.lit("DELETE"))
+    )
+    row_map = F.create_map(
+        *[x for c in row_cols for x in (F.lit(c), F.col(c).cast("string"))]
+    )
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.array(row_map).alias("data"),
+                canal_type.alias("type"),
+                F.unix_millis("event_ts").alias("es"),
+                F.col("event_sequence").alias("id"),
+                F.lit(False).alias("isDdl"),
+            )
+        ).alias("value")
+    )
+    parsed = parse_canal(raw, row_schema)
+    return parsed.select(
+        "event_sequence",
+        F.unix_millis("event_ts").alias("es_ms"),
+        "op",
+        *row_cols,
+    )
+
+
 def _q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile (operators/analytics.py::profile_table): per-
     column total/null/distinct counts in ONE global aggregate — the
@@ -1360,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replicate": _q_cdc_replicate,
         "cdc_debezium": _q_cdc_debezium,
         "events_dedup": _q_events_dedup,
+        "cdc_canal": _q_cdc_canal,
         "events_profile": _q_events_profile,
         "events_stream_join": _q_events_stream_join,
         "events_latest_per_user": _q_events_latest_per_user,
@@ -1968,6 +2010,11 @@ SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <=
     # mapped, the before image on deletes, and ms timestamp precision
     out["cdc_debezium"] = (
         f"SELECT event_sequence, epoch_ms(event_ts) AS ts_ms, op, "
+        f"repo, path, commit, lang, content FROM {log}"
+    )
+    # canal-json round trip preserves every record (same contract)
+    out["cdc_canal"] = (
+        f"SELECT event_sequence, epoch_ms(event_ts) AS es_ms, op, "
         f"repo, path, commit, lang, content FROM {log}"
     )
     # the changelog-refreshed rollup must equal the final-state aggregate

@@ -167,3 +167,84 @@ def test_maxwell_mapping(spark):
     assert [(r["event_sequence"], r["op"], r["path"]) for r in out] == [
         (1, "I", "a"), (2, "I", "b"), (3, "U", "a"), (4, "D", "b"),
     ]
+
+
+# ---- Canal (canal-json) ----------------------------------------------------
+
+
+def test_canal_batched_rows_ddl_and_errors(spark):
+    from wprdc_etl_spark.sources.envelopes import parse_canal
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("n", T.LongType())]
+    )
+    recs = [
+        # one record, TWO rows (canal batches) — values stringified
+        '{"data": [{"k": "a", "n": "1"}, {"k": "b", "n": "2"}],'
+        ' "type": "INSERT", "es": 1700000000000, "id": 1, "isDdl": false}',
+        '{"data": [{"k": "a", "n": "3"}],'
+        ' "type": "DELETE", "es": 1700000001000, "id": 2, "isDdl": false}',
+        '{"data": null, "type": "INSERT", "es": 1, "id": 3, "isDdl": true,'
+        ' "sql": "ALTER TABLE t ADD COLUMN x int"}',
+        '{"data": [{"k": "z"}], "type": "NOPE", "es": 1, "id": 4, "isDdl": false}',
+        "not json at all",
+        None,
+    ]
+    df = spark.createDataFrame([(r,) for r in recs], ["value"])
+    ok = parse_canal(df, schema).collect()
+    got = {(r["event_sequence"], r["op"], r["k"], r["n"]) for r in ok}
+    assert got == {(1, "I", "a", 1), (1, "I", "b", 2), (2, "D", "a", 3)}
+    kept = parse_canal(df, schema, keep_invalid=True)
+    errs = [r["_parse_error"] for r in kept.collect() if r["_parse_error"]]
+    assert "ddl statement" in errs
+    assert "unknown op: NOPE" in errs
+    assert "unparseable envelope" in errs
+    assert "tombstone: null value" in errs
+
+
+def test_canal_seq_by_event_time(spark):
+    from wprdc_etl_spark.sources.envelopes import parse_canal
+
+    schema = T.StructType([T.StructField("k", T.StringType())])
+    df = spark.createDataFrame(
+        [('{"data": [{"k": "a"}], "type": "UPDATE", "es": 1700000005000,'
+          ' "id": 9, "isDdl": false}',)],
+        ["value"],
+    )
+    r = parse_canal(df, schema, seq_expr="es").collect()[0]
+    assert r["event_sequence"] == 1700000005000 and r["op"] == "U"
+
+
+def test_canal_feeds_job_decode_and_merge(spark, tmp_path):
+    """IngestJob's envelope dispatch handles 'canal': a canal-json batch
+    decodes through _decode and merges to the expected final state."""
+    import json as _json
+
+    from test_lake_merge import mk_table
+
+    from wprdc_etl_spark.sources.envelopes import parse_canal
+
+    def rec(typ, rows_, id_):
+        return _json.dumps(
+            {"data": rows_, "type": typ, "es": 1700000000000 + id_,
+             "id": id_, "isDdl": False}
+        )
+
+    rows = [
+        rec("INSERT", [{"repo": "r1", "path": "a", "commit": "c", "lang": "py",
+                        "content": "v1"},
+                       {"repo": "r2", "path": "b", "commit": "c", "lang": "py",
+                        "content": "w"}], 1),
+        rec("UPDATE", [{"repo": "r1", "path": "a", "commit": "c", "lang": "py",
+                        "content": "v2"}], 2),
+        rec("DELETE", [{"repo": "r2", "path": "b", "commit": "c", "lang": "py",
+                        "content": "w"}], 3),
+    ]
+    df = spark.createDataFrame([(r,) for r in rows], ["value"])
+    ROW5 = T.StructType([T.StructField(c, T.StringType())
+                         for c in ["repo", "path", "commit", "lang", "content"]])
+    events = parse_canal(df, ROW5)
+    t = mk_table(spark, tmp_path)
+    t.merge(events.drop("event_ts"), job="canal", batch_id=0)
+    got = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+    assert got == {("r1", "a"): "v2"}

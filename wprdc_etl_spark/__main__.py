@@ -85,7 +85,7 @@ def main() -> None:
     ap.add_argument("--set", action="append", default=None, metavar="COL=EXPR",
                     help="update mode: column assignment as a SQL expression "
                          "(repeatable); key/bucket columns are rejected")
-    ap.add_argument("--envelope", choices=["debezium", "maxwell"], default=None,
+    ap.add_argument("--envelope", choices=["debezium", "maxwell", "canal"], default=None,
                     help="stream/batch modes: the source is JSONL connector "
                          "change records, decoded via sources/envelopes.py")
     ap.add_argument("--seq-field", default=None,
@@ -316,7 +316,8 @@ def main() -> None:
         ap.error("--source is required in stream/batch modes")
     env_opts = {}
     if args.seq_field:
-        env_opts["seq_field" if args.envelope == "debezium" else "seq_expr"] = args.seq_field
+        key = "seq_field" if args.envelope == "debezium" else "seq_expr"
+        env_opts[key] = args.seq_field
     job = (
         job.source(args.source, envelope=args.envelope, envelope_options=env_opts)
         .schema(IngestJob.default_payload_schema())

@@ -168,3 +168,63 @@ def _error_col(raw: Column, raw_op: Column, mapped_op: Column) -> Column:
         .when(raw_op.isNull(), F.lit("unparseable envelope"))
         .when(mapped_op.isNull(), F.concat(F.lit("unknown op: "), raw_op))
     )
+
+
+_CANAL_OPS = {"INSERT": "I", "UPDATE": "U", "DELETE": "D"}
+
+
+def parse_canal(
+    df: DataFrame,
+    row_schema: T.StructType,
+    *,
+    value_col: str = "value",
+    seq_expr: str = "id",
+    keep_invalid: bool = False,
+) -> DataFrame:
+    """Canal (Alibaba canal-json) records → engine change events. Canal
+    BATCHES rows: ``data`` is an ARRAY of row objects per record (deletes
+    carry the deleted rows in ``data``), values stringified — so the parse
+    is from_json → explode_outer (narrow, no shuffle) → per-field cast to
+    ``row_schema``. ``event_sequence`` defaults to ``id`` (the connector's
+    monotone batch id — record-level order, like Maxwell's xid; pass
+    ``seq_expr='es'`` to order by source event time instead). DDL records
+    (``isDdl: true``) are schema statements, not row changes — dropped (or
+    kept with ``_parse_error='ddl statement'`` under ``keep_invalid``)."""
+    schema = T.StructType(
+        [
+            T.StructField("database", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("es", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("isDdl", T.BooleanType()),
+            T.StructField("data", T.ArrayType(T.MapType(T.StringType(), T.StringType()))),
+            T.StructField("old", T.ArrayType(T.MapType(T.StringType(), T.StringType()))),
+        ]
+    )
+    env = F.from_json(F.col(value_col), schema)
+    tmp = df.select(
+        env.alias("_env"), F.col(value_col).alias("_raw")
+    ).select("_env", "_raw", F.explode_outer("_env.data").alias("_rowmap"))
+    op = _op_map(F.col("_env.type"), _CANAL_OPS)
+    err = (
+        F.when(F.col("_raw").isNull(), F.lit("tombstone: null value"))
+        .when(F.col("_env.type").isNull(), F.lit("unparseable envelope"))
+        .when(F.col("_env.isDdl"), F.lit("ddl statement"))
+        .when(op.isNull(), F.concat(F.lit("unknown op: "), F.col("_env.type")))
+        .when(F.col("_rowmap").isNull(), F.lit("no row payload"))
+    )
+    out = tmp.select(
+        F.col(f"_env.{seq_expr}").cast("long").alias("event_sequence"),
+        F.timestamp_millis(F.col("_env.es")).alias("event_ts"),
+        op.alias("op"),
+        *[
+            F.col("_rowmap").getItem(f.name).cast(f.dataType).alias(f.name)
+            for f in row_schema.fields
+        ],
+        err.alias("_parse_error"),
+    )
+    if keep_invalid:
+        return out
+    return out.where(F.col("_parse_error").isNull()).drop("_parse_error")

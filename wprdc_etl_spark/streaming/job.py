@@ -127,7 +127,7 @@ class IngestJob:
         one checkpoint) unioned into the same foreachBatch graph — a shard
         that stalls holds back only its own files, not the others' progress.
 
-        ``envelope='debezium'|'maxwell'`` reads the dirs as JSONL text files
+        ``envelope='debezium'|'maxwell'|'canal'`` reads the dirs as JSONL text files
         of connector change records instead of a parquet event log: each
         scan maps through sources/envelopes.py (one JVM-side from_json — the
         log-tailing-connector extract step) before the per-batch core, with
@@ -140,7 +140,7 @@ class IngestJob:
         """
         self._source_path = path
         if envelope is not None:
-            if envelope not in ("debezium", "maxwell"):
+            if envelope not in ("debezium", "maxwell", "canal"):
                 raise InvalidConfigException(f"unknown envelope {envelope!r}")
             fmt = "text" if fmt == "parquet" else fmt
         self._envelope = envelope
@@ -161,11 +161,16 @@ class IngestJob:
         """Envelope decode (no-op for native event logs)."""
         if self._envelope is None:
             return df
-        from wprdc_etl_spark.sources.envelopes import parse_debezium, parse_maxwell
+        from wprdc_etl_spark.sources.envelopes import (
+            parse_canal,
+            parse_debezium,
+            parse_maxwell,
+        )
 
         assert self._payload_schema is not None
         row_schema = self._payload_schema.to_struct_type()
-        fn = parse_debezium if self._envelope == "debezium" else parse_maxwell
+        fn = {"debezium": parse_debezium, "maxwell": parse_maxwell,
+              "canal": parse_canal}[self._envelope]
         return fn(df, row_schema, **self._envelope_options)
 
     def schema(self, payload_schema: BaseSchema) -> "IngestJob":
