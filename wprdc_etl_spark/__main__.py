@@ -36,7 +36,8 @@ def main() -> None:
                     choices=["stream", "batch", "compact", "rebucket", "changelog",
                              "export", "history", "rollback", "rollup", "optimize",
                              "replicate", "tag", "drop-tag", "requeue",
-                             "delete", "update", "publish", "abort-staged"],
+                             "delete", "update", "publish", "abort-staged",
+                             "profile", "lookup"],
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
@@ -74,6 +75,13 @@ def main() -> None:
                     help="requeue mode: comma-separated corrected lang "
                          "vocabulary (the 'rule fix'); default: the builtin "
                          "set, which re-quarantines everything unchanged")
+    ap.add_argument("--columns", default=None,
+                    help="profile mode: comma-separated columns (default all)")
+    ap.add_argument("--approx", action="store_true",
+                    help="profile mode: HLL distinct counts (the 100-TB path)")
+    ap.add_argument("--repo", default=None, help="lookup mode: repo key")
+    ap.add_argument("--path", default=None, help="lookup mode: path key")
+    ap.add_argument("--commit", default=None, help="lookup mode: commit key")
     ap.add_argument("--staged", action="store_true",
                     help="stream/batch modes: commit write-audit-publish "
                          "style — batches land on the version chain but "
@@ -210,6 +218,27 @@ def main() -> None:
         else:
             v = table.rollback(args.to_version)
             print(f"restored version {args.to_version} as new version {v}")
+        spark.stop()
+        return
+    if args.mode == "profile":
+        # data-quality acceptance report: one global aggregate over the
+        # table (operators/analytics.py::profile_table)
+        from wprdc_etl_spark.operators.analytics import profile_table
+
+        cols = [c.strip() for c in args.columns.split(",")] if args.columns else None
+        for r in profile_table(table.read(), cols, approx=args.approx).collect():
+            print(r.asDict())
+        spark.stop()
+        return
+    if args.mode == "lookup":
+        # bucket-pruned point lookup (no Spark job to find the bucket)
+        if args.sink == "iceberg":
+            ap.error("lookup mode supports the parquet-snapshot sink only")
+        keys = {k: v for k, v in
+                (("repo", args.repo), ("path", args.path), ("commit", args.commit))
+                if v is not None}
+        for r in table.lookup(**keys).collect():
+            print(r.asDict())
         spark.stop()
         return
     if args.mode in ("publish", "abort-staged"):
