@@ -35,6 +35,7 @@ from wprdc_etl_spark.functions import dedup as _dedup_sql  # noqa: E402
 from wprdc_etl_spark.functions import multimodal as _media_sql  # noqa: E402
 from wprdc_etl_spark.functions import similarity as _sim_sql  # noqa: E402
 from wprdc_etl_spark.functions import packing as _packing  # noqa: E402
+from wprdc_etl_spark.functions import sampling as _sampling  # noqa: E402
 from wprdc_etl_spark.functions import text as _text_sql  # noqa: E402
 from wprdc_etl_spark.testgen import LANGS, gen_change_events, write_event_log  # noqa: E402
 
@@ -61,6 +62,29 @@ def _fixture_log(spark: SparkSession, sf_dir: str) -> str:
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(_fixture_log(spark, sf_dir))
+
+
+def _fixture_patch_log(spark: SparkSession, sf_dir: str) -> str:
+    """Partial-image CDC log: the clean fixture log with ~2/3 of U events
+    turned into column patches (content or lang NULLed — 'NULL means
+    unchanged', operators/patch.py). Deterministic; anomalies off so patch
+    carry-forward is the ONLY semantic under test."""
+    label = _sf_label(sf_dir)
+    n = _SF_EVENTS.get(label, 20_000)
+    path = os.path.join(FIXTURES, label, "patch_events")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev = gen_change_events(spark, n, with_anomalies=False)
+        sel = F.pmod(F.xxhash64(F.lit("patch"), F.col("event_sequence")), F.lit(3))
+        is_u = F.col("op") == "U"
+        ev = ev.withColumn(
+            "content",
+            F.when(is_u & (sel == 0), F.lit(None).cast("string")).otherwise(F.col("content")),
+        ).withColumn(
+            "lang",
+            F.when(is_u & (sel == 1), F.lit(None).cast("string")).otherwise(F.col("lang")),
+        )
+        write_event_log(ev, path, n_files=8)
+    return path
 
 
 def _oracle_log(sf: str = "sf0.01") -> str:
@@ -518,6 +542,42 @@ def _q_cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     job.run_batch(spark, n_chunks=1)
     table.update_where(F.col("lang") == "go", {"lang": F.lit("golang")})
+    return table.read().select("repo", "path", "commit", "lang", "content_sha")
+
+
+def _q_cdc_patch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-image CDC merge (operators/patch.py::normalize_patches) — the
+    Debezium-column-filter / Maxwell-changed-columns-only feed: ~2/3 of U
+    events patch a single column (NULL = unchanged), replayed in 3 sequence
+    chunks. Each chunk is normalized to full images against the table's live
+    rows (bucket-pruned baseline, narrow carry-forward window, payload
+    late-materialized by rid) and rides the ordinary exactly-once LWW merge.
+    Oracle: a global carry-forward replay — per column, the latest "setter"
+    (I/D always set, D sets NULL, U sets iff non-null) at the key's winning
+    sequence."""
+    from wprdc_etl_spark.operators.fingerprint import with_content_sha
+    from wprdc_etl_spark.operators.patch import normalize_patches
+
+    label = _sf_label(sf_dir)
+    log = _fixture_patch_log(spark, sf_dir)
+    target = os.path.join(FIXTURES, "_targets", f"{label}_patch")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16)
+    ev = spark.read.parquet(log)
+    table.ensure(
+        T.StructType(
+            [f for f in ev.schema.fields if f.name not in ("op", "event_sequence", "event_ts")]
+        )
+    )
+    n = _SF_EVENTS.get(label, 20_000)
+    bounds = [0, n // 3, (2 * n) // 3, n]
+    for i in range(3):
+        chunk = ev.where(
+            (F.col("event_sequence") >= bounds[i])
+            & (F.col("event_sequence") < bounds[i + 1])
+        )
+        norm = normalize_patches(table, chunk, patch_cols=("lang", "content"))
+        table.merge(with_content_sha(norm), job="patch", batch_id=i + 1)
     return table.read().select("repo", "path", "commit", "lang", "content_sha")
 
 
@@ -1259,6 +1319,84 @@ def _q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=2, threshold=0.05)
 
 
+# per-language sampling fractions for doc_sample (keep all scarce langs,
+# thin the dominant one) — shared between the Spark query and its SQL twin
+_SAMPLE_FRACS = {"en": 0.25, "de": 1.0, "fr": 0.5}
+
+
+def _q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling
+    (functions/sampling.py::stratified_sample): keep 25% of English, all
+    German, half of French, none of anything else — membership a pure
+    function of the doc_id hash (reproducible across runs/partitionings;
+    scan-only predicate, no shuffle). sha2 leaf = the oracle-parity variant;
+    xxhash64 is the production leaf (same pluggable-leaf pattern as
+    MinHash)."""
+    from wprdc_etl_spark.functions.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        _SAMPLE_FRACS,
+        strata_col="lang",
+        key_cols=["doc_id"],
+        hash_fn="sha2",
+    ).select("doc_id", "lang", "source")
+
+
+def _q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test assignment
+    (functions/sampling.py::with_split): the split key is SOURCE, not
+    doc_id, so every doc of a source lands on one side — the guard that
+    keeps near-copies from straddling train and test. Deterministic 90/5/5
+    cumulative hash ranges; the label is a per-row CASE, no shuffle."""
+    from wprdc_etl_spark.functions.sampling import with_split
+
+    return with_split(
+        _docs(spark, sf_dir),
+        key_cols=["source"],
+        weights={"train": 0.9, "valid": 0.05, "test": 0.05},
+        hash_fn="sha2",
+    ).select("doc_id", "source", "split")
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap
+    (functions/text.py::chunk_documents): size 200, overlap 40 — one in-row
+    transform(sequence(...)) + posexplode, no shuffle, no Python. Chunk
+    text is sha'd so the hash compare binds every byte of every window."""
+    from wprdc_etl_spark.functions.text import chunk_documents
+
+    out = chunk_documents(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", size=200, overlap=40
+    )
+    return out.select(
+        "doc_id", "chunk_id", F.sha2(F.col("chunk"), 256).alias("chunk_sha")
+    )
+
+
+def _q_doc_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/text.py::redact_pii): emails, IPv4s and long
+    digit runs → typed placeholders, a JVM regexp_replace chain. The corpus
+    text carries no PII, so the query plants a deterministic contact line
+    per doc (same expression in the SQL twin) and redacts it — the hash
+    compare proves the exact replacement spans."""
+    from wprdc_etl_spark.functions.text import redact_pii
+
+    docs = _docs(spark, sf_dir)
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com at 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".7, acct 9000000000"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        "doc_id", F.sha2(redact_pii(salted), 256).alias("redacted_sha")
+    )
+
+
 def _q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wprdc_etl_spark.functions.similarity import cosine_topk
 
@@ -1388,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_wap_publish": _q_cdc_wap_publish,
         "cdc_delete_where": _q_cdc_delete_where,
         "cdc_update_where": _q_cdc_update_where,
+        "cdc_patch_merge": _q_cdc_patch_merge,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_type_widening": _q_cdc_type_widening,
         "cdc_time_travel": _q_cdc_time_travel,
@@ -1427,6 +1566,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_shards": _q_doc_pack_shards,
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
+        "doc_sample": _q_doc_sample,
+        "doc_train_split": _q_doc_train_split,
+        "doc_chunks": _q_doc_chunks,
+        "doc_redact": _q_doc_redact,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_ann_topk": _q_emb_ann_topk,
@@ -1930,6 +2073,37 @@ FROM documents
         ),
         "doc_quality": f"SELECT doc_id, {_text_sql.quality_score_sql('text')} AS quality FROM documents",
         "doc_lang_id": f"SELECT doc_id, {_text_sql.lang_id_sql('text')} AS lang_pred FROM documents",
+        # stratified sampling: membership = sha2-slot(doc_id) under the
+        # per-language threshold (functions/sampling.py; CASE == the
+        # engine's when-chain threshold)
+        "doc_sample": (
+            f"SELECT doc_id, lang, source FROM documents "
+            f"WHERE {_sampling.slot_sql(['doc_id'], 42)} < "
+            f"CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 1000000 "
+            f"WHEN 'fr' THEN 500000 ELSE 0 END"
+        ),
+        # leakage-safe split: cumulative sha2-slot(source) ranges
+        "doc_train_split": (
+            f"SELECT doc_id, source, "
+            f"{_sampling.split_sql(['source'], {'train': 0.9, 'valid': 0.05, 'test': 0.05}, 42)} "
+            f"AS split FROM documents"
+        ),
+        # fixed-window chunking with overlap (size 200, overlap 40)
+        "doc_chunks": (
+            f"SELECT doc_id, chunk_id, sha256(chunk) AS chunk_sha FROM "
+            f"({_text_sql.chunk_sql('documents', size=200, overlap=40)})"
+        ),
+        # PII scrub of the deterministically salted contact line
+        "doc_redact": (
+            "SELECT doc_id, sha256("
+            + _text_sql.redact_pii_sql(
+                "(text || ' contact user' || CAST(doc_id AS VARCHAR) "
+                "|| '@mail.example.com at 10.0.' "
+                "|| CAST(doc_id % 256 AS VARCHAR) "
+                "|| '.7, acct 9000000000' || CAST(doc_id AS VARCHAR))"
+            )
+            + ") AS redacted_sha FROM documents"
+        ),
         "doc_ngram_jaccard": r"""
 WITH toks AS (
   SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t FROM documents
@@ -1999,6 +2173,34 @@ SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <=
     )
     assert out["cdc_delete_where"] != out["cdc_final_state"]  # replace() anchored
     assert out["cdc_update_where"] != out["cdc_final_state"]
+    # partial-image merge: global carry-forward replay of the patch log.
+    # Per column, a row "sets" the value iff it is I/D (D sets NULL — delete
+    # resets the patch base) or a non-null U; the effective image at each
+    # event is the latest setter's value; final state = the image at the
+    # key's winning sequence (operators/patch.py module doc, rule for rule).
+    patch_log = _oracle_log().replace("change_events", "patch_events")
+    out["cdc_patch_merge"] = f"""
+WITH ev AS (SELECT * FROM {patch_log}),
+eff AS (
+  SELECT repo, path, commit, event_sequence, op,
+    struct_extract(last_value(CASE WHEN op <> 'U' OR lang IS NOT NULL
+        THEN struct_pack(v := CASE WHEN op = 'D' THEN NULL ELSE lang END)
+        END IGNORE NULLS) OVER w, 'v') AS lang,
+    struct_extract(last_value(CASE WHEN op <> 'U' OR content IS NOT NULL
+        THEN struct_pack(v := CASE WHEN op = 'D' THEN NULL ELSE content END)
+        END IGNORE NULLS) OVER w, 'v') AS content
+  FROM ev
+  WINDOW w AS (PARTITION BY repo, path, commit ORDER BY event_sequence
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY repo, path, commit ORDER BY event_sequence DESC) AS rn
+    FROM eff) t WHERE rn = 1
+)
+SELECT repo, path, commit, lang, sha256(content) AS content_sha
+FROM latest WHERE op <> 'D'
+""".strip()
     # incremental-index pairs must equal the batch LSH pair set exactly
     out["doc_incremental_near_dup"] = out["doc_minhash_pairs"]
     # the availableNow stream-stream join equals the batch interval join

@@ -154,3 +154,74 @@ def test_dml_interleaving_matches_reference(spark, tmp_path_factory, ops):
     }
     want = {k: (v[2], v[3]) for k, v in visible().items()}
     assert got == want
+
+
+# ---- partial-image (patch) merge vs a pure-Python carry-forward reference --
+#
+# operators/patch.py defines: U-NULL-in-patch-col = unchanged (carry), I =
+# full image (resets), D = all-null patch base; normalize∘merge is
+# batch-split invariant. The reference below applies events sequentially —
+# the property says the distributed normalize+merge under ANY chunking
+# equals it exactly.
+
+patch_events = st.lists(
+    st.tuples(
+        keys,
+        st.sampled_from(["I", "U", "D"]),
+        st.one_of(st.none(), st.text("xy", min_size=1, max_size=2)),
+        st.one_of(st.none(), st.text("mn", min_size=1, max_size=2)),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _ref_patch_final(rows):
+    img, last_op = {}, {}
+    for _seq, op, r, p, c, lang, content in rows:
+        k = (r, p, c)
+        if op == "I":
+            img[k] = (lang, content)
+        elif op == "D":
+            img[k] = (None, None)
+        else:
+            cur = img.get(k, (None, None))
+            img[k] = (
+                lang if lang is not None else cur[0],
+                content if content is not None else cur[1],
+            )
+        last_op[k] = op
+    return {k: v for k, v in img.items() if last_op[k] != "D"}
+
+
+def _apply_patch_rows(spark, tmp, rows, cuts):
+    from wprdc_etl_spark.operators.patch import patch_merge
+
+    t = ParquetSnapshotTable(spark, str(tmp), n_buckets=2)
+    t.ensure(PAYLOAD)
+    max_seq = max(r[0] for r in rows) + 1
+    bounds = [0] + sorted(min(c, max_seq) for c in cuts) + [max_seq]
+    for bid, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        batch = [r for r in rows if lo <= r[0] < hi]
+        if batch:
+            patch_merge(
+                t, spark.createDataFrame(batch, EV_SCHEMA), job="prop", batch_id=bid + 1
+            )
+    return {
+        (r["repo"], r["path"], r["commit"]): (r["lang"], r["content"])
+        for r in t.read().collect()
+    }
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(log=patch_events, cut=st.integers(min_value=0, max_value=9))
+def test_patch_merge_equals_sequential_carry_forward(
+    spark, tmp_path_factory, log, cut
+):
+    rows = [
+        (seq, op, k[0], k[1], k[2], lang, content)
+        for seq, (k, op, lang, content) in enumerate(log)
+    ]
+    tmp = tmp_path_factory.mktemp("patchprop")
+    want = _ref_patch_final(rows)
+    assert _apply_patch_rows(spark, tmp / "chunked", rows, cuts=[cut]) == want

@@ -93,6 +93,15 @@ def main() -> None:
     ap.add_argument("--set", action="append", default=None, metavar="COL=EXPR",
                     help="update mode: column assignment as a SQL expression "
                          "(repeatable); key/bucket columns are rejected")
+    ap.add_argument("--patch", action="store_true",
+                    help="stream/batch modes: treat U events as partial "
+                         "images (NULL = unchanged); normalize to full "
+                         "images against the live table before validation "
+                         "(operators/patch.py)")
+    ap.add_argument("--patch-cols", default=None,
+                    help="comma-separated NULL-means-unchanged columns "
+                         "(default: every non-key payload column; implies "
+                         "--patch)")
     ap.add_argument("--envelope", choices=["debezium", "maxwell", "canal"], default=None,
                     help="stream/batch modes: the source is JSONL connector "
                          "change records, decoded via sources/envelopes.py")
@@ -120,6 +129,8 @@ def main() -> None:
             max_files_per_trigger=args.max_files_per_trigger,
             quarantine_dir=args.quarantine_dir,
             staged=args.staged,
+            patch=args.patch,
+            patch_cols=args.patch_cols.split(",") if args.patch_cols else None,
         )
     )
     if args.mode == "requeue":

@@ -1,9 +1,16 @@
 from wprdc_etl_spark.functions.text import (
     bpe_ish_token_count,
+    chunk_documents,
     lang_id,
     quality_score,
+    redact_pii,
     rolling_fingerprint,
     token_count,
+)
+from wprdc_etl_spark.functions.sampling import (
+    hash_sample,
+    stratified_sample,
+    with_split,
 )
 from wprdc_etl_spark.functions.dedup import (
     exact_dedup,
@@ -48,4 +55,9 @@ __all__ = [
     "connected_components",
     "dedup_clusters",
     "NearDupIndex",
+    "chunk_documents",
+    "redact_pii",
+    "hash_sample",
+    "stratified_sample",
+    "with_split",
 ]

@@ -1,0 +1,158 @@
+"""Deterministic hash-based sampling and dataset splitting for training data.
+
+Training-corpus pipelines need samples and train/valid/test splits that are
+
+- **reproducible** — rerunning over the same 100 TB yields the same rows,
+  regardless of partitioning, cluster size, or execution order (so a random()
+  call per row is out: Spark's sample() re-draws under retries/replans);
+- **leakage-safe** — all rows sharing a *group key* (a repo, a domain, a
+  near-dup cluster id) land on the same side of a split, or the held-out set
+  is contaminated by near-copies of training docs;
+- **scan-only** — a pure per-row predicate/projection: no shuffle, no state,
+  filter evaluated inside whole-stage codegen next to the parquet scan.
+
+All three come from one idea: hash the group key to a uniform 60-bit value,
+take it mod a fixed scale, and compare against fraction thresholds. The hash
+is the unit of randomness, so membership is a deterministic property of the
+KEY — stable across runs, machines, and engine versions.
+
+Leaf hashes (same pluggable-leaf pattern as functions/dedup.py):
+
+- ``xxhash64`` (default): JVM xxhash64 — the production path.
+- ``sha2``: first 15 hex chars of sha256 over a '\\x1f'-joined key — slower,
+  but bit-identical in DuckDB (``CAST('0x'||substr(sha256(k),1,15) AS
+  BIGINT)``), which is what makes the driver oracles exact.
+
+No reference analog (``pipeline/`` has no sampling); this is the
+training-data surface the 100-TB brief adds on top of wprdc-etl parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000  # fraction resolution: 1e-6
+
+_SEP = "\x1f"  # unit separator — unambiguous multi-column key join
+
+
+def _key_slot(key_cols: list[str], seed: int, hash_fn: str) -> Column:
+    """Uniform slot in [0, SCALE) as a pure function of the key columns."""
+    cols = [F.col(c) for c in key_cols]
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(*cols, F.lit(seed))
+    elif hash_fn == "sha2":
+        joined = F.concat_ws(_SEP, *[c.cast("string") for c in cols], F.lit(str(seed)))
+        h = F.conv(F.substring(F.sha2(joined, 256), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (expected 'xxhash64' or 'sha2')")
+    return F.pmod(h, F.lit(SCALE))
+
+
+def slot_sql(key_exprs: list[str], seed: int) -> str:
+    """DuckDB twin of ``_key_slot(..., hash_fn='sha2')`` (pmod == % here:
+    the parsed 60-bit value is non-negative)."""
+    joined = " , ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
+    return (
+        f"(CAST(('0x' || substr(sha256(concat_ws(chr(31), {joined}, '{seed}')), 1, 15)) "
+        f"AS BIGINT) % {SCALE})"
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_cols: list[str],
+    *,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of key groups (scan-only filter).
+
+    Sampling is BY KEY GROUP: every row whose ``key_cols`` hash to a kept
+    slot survives, so sampling on ``["repo"]`` keeps whole repos — the
+    leakage-safe unit — while ``["doc_id"]`` is plain per-row Bernoulli.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    k = int(round(fraction * SCALE))
+    return df.where(_key_slot(key_cols, seed, hash_fn) < F.lit(k))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    key_cols: list[str],
+    *,
+    default_fraction: float = 0.0,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — e.g. keep 100% of low-resource
+    languages and 5% of English. ``fractions`` maps stratum value →
+    fraction; unlisted strata get ``default_fraction``. One CASE expression
+    per row (codegen'd), no shuffle, no per-stratum jobs."""
+    thr: Column = F.lit(int(round(default_fraction * SCALE)))
+    for value, frac in sorted(fractions.items()):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {value!r} must be in [0,1], got {frac}")
+        thr = F.when(F.col(strata_col) == value, F.lit(int(round(frac * SCALE)))).otherwise(thr)
+    return df.where(_key_slot(key_cols, seed, hash_fn) < thr)
+
+
+def with_split(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    weights: dict[str, float] | None = None,
+    out_col: str = "split",
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Assign a deterministic train/valid/test label per KEY GROUP.
+
+    ``weights`` maps label → weight (normalized; default 98/1/1). Labels are
+    assigned by cumulative slot ranges in the given dict order, so all rows
+    of a group (same ``key_cols``) share one label — the near-dup-leakage
+    guard: split on the dedup cluster id or the repo, never the raw doc id,
+    and no near-copy straddles train and test."""
+    weights = weights or {"train": 0.98, "valid": 0.01, "test": 0.01}
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    slot = _key_slot(key_cols, seed, hash_fn)
+    labels = list(weights.items())
+    # cumulative ranges: label i owns [bound_{i-1}, bound_i); build the CASE
+    # back-to-front so the SMALLEST bound is tested first (chain evaluates
+    # top-down) and the last label absorbs rounding remainder.
+    expr: Column = F.lit(labels[-1][0])
+    cum = 0.0
+    bounds: list[tuple[str, int]] = []
+    for name, w in labels[:-1]:
+        cum += w / total
+        bounds.append((name, int(round(cum * SCALE))))
+    for name, bound in reversed(bounds):
+        expr = F.when(slot < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def split_sql(
+    key_exprs: list[str],
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+) -> str:
+    """DuckDB CASE twin of ``with_split(..., hash_fn='sha2')``."""
+    weights = weights or {"train": 0.98, "valid": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    slot = slot_sql(key_exprs, seed)
+    labels = list(weights.items())
+    cases = []
+    cum = 0.0
+    for name, w in labels[:-1]:
+        cum += w / total
+        cases.append(f"WHEN {slot} < {int(round(cum * SCALE))} THEN '{name}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{labels[-1][0]}' END"

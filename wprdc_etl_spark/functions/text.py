@@ -106,6 +106,102 @@ def lang_id_sql(text_expr: str = "text") -> str:
     return f"CASE {cases} ELSE 'und' END"
 
 
+def chunk_documents(
+    df,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 512,
+    overlap: int = 0,
+    keep_cols: list[str] | None = None,
+):
+    """Split documents into fixed-width character windows with overlap — the
+    context-window packing precursor (embedding indexing, long-doc training).
+
+    Chunk i covers ``[i*step, i*step+size)`` with ``step = size - overlap``;
+    the last chunk may be shorter; a doc with ``len <= size`` yields exactly
+    one chunk; NULL text yields no chunks. Pure built-ins: the chunk list is
+    one in-row ``transform(sequence(...))`` and a single ``posexplode`` —
+    no shuffle, no Python; output size is len/step rows per doc, streamed
+    out of the scan. (Token-aware chunking = run this on a pre-tokenized
+    string; the window arithmetic is identical.)
+    """
+    if overlap < 0 or overlap >= size:
+        raise ValueError(f"need 0 <= overlap < size, got size={size} overlap={overlap}")
+    step = size - overlap
+    n = F.when(F.length(text_col) <= size, F.lit(1)).otherwise(
+        F.ceil((F.length(text_col) - F.lit(size)) / F.lit(float(step))) + 1
+    )
+    chunks = F.expr(
+        f"transform(sequence(0L, __n_chunks - 1L), "
+        f"i -> substring({text_col}, CAST(i AS INT) * {step} + 1, {size}))"
+    )
+    base = df.where(F.col(text_col).isNotNull()).withColumn("__n_chunks", n)
+    keep = keep_cols or []
+    out = base.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.posexplode(chunks).alias("chunk_id", "chunk"),
+    )
+    return out
+
+
+def chunk_sql(
+    relation: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 512,
+    overlap: int = 0,
+) -> str:
+    """DuckDB twin of chunk_documents (generate_series is inclusive, hence
+    ``n-1``; substring is 1-based in both dialects; the list-valued
+    generate_series + SELECT-level unnest form — the table-function form
+    rejects lateral column arguments)."""
+    step = size - overlap
+    n = (
+        f"CASE WHEN length({text_col}) <= {size} THEN 1 "
+        f"ELSE CAST(ceil((length({text_col}) - {size}) / CAST({step} AS DOUBLE)) AS BIGINT) + 1 END"
+    )
+    return (
+        f"SELECT {id_col}, chunk_id, "
+        f"substring({text_col}, CAST(chunk_id AS INT) * {step} + 1, {size}) AS chunk "
+        f"FROM (SELECT {id_col}, {text_col}, "
+        f"unnest(generate_series(0, ({n}) - 1)) AS chunk_id "
+        f"FROM {relation} WHERE {text_col} IS NOT NULL)"
+    )
+
+
+# PII scrubbing: ordered (pattern → replacement) rules. RE2/Java-common
+# syntax only (no lookaround), so the Spark and DuckDB engines replace the
+# exact same spans. Email first (it contains digit runs), then IPv4, then
+# long digit runs (phone/account numbers).
+PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{10,}\b", "<NUM>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails / IPv4s / long digit runs with typed placeholders —
+    a chain of JVM regexp_replace calls (codegen'd, no Python)."""
+    out = col
+    for pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redact_pii_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of redact_pii (global flag; same rule order; DuckDB
+    string literals keep backslashes verbatim — no re-escaping)."""
+    out = text_expr
+    for pat, repl in PII_RULES:
+        sql_pat = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{repl}', 'g')"
+    return out
+
+
 _FP_BASE = np.uint64(1_000_003)
 
 

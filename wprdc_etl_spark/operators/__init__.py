@@ -1,6 +1,7 @@
 from wprdc_etl_spark.operators.dedup import dedup_events, dedup_events_streaming
 from wprdc_etl_spark.operators.latest import latest_per_key
 from wprdc_etl_spark.operators.fingerprint import with_content_sha, state_fingerprint
+from wprdc_etl_spark.operators.patch import normalize_patches, patch_merge
 from wprdc_etl_spark.operators.skew import salted_repartition
 
 __all__ = [
@@ -9,5 +10,7 @@ __all__ = [
     "latest_per_key",
     "with_content_sha",
     "state_fingerprint",
+    "normalize_patches",
+    "patch_merge",
     "salted_repartition",
 ]

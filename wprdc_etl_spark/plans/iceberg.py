@@ -333,6 +333,55 @@ def merge_sql(table: str, keys: list[str], batch_cols: list[str], table_cols: li
     )
 
 
+def patch_merge_sql(
+    table: str,
+    keys: list[str],
+    batch_cols: list[str],
+    table_cols: list[str],
+    patch_cols: list[str],
+) -> str:
+    """Partial-image MERGE (operators/patch.py semantics, Iceberg-side).
+
+    Valid when each key appears AT MOST ONCE in the source batch (the
+    single-image-per-key shape a connector's per-transaction feed has);
+    multi-event batches must be pre-collapsed with
+    ``operators.patch.normalize_patches`` and use the ordinary ``merge_sql``.
+
+    - matched U with a NULL patch column keeps the target value
+      (``COALESCE(s.c, t.c)`` — "NULL means unchanged");
+    - matched non-patch columns follow full-image semantics (``s.c`` / NULL
+      for batch-absent table columns), exactly like ``merge_sql``;
+    - D rows tombstone via ``_op='D'`` update, NOT a physical DELETE — a
+      late straggler must still lose LWW against the tombstone's sequence —
+      and null every non-key column (delete resets the patch base).
+    """
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    sets = []
+    for c in table_cols:
+        if c in keys:
+            continue
+        if c.startswith("_"):
+            # internal LWW columns (_seq/_op) always follow the source row
+            sets.append(f"t.{c} = s.{c}")
+        elif c in patch_cols and c in batch_cols:
+            sets.append(f"t.{c} = CASE WHEN s._op = 'D' THEN NULL "
+                        f"WHEN s._op = 'U' THEN COALESCE(s.{c}, t.{c}) "
+                        f"ELSE s.{c} END")
+        elif c in batch_cols:
+            sets.append(f"t.{c} = CASE WHEN s._op = 'D' THEN NULL ELSE s.{c} END")
+        else:
+            sets.append(f"t.{c} = NULL")
+    set_clause = ", ".join(sets)
+    insert_cols = ", ".join(batch_cols)
+    insert_vals = ", ".join(f"s.{c}" for c in batch_cols)
+    return (
+        f"MERGE INTO {table} t USING _merge_src s ON {on} "
+        f"WHEN MATCHED AND (s._seq > t._seq OR (s._seq = t._seq AND s._op >= t._op)) "
+        f"THEN UPDATE SET {set_clause} "
+        f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    )
+
+
 class IcebergTable(LakeTable):
     """Keyed MERGE INTO an Iceberg table with a lineage side table."""
 

@@ -65,6 +65,8 @@ class IngestJob:
         quarantine_dir: str | None = None,
         stream_dedup: str = "merge",
         staged: bool = False,
+        patch: bool = False,
+        patch_cols: list[str] | None = None,
     ) -> None:
         self.name = name
         self.lateness = lateness  # None → late events are applied, not dropped
@@ -89,6 +91,17 @@ class IngestJob:
         # WAP: commit every batch staged; an auditor publish()es the chain
         # (plans/lake.py write-audit-publish section). Parquet sink only.
         self.staged = staged
+        # Partial-image CDC feed (operators/patch.py): normalize every
+        # (micro-)batch's column patches into full images against the sink's
+        # live rows BEFORE validation — a carried-forward image validates
+        # like any full row, while a patch with no base keeps its NULLs and
+        # quarantines under the ordinary rules. ``patch_cols`` narrows the
+        # NULL-means-unchanged columns (default: every non-key payload
+        # column). With a lateness rule, late rows are dropped downstream of
+        # normalization: their values still seed later images in the same
+        # batch (per-key in-order delivery is the patch contract anyway).
+        self.patch = patch or patch_cols is not None
+        self.patch_cols = list(patch_cols) if patch_cols is not None else None
         # B5: persist quarantined rows (with their per-field error report)
         # for inspection — the distributed descendant of marshmallow's
         # returned ``errors`` dict. None → count-only (lineage).
@@ -242,6 +255,11 @@ class IngestJob:
         state: dict = {}
         if hasattr(sink, "job_state"):
             state = sink.job_state(self.name)
+
+        if self.patch:
+            from wprdc_etl_spark.operators.patch import normalize_patches
+
+            batch_df = normalize_patches(sink, batch_df, self.patch_cols)
 
         # validate (B5) → flag rows. Exact-redelivery dedup (B3) needs no
         # shuffle of its own here: in streaming it is the stateful
