@@ -1397,6 +1397,21 @@ def _q_doc_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (functions/dedup.py::contamination_flags):
+    every 20th doc plays the held-out eval set; corpus docs sharing ANY
+    word 5-gram with it are flagged (13 is the production default; 5 fits
+    the synthetic doc lengths). Benchmark gram set broadcasts; corpus rows
+    never shuffle. sha2 leaf = oracle-parity variant."""
+    from wprdc_etl_spark.functions.dedup import contamination_flags
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(20)) == 0).select("doc_id", "text")
+    return contamination_flags(docs, bench, n=5, hash_fn="sha2").select(
+        "doc_id", "contaminated"
+    )
+
+
 def _q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wprdc_etl_spark.functions.similarity import cosine_topk
 
@@ -1571,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "doc_redact": _q_doc_redact,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
+        "doc_decontaminate": _q_doc_decontaminate,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_ann_topk": _q_emb_ann_topk,
         "emb_near_dup": _q_emb_near_dup,
@@ -2092,6 +2108,12 @@ FROM documents
         "doc_chunks": (
             f"SELECT doc_id, chunk_id, sha256(chunk) AS chunk_sha FROM "
             f"({_text_sql.chunk_sql('documents', size=200, overlap=40)})"
+        ),
+        # benchmark decontamination: shared-5-gram flags vs the %20 eval set
+        "doc_decontaminate": _dedup_sql.contamination_sql(
+            "documents",
+            "(SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0)",
+            n=5,
         ),
         # PII scrub of the deterministically salted contact line
         "doc_redact": (

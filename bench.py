@@ -166,6 +166,35 @@ def main() -> None:
         )
         mk_job(table).apply_batch(inc, batch_id=101)
 
+    def q_patch_apply():
+        # steady-state partial-image batch (operators/patch.py): 1%-sized
+        # trickle where ~2/3 of U events are column patches, normalized
+        # against the populated table (bucket-pruned baseline + narrow
+        # carry-forward + rid late-materialization) then merged as usual
+        table = ParquetSnapshotTable(
+            spark, os.path.join(BENCH_TMP, "tbl"), n_buckets=64
+        )
+        inc = gen_change_events(spark, max(1000, n_events // 100)).withColumn(
+            "event_sequence", F.col("event_sequence") + 4 * n_events
+        )
+        sel = F.pmod(F.xxhash64(F.lit("p"), F.col("event_sequence")), F.lit(3))
+        is_u = F.col("op") == "U"
+        inc = inc.withColumn(
+            "content",
+            F.when(is_u & (sel == 0), F.lit(None).cast("string")).otherwise(F.col("content")),
+        ).withColumn(
+            "lang",
+            F.when(is_u & (sel == 1), F.lit(None).cast("string")).otherwise(F.col("lang")),
+        )
+        job = (
+            IngestJob("bench", patch=True)
+            .source(log)
+            .schema(IngestJob.default_payload_schema())
+            .sink(table)
+            .build()
+        )
+        job.apply_batch(inc, batch_id=102)
+
     from wprdc_etl_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures
     from wprdc_etl_spark.functions.similarity import cosine_near_dup_pairs
     from wprdc_etl_spark.functions.text import lang_id, quality_score
@@ -218,6 +247,7 @@ def main() -> None:
         ("cdc_incremental", q_incremental),
         ("cdc_replay_stream", q_replay_stream),
         ("cdc_incremental_mor", q_incremental_mor),
+        ("cdc_patch_apply", q_patch_apply),
         ("doc_minhash_lsh", q_doc_minhash_lsh),
         ("doc_quality_langid", q_doc_quality_langid),
         ("emb_near_dup", q_emb_near_dup),

@@ -559,3 +559,64 @@ def test_unknown_cc_algorithm_raises(spark):
     pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
     with pytest.raises(ValueError, match="unknown algorithm"):
         connected_components(pairs, algorithm="nope")
+
+
+# ---- benchmark decontamination ----------------------------------------------
+
+
+def test_contamination_flags_shared_ngram(spark):
+    from wprdc_etl_spark.functions.dedup import contamination_flags
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated text about databases and storage"),
+            (3, "prefix words then the quick brown fox jumps over more"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps over the fence")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination_flags(corpus, bench, n=5).collect()
+    }
+    # docs 1 and 3 share the 5-gram "the quick brown fox jumps"
+    assert out == {1: True, 2: False, 3: True}
+
+
+def test_contamination_short_doc_whole_text_convention(spark):
+    from wprdc_etl_spark.functions.dedup import contamination_flags
+
+    corpus = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "other thing")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(9, "tiny doc")], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination_flags(corpus, bench, n=13).collect()
+    }
+    assert out == {1: True, 2: False}
+
+
+def test_contamination_sql_twin_matches(spark, docs):
+    import duckdb
+
+    from wprdc_etl_spark.functions.dedup import contamination_flags, contamination_sql
+
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(20)) == 0).select("doc_id", "text")
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination_flags(docs, bench, n=5, hash_fn="sha2")
+        .select("doc_id", "contaminated")
+        .collect()
+    }
+    assert any(got.values()) and not all(got.values())
+    sql = contamination_sql(
+        f"read_parquet('{SF}/documents.parquet')",
+        f"(SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') WHERE doc_id % 20 = 0)",
+        n=5,
+    )
+    want = dict(duckdb.sql(sql).fetchall())
+    assert got == want

@@ -13,6 +13,7 @@ from wprdc_etl_spark.functions.sampling import (
     with_split,
 )
 from wprdc_etl_spark.functions.dedup import (
+    contamination_flags,
     exact_dedup,
     minhash_signatures,
     lsh_candidate_pairs,
@@ -55,6 +56,7 @@ __all__ = [
     "connected_components",
     "dedup_clusters",
     "NearDupIndex",
+    "contamination_flags",
     "chunk_documents",
     "redact_pii",
     "hash_sample",

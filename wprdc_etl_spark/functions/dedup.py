@@ -320,6 +320,81 @@ WHERE round(len(list_filter(list_zip(sa.signature, sb.signature), x -> x[1] = x[
 """
 
 
+def _word_ngrams(text_col: str, n: int) -> Column:
+    """Distinct word n-grams (the ngram_jaccard_pairs convention: docs with
+    fewer than n words contribute their whole text as one 'gram')."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    hash_fn: str = "xxhash64",
+    out_col: str = "contaminated",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ANY word n-gram
+    with an evaluation set (the industry-standard 13-gram collision rule;
+    pass a smaller ``n`` for short-document corpora).
+
+    Scale shape for a 100-TB corpus vs a few-MB benchmark: the benchmark's
+    DISTINCT n-gram hash set is tiny and BROADCASTS; corpus n-grams are
+    generated in-row (transform over the token array — no shuffle) and meet
+    the set in a broadcast semi join, so no corpus byte ever shuffles — the
+    only aggregation is the distinct over flagged doc ids, O(|hits|). The
+    n-gram leaf hash is pluggable (xxhash64 production / sha2 for the exact
+    DuckDB twin, the functions/dedup.py convention); exact-copy
+    decontamination is the degenerate case via ``exact_dedup``'s sha key.
+    """
+    bng = (
+        benchmark.select(F.explode(_word_ngrams(text_col, n)).alias("_s"))
+        .select(_leaf_hash(F.col("_s"), hash_fn).alias("_g"))
+        .distinct()
+    )
+    cng = corpus.select(F.col(id_col), F.explode(_word_ngrams(text_col, n)).alias("_s"))
+    cng = cng.select(id_col, _leaf_hash(F.col("_s"), hash_fn).alias("_g"))
+    hits = cng.join(F.broadcast(bng), "_g", "left_semi").select(id_col).distinct()
+    return corpus.join(
+        hits.withColumn(out_col, F.lit(True)), [id_col], "left"
+    ).withColumn(out_col, F.coalesce(F.col(out_col), F.lit(False)))
+
+
+def contamination_sql(
+    corpus: str,
+    benchmark: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> str:
+    """DuckDB twin of contamination_flags(hash_fn='sha2'): same tokenizer
+    (regex whitespace split of trimmed text), same short-doc convention,
+    same sha2 leaf on the joined gram strings."""
+    leaf = leaf_hash_sql(f"array_to_string(w[CAST(i AS INT):CAST(i AS INT)+{n - 1}], ' ')")
+    grams = (
+        f"SELECT {{id_sel}} {leaf} AS g FROM ("
+        f"SELECT {{id_col_inner}} w, unnest(generate_series(1, greatest(len(w) - {n - 1}, 1))) AS i "
+        f"FROM (SELECT {{id_col_inner}} string_split_regex(trim({text_col}), '\\s+') AS w "
+        f"FROM {{rel}}))"
+    )
+    bng = grams.format(id_sel="DISTINCT", id_col_inner="", rel=benchmark)
+    cng = grams.format(id_sel=f"DISTINCT {id_col},", id_col_inner=f"{id_col},", rel=corpus)
+    return f"""
+SELECT c.{id_col}, (h.{id_col} IS NOT NULL) AS contaminated
+FROM {corpus} c
+LEFT JOIN (SELECT DISTINCT cg.{id_col}
+           FROM ({cng}) cg JOIN ({bng}) bg USING (g)) h
+  USING ({id_col})
+""".strip()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,
@@ -349,12 +424,9 @@ def ngram_jaccard_pairs(
       output) — restrict the quadratic verifier to candidate pairs via a
       semi-join on both sides of the intersection.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
-    ngrams = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    base = df.select(
+        F.col(id_col), F.col(block_col).alias("_blk"), _word_ngrams(text_col, n).alias("_ng")
     )
-    base = df.select(F.col(id_col), F.col(block_col).alias("_blk"), ngrams.alias("_ng"))
     sizes = base.select(F.col(id_col), F.col("_blk"), F.size("_ng").alias("_n"))
     exploded = base.select(F.col(id_col), F.col("_blk"), F.explode("_ng").alias("_g"))
     if max_doc_freq is not None:
