@@ -135,6 +135,15 @@ sections.append(("Row-level DELETE WHERE (tombstone batch)",
   "delete_where's batch: the current state filtered by the predicate and projected to the key columns before entering the merge — `ReadSchema` on the scan carries only the keys, the predicate column (lang) and `_op`; `content`, the wide column, never enters the delete batch, so a compliance delete moves no payload bytes. The merge then rewrites only buckets holding matches.",
   cap(del_batch)))
 
+from wprdc_etl_spark.operators.patch import normalize_patches
+patch_batch = (ev.limit(300)
+               .withColumn("content", F.when((F.col("op") == "U") &
+                                             (F.pmod(F.xxhash64("event_sequence"), F.lit(2)) == 0),
+                                             F.lit(None).cast("string")).otherwise(F.col("content"))))
+sections.append(("Partial-image patch normalization (carry-forward on narrow metadata)",
+  "normalize_patches: the carry-forward Window (last non-null setter rid per patch column) and the Sort feeding it list only keys + flags + rids in their Input — `content` appears solely in the per-column value joins ON `_rid` above the window (pinned by test_payload_not_in_carry_forward_window_sort). Baseline rows come from a driver-side bucket-pruned read.",
+  cap(normalize_patches(t, patch_batch, patch_cols=("lang", "content")))))
+
 with open("/root/repo/docs/PLANS.md", "w") as fh:
     fh.write("# Physical plans of the hot paths (captured via explain('formatted'))\n\n")
     fh.write("Regenerate with `python scripts/gen_plans_doc.py` (this file is evidence\nthat pushdown/pruning/broadcast/partial-agg actually happen — SURVEY §5).\n")

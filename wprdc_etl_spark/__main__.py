@@ -37,7 +37,7 @@ def main() -> None:
                              "export", "history", "rollback", "rollup", "optimize",
                              "replicate", "tag", "drop-tag", "requeue",
                              "delete", "update", "publish", "abort-staged",
-                             "profile", "lookup"],
+                             "profile", "lookup", "sql"],
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
@@ -93,6 +93,11 @@ def main() -> None:
     ap.add_argument("--set", action="append", default=None, metavar="COL=EXPR",
                     help="update mode: column assignment as a SQL expression "
                          "(repeatable); key/bucket columns are rejected")
+    ap.add_argument("--query", default=None,
+                    help="sql mode: ANSI SQL over views t / t_lineage / "
+                         "t_history")
+    ap.add_argument("--max-rows", type=int, default=50,
+                    help="sql mode: rows printed when no --output")
     ap.add_argument("--patch", action="store_true",
                     help="stream/batch modes: treat U events as partial "
                          "images (NULL = unchanged); normalize to full "
@@ -296,6 +301,30 @@ def main() -> None:
         else:
             r = table.update_where(args.where, sets)
             print(f"update committed version {r.version}")
+        spark.stop()
+        return
+    if args.mode == "sql":
+        # ad-hoc ANSI SQL over the live table — the consumer surface:
+        # `t` = current published state, `t_lineage` = the run log (A24
+        # analog), `t_history` = commit metadata. Declarative all the way
+        # down, so Catalyst pushes the query's filters/projections into the
+        # same pruned scans the API paths use.
+        if not args.query:
+            ap.error("--query is required in sql mode")
+        table.read().createOrReplaceTempView("t")
+        if hasattr(table, "read_lineage"):
+            table.read_lineage().createOrReplaceTempView("t_lineage")
+        hist = table.history() if hasattr(table, "history") else []
+        if hist:
+            spark.createDataFrame(
+                [{k: v for k, v in h.items() if not isinstance(v, (dict, list))} for h in hist]
+            ).createOrReplaceTempView("t_history")
+        out = spark.sql(args.query)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"query result written to {args.output}")
+        else:
+            out.show(args.max_rows, truncate=False)
         spark.stop()
         return
     if args.mode == "export":
