@@ -229,8 +229,9 @@ def test_patch_merge_sql_builder():
         table_cols=["k", "a", "b", "c", "_seq", "_op"],
         patch_cols=["a"],
     )
-    # patch column: NULL-means-unchanged coalesce, D resets to NULL
-    assert "WHEN s._op = 'U' THEN COALESCE(s.a, t.a)" in sql
+    # patch column: NULL-means-unchanged coalesce — but NEVER against a
+    # tombstoned target (delete reset the patch base); D resets to NULL
+    assert "WHEN s._op = 'U' AND t._op <> 'D' THEN COALESCE(s.a, t.a)" in sql
     assert "t.a = CASE WHEN s._op = 'D' THEN NULL" in sql
     # non-patch batch column: full image, D resets
     assert "t.b = CASE WHEN s._op = 'D' THEN NULL ELSE s.b END" in sql
@@ -239,3 +240,110 @@ def test_patch_merge_sql_builder():
     assert "t._seq = s._seq" in sql and "t._op = s._op" in sql
     # LWW condition identical to merge_sql
     assert "s._seq > t._seq OR (s._seq = t._seq AND s._op >= t._op)" in sql
+
+
+def test_patch_merge_sql_absolute_images_never_coalesce():
+    from wprdc_etl_spark.plans import iceberg as ice
+
+    sql = ice.patch_merge_sql(
+        "t",
+        keys=["k"],
+        batch_cols=["k", "a", "_seq", "_op", "_abs"],
+        table_cols=["k", "a", "_seq", "_op"],
+        patch_cols=["a"],
+        absolute_col="_abs",
+    )
+    assert "s._op = 'U' AND t._op <> 'D' AND s._abs = FALSE THEN COALESCE(s.a, t.a)" in sql
+    # _abs is merge-condition plumbing, never inserted into the table
+    assert "INSERT (k, a, _seq, _op)" in sql and "s._abs)" not in sql
+
+
+def test_batch_local_normalize_and_absolute_flag(spark, tmp_path):
+    """use_baseline=False: carry within the batch only; _abs marks images
+    whose chain hit an I/D (their NULLs are real — the Iceberg MERGE must
+    not coalesce them against the target)."""
+    t = _table(spark, tmp_path)
+    rows = [
+        # k1: lone partial U — relative image, b carries nothing in-batch
+        ("k1", None, "b1", "U", 1),
+        # k2: I then patch — absolute, a carries from the in-batch I
+        ("k2", "a0", "b0", "I", 2),
+        ("k2", None, "b2", "U", 3),
+        # k3: D then patch — absolute with the delete-reset (a stays null)
+        ("k3", None, None, "D", 4),
+        ("k3", None, "b3", "U", 5),
+    ]
+    out = {
+        r["k"]: (r["a"], r["b"], r["op"], r["_abs"])
+        for r in normalize_patches(
+            t, _batch(spark, rows), use_baseline=False, emit_absolute=True
+        ).collect()
+        if r["op"] == "U"
+    }
+    assert out["k1"] == (None, "b1", "U", False)
+    assert out["k2"] == ("a0", "b2", "U", True)
+    assert out["k3"] == (None, "b3", "U", True)
+
+
+def _iceberg_patch_merge_emulator(target, reduced, patch_cols):
+    """Pure-Python twin of patch_merge_sql's matched/not-matched rules:
+    target: {key: {col: val, '_seq': n, '_op': op}}."""
+    for row in reduced:
+        k = row["k"]
+        t = target.get(k)
+        if t is None:
+            target[k] = {c: row[c] for c in ("a", "b")} | {
+                "_seq": row["_seq"], "_op": row["_op"]
+            }
+            continue
+        if not (row["_seq"] > t["_seq"] or (row["_seq"] == t["_seq"] and row["_op"] >= t["_op"])):
+            continue
+        for c in ("a", "b"):
+            if row["_op"] == "D":
+                t[c] = None
+            elif (
+                c in patch_cols
+                and row["_op"] == "U"
+                and t["_op"] != "D"
+                and not row["_abs"]
+            ):
+                t[c] = row[c] if row[c] is not None else t[c]
+            else:
+                t[c] = row[c]
+        t["_seq"], t["_op"] = row["_seq"], row["_op"]
+    return {
+        k: (v["a"], v["b"]) for k, v in target.items() if v["_op"] != "D"
+    }
+
+
+def test_iceberg_patch_protocol_equals_lake_patch_merge(spark, tmp_path):
+    """The Iceberg patch protocol (batch-local normalize + guarded-COALESCE
+    MERGE, emulated in pure Python since no jar ships in-sandbox) must land
+    the same final state as the lake sink's baseline-fed patch_merge for
+    the same chunked event stream."""
+    from wprdc_etl_spark.plans.lake import _lww_reduce
+
+    t = _table(spark, tmp_path)
+    splits = [[3, 3, 3], [5, 4]]
+    for si, split in enumerate(splits):
+        # lake path
+        lt = _table(spark, tmp_path, name=f"lake{si}")
+        target: dict = {}
+        i = 0
+        for bid, n in enumerate(split):
+            chunk = _batch(spark, EVENTS[i : i + n])
+            i += n
+            patch_merge(lt, chunk, batch_id=bid + 1)
+            # iceberg protocol: batch-local normalize -> LWW reduce -> emulated MERGE
+            norm = normalize_patches(t, chunk, use_baseline=False, emit_absolute=True)
+            shaped = (
+                norm.withColumn("_seq", F.col("event_sequence").cast("long"))
+                .withColumn("_op", F.col("op"))
+                .drop("op", "event_sequence")
+            )
+            reduced = [r.asDict() for r in _lww_reduce(shaped, ["k"]).collect()]
+            _iceberg_patch_merge_emulator(target, reduced, patch_cols={"a", "b"})
+        live = {
+            k: (v["a"], v["b"]) for k, v in target.items() if v["_op"] != "D"
+        }
+        assert live == _state(lt) == FINAL

@@ -79,6 +79,9 @@ def normalize_patches(
     table,
     batch: DataFrame,
     patch_cols: list[str] | tuple[str, ...] | None = None,
+    *,
+    use_baseline: bool = True,
+    emit_absolute: bool = False,
 ) -> DataFrame:
     """Rewrite partial-update events into full images (see module doc).
 
@@ -89,6 +92,17 @@ def normalize_patches(
     exact column set, ready for ``table.merge`` / the ingest pipeline.
     Table-only columns absent from the batch keep ordinary merge semantics
     (nulled on winning rewrites) — declare them in the batch to patch them.
+
+    ``use_baseline=False`` runs BATCH-LOCAL normalization only: no read of
+    the table's live rows; a U whose chain never sets a column leaves it
+    NULL, to be resolved against the target at merge time (the Iceberg
+    ``patch_merge_sql`` COALESCE path, where the target row IS the baseline
+    and a second read would be redundant work *and* a race under concurrent
+    writers). ``emit_absolute=True`` appends a boolean ``_abs`` column:
+    True when the row's in-batch chain contains an I or D at/before it, so
+    its image is ABSOLUTE (authoritative over the target — the sink must
+    not coalesce; an in-batch delete-reset would otherwise resurrect target
+    values the delete wiped).
     """
     keys = list(table.keys)
     env = [c for c in ENVELOPE_COLS if c in batch.columns]
@@ -123,7 +137,7 @@ def normalize_patches(
         (F.col("event_ts") if "event_ts" in env else F.lit(None).cast("timestamp")).alias("_ts"),
         F.lit(1).alias("_src"),
     )
-    base = _baseline_for(table, batch)
+    base = _baseline_for(table, batch) if use_baseline else None
     if base is not None:
         wide = base.select(
             *keys,
@@ -168,6 +182,16 @@ def normalize_patches(
             for c in pcols
         ],
     )
+    abs_cols = (
+        [
+            F.last(F.when(F.col("_op") != "U", F.col("_rid")), ignorenulls=True)
+            .over(w)
+            .isNotNull()
+            .alias("_abs")
+        ]
+        if emit_absolute
+        else []
+    )
     carried = meta.select(
         *keys,
         "_op",
@@ -175,6 +199,7 @@ def normalize_patches(
         "_ts",
         "_src",
         "_rid",
+        *abs_cols,
         *[
             F.last(F.when(F.col(f"_set_{c}"), F.col("_rid")), ignorenulls=True)
             .over(w)
@@ -207,6 +232,8 @@ def normalize_patches(
             sel.append(F.col("_ts").alias("event_ts"))
         else:
             sel.append(F.col(c))
+    if emit_absolute:
+        sel.append(F.col("_abs"))
     return out.select(*sel)
 
 

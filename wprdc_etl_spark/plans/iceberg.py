@@ -339,13 +339,20 @@ def patch_merge_sql(
     batch_cols: list[str],
     table_cols: list[str],
     patch_cols: list[str],
+    absolute_col: str | None = None,
 ) -> str:
     """Partial-image MERGE (operators/patch.py semantics, Iceberg-side).
 
-    Valid when each key appears AT MOST ONCE in the source batch (the
-    single-image-per-key shape a connector's per-transaction feed has);
-    multi-event batches must be pre-collapsed with
-    ``operators.patch.normalize_patches`` and use the ordinary ``merge_sql``.
+    The source is the batch-local normalization
+    (``normalize_patches(use_baseline=False, emit_absolute=True)``) reduced
+    to one image per key by the batch LWW; the TARGET ROW is the carry
+    baseline, folded in by the MERGE itself — no second table read, and no
+    read-then-write race under Iceberg's optimistic concurrency (a
+    conflicting commit retries the whole MERGE against the new snapshot).
+    A matched U does NOT coalesce when the target row is a tombstone
+    (``t._op = 'D'``: the delete reset the patch base — dead values must
+    not resurrect) or when the source image is ABSOLUTE (``absolute_col``
+    true: the in-batch chain contained an I/D, so its NULLs are real).
 
     - matched U with a NULL patch column keeps the target value
       (``COALESCE(s.c, t.c)`` — "NULL means unchanged");
@@ -356,6 +363,9 @@ def patch_merge_sql(
       and null every non-key column (delete resets the patch base).
     """
     on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    coalesce_guard = "s._op = 'U' AND t._op <> 'D'"
+    if absolute_col is not None:
+        coalesce_guard += f" AND s.{absolute_col} = FALSE"
     sets = []
     for c in table_cols:
         if c in keys:
@@ -365,15 +375,16 @@ def patch_merge_sql(
             sets.append(f"t.{c} = s.{c}")
         elif c in patch_cols and c in batch_cols:
             sets.append(f"t.{c} = CASE WHEN s._op = 'D' THEN NULL "
-                        f"WHEN s._op = 'U' THEN COALESCE(s.{c}, t.{c}) "
+                        f"WHEN {coalesce_guard} THEN COALESCE(s.{c}, t.{c}) "
                         f"ELSE s.{c} END")
         elif c in batch_cols:
             sets.append(f"t.{c} = CASE WHEN s._op = 'D' THEN NULL ELSE s.{c} END")
         else:
             sets.append(f"t.{c} = NULL")
     set_clause = ", ".join(sets)
-    insert_cols = ", ".join(batch_cols)
-    insert_vals = ", ".join(f"s.{c}" for c in batch_cols)
+    ins = [c for c in batch_cols if c != absolute_col]
+    insert_cols = ", ".join(ins)
+    insert_vals = ", ".join(f"s.{c}" for c in ins)
     return (
         f"MERGE INTO {table} t USING _merge_src s ON {on} "
         f"WHEN MATCHED AND (s._seq > t._seq OR (s._seq = t._seq AND s._op >= t._op)) "
@@ -664,10 +675,24 @@ class IcebergTable(LakeTable):
         job_state: dict | None = None,
         properties: dict | None = None,
         finalize=None,
+        patch: bool = False,
+        patch_cols: list[str] | None = None,
     ) -> MergeResult:
         last = self.last_committed_batch(job)
         if last is not None and batch_id <= last:
             return MergeResult(applied=False, version=-1, skipped_reason=f"batch<=last({last})")
+        if patch:
+            # partial-image feed: batch-local carry-forward only — the MERGE
+            # itself folds the target baseline via patch_merge_sql's guarded
+            # COALESCE (no second table read; no read-then-write race under
+            # optimistic concurrency). ``_abs`` marks images whose in-batch
+            # chain hit an I/D (authoritative — never coalesced).
+            from wprdc_etl_spark.operators.patch import normalize_patches
+
+            self._patch_cols = list(patch_cols) if patch_cols is not None else None
+            batch_df = normalize_patches(
+                self, batch_df, patch_cols, use_baseline=False, emit_absolute=True
+            )
         # schema evolution (B9): additive columns append; shared columns may
         # widen (int->long, float->double — Iceberg-native metadata-only
         # promotion), same lattice the parquet sink enforces in _widen_type
@@ -676,7 +701,9 @@ class IcebergTable(LakeTable):
         }
         new_cols = [
             f for f in batch_df.schema.fields
-            if f.name not in table_fields and f.name not in ("op", "event_sequence", "event_ts")
+            if f.name not in table_fields
+            and f.name not in ("op", "event_sequence", "event_ts")
+            and not f.name.startswith("_")  # engine-internal (_abs etc.)
         ]
         if new_cols:
             self.spark.sql(evolve_sql(self.table, new_cols))
@@ -708,7 +735,17 @@ class IcebergTable(LakeTable):
             table_cols = [
                 c for c in self.spark.table(self.table).columns if c not in ("_seq", "_op")
             ] + ["_seq", "_op"]
-            sql = merge_sql(self.table, self.keys, list(reduced.columns), table_cols)
+            if patch:
+                pcols = self._patch_cols if self._patch_cols is not None else [
+                    c for c in reduced.columns
+                    if c not in self.keys and not c.startswith("_")
+                ]
+                sql = patch_merge_sql(
+                    self.table, self.keys, list(reduced.columns), table_cols,
+                    patch_cols=pcols, absolute_col="_abs",
+                )
+            else:
+                sql = merge_sql(self.table, self.keys, list(reduced.columns), table_cols)
             # guard + state ride the MERGE snapshot itself (atomic commit):
             # Iceberg copies any `snapshot-property.*` session conf into the
             # snapshot summary at commit time
