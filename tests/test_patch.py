@@ -219,6 +219,50 @@ def test_ingest_job_patch_mode_end_to_end(spark, tmp_path):
     assert got == {("r", "p", "c1"): ("go", "content-A")}
 
 
+def test_ingest_job_patch_mode_streaming(spark, tmp_path):
+    """patch=True rides foreachBatch unchanged: an availableNow drain over a
+    partial-image log lands the same carried state batch replay does, and a
+    restart is a no-op (checkpoint + guard)."""
+    import datetime as dt
+
+    from wprdc_etl_spark.streaming.job import IngestJob, event_struct
+
+    ts = dt.datetime(2024, 1, 1, 9, 0)
+    rows = [
+        (1, ts, "I", "r", "p", "c1", "py", "content-A"),
+        (2, ts, "U", "r", "p", "c1", "go", None),        # patch lang
+        (3, ts, "U", "r", "p", "c1", None, "content-B"),  # patch content
+    ]
+    log = str(tmp_path / "slog")
+    spark.createDataFrame(rows, event_struct()).repartitionByRange(
+        3, "event_sequence"
+    ).write.parquet(log)
+    table = ParquetSnapshotTable(
+        spark, str(tmp_path / "stbl"),
+        keys=["repo", "path", "commit"], n_buckets=4,
+    )
+
+    def job():
+        return (
+            IngestJob("patch-stream", patch=True, max_files_per_trigger=1)
+            .source(log)
+            .schema(IngestJob.default_payload_schema())
+            .sink(table)
+            .build()
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    job().start_stream(spark, ckpt).awaitTermination()
+    got = {
+        (r["repo"], r["path"], r["commit"]): (r["lang"], r["content"])
+        for r in table.read().collect()
+    }
+    assert got == {("r", "p", "c1"): ("go", "content-B")}
+    v = table.current_version()
+    job().start_stream(spark, ckpt).awaitTermination()  # drained restart
+    assert table.current_version() == v
+
+
 def test_patch_merge_sql_builder():
     from wprdc_etl_spark.plans import iceberg as ice
 
