@@ -63,3 +63,61 @@ def test_expire_due_beyond_slack(spark, tmp_path):
     r = t.optimize(expire_slack=2)
     assert r["actions"]["expired_snapshots"] > 0
     assert t.plan_maintenance(expire_slack=2)["expire"] is False
+
+
+# ---- vacuum (remove_orphan_files analog) -----------------------------------
+
+
+def test_vacuum_removes_stale_orphans_keeps_live_and_fresh(spark, tmp_path):
+    import os
+    import time as _t
+
+    t = mk_table(spark, tmp_path)
+    _merge(t, spark, [(1, "I", "r1", "a", "c1", "py", "x")], 0)
+    _merge(t, spark, [(2, "U", "r1", "a", "c1", "py", "y")], 1)
+    before = state(t)
+    # crashed FUTURE attempt: data dir for a version the counter never
+    # reached — invisible to the in-commit _gc_orphans sweep
+    orphan = os.path.join(t.root, "data", "v99")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "w") as fh:
+        fh.write("junk")
+    old = _t.time() - 7200
+    os.utime(orphan, (old, old))
+    # fresh orphan: a concurrent writer mid-commit — must survive grace
+    fresh = os.path.join(t.root, "data", "v100")
+    os.makedirs(fresh)
+    rep = t.vacuum(grace_seconds=3600)
+    assert rep["removed"] == ["data/v99"]
+    assert rep["kept_grace"] == ["data/v100"]
+    assert not os.path.exists(orphan) and os.path.exists(fresh)
+    assert state(t) == before  # live dirs untouched
+
+
+def test_vacuum_respects_tags_and_history(spark, tmp_path):
+    import os
+    import time as _t
+
+    t = mk_table(spark, tmp_path, retain_history=2)
+    _merge(t, spark, [(1, "I", "r1", "a", "c1", "py", "x")], 0)
+    t.create_tag("pin")
+    _merge(t, spark, [(2, "U", "r1", "a", "c1", "py", "y")], 1)
+    _merge(t, spark, [(3, "U", "r1", "a", "c1", "py", "z")], 2)
+    before = state(t)
+    # age every dir: nothing referenced may be vacuumed regardless of age
+    data_root = os.path.join(t.root, "data")
+    for name in os.listdir(data_root):
+        old = _t.time() - 7200
+        os.utime(os.path.join(data_root, name), (old, old))
+    rep = t.vacuum(grace_seconds=3600)
+    assert rep["removed"] == []
+    assert state(t) == before
+    assert t.read(tag="pin").count() == 1
+
+
+def test_iceberg_remove_orphans_sql():
+    from wprdc_etl_spark.plans import iceberg as ice
+
+    sql = ice.remove_orphans_sql("cat.db.t", older_than_ts="2024-01-01 00:00:00")
+    assert "remove_orphan_files" in sql and "older_than => TIMESTAMP '2024-01-01 00:00:00'" in sql
+    assert "table => 'db.t'" in sql and sql.startswith("CALL cat.system.")

@@ -237,6 +237,21 @@ def test_ingest_job_patch_mode_streaming(spark, tmp_path):
     spark.createDataFrame(rows, event_struct()).repartitionByRange(
         3, "event_sequence"
     ).write.parquet(log)
+    # The patch contract requires per-key in-order delivery across batches
+    # (the binlog guarantee). Spark's file source admits files oldest-mtime
+    # first, and the three part files were written concurrently — pin each
+    # file's mtime to its min sequence so trigger order IS sequence order
+    # (a real binlog segment directory has exactly this property).
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    base = 1_700_000_000
+    for f in glob.glob(os.path.join(log, "part-*")):
+        seqs = pq.read_table(f, columns=["event_sequence"])["event_sequence"]
+        ts = base + 10 * int(min(s.as_py() for s in seqs))
+        os.utime(f, (ts, ts))
     table = ParquetSnapshotTable(
         spark, str(tmp_path / "stbl"),
         keys=["repo", "path", "commit"], n_buckets=4,

@@ -37,7 +37,7 @@ def main() -> None:
                              "export", "history", "rollback", "rollup", "optimize",
                              "replicate", "tag", "drop-tag", "requeue",
                              "delete", "update", "publish", "abort-staged",
-                             "profile", "lookup", "sql"],
+                             "profile", "lookup", "sql", "vacuum"],
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
@@ -93,6 +93,9 @@ def main() -> None:
     ap.add_argument("--set", action="append", default=None, metavar="COL=EXPR",
                     help="update mode: column assignment as a SQL expression "
                          "(repeatable); key/bucket columns are rejected")
+    ap.add_argument("--grace-minutes", type=int, default=60,
+                    help="vacuum mode: unreferenced dirs younger than this "
+                         "survive (protects in-flight writers)")
     ap.add_argument("--query", default=None,
                     help="sql mode: ANSI SQL over views t / t_lineage / "
                          "t_history")
@@ -335,6 +338,18 @@ def main() -> None:
         table.modified_since(args.since_seq).write.mode("overwrite").parquet(args.output)
         print(f"incremental export (winners with seq >= {args.since_seq}) "
               f"written to {args.output}")
+        spark.stop()
+        return
+    if args.mode == "vacuum":
+        if args.sink == "iceberg":
+            from wprdc_etl_spark.plans.iceberg import remove_orphans_sql
+
+            spark.sql(remove_orphans_sql(args.target))
+            print(f"remove_orphan_files submitted for {args.target}")
+        else:
+            rep = table.vacuum(grace_seconds=args.grace_minutes * 60)
+            print(f"vacuum removed {len(rep['removed'])} orphan dir(s): "
+                  f"{rep['removed']}; kept under grace: {rep['kept_grace']}")
         spark.stop()
         return
     if args.mode in ("compact", "rebucket", "changelog", "history"):

@@ -205,6 +205,18 @@ def expire_snapshots_sql(table: str, retain_last: int) -> str:
     )
 
 
+def remove_orphans_sql(table: str, older_than_ts: str | None = None) -> str:
+    """vacuum() analog: delete files under the table location that no
+    snapshot references (crashed-writer leftovers). ``older_than_ts`` is the
+    grace bound (ISO timestamp) protecting in-flight writers — same default
+    rationale as ParquetSnapshotTable.vacuum(grace_seconds)."""
+    cat, ident = _catalog_and_ident(table)
+    older = f", older_than => TIMESTAMP '{older_than_ts}'" if older_than_ts else ""
+    return (
+        f"CALL {cat}.system.remove_orphan_files(table => '{ident}'{older})"
+    )
+
+
 def rebucket_sql(table: str, old_n_buckets: int, new_n_buckets: int,
                  col: str = "path") -> str:
     """rebucket() analog: layout evolution without a rewrite — Iceberg

@@ -1927,11 +1927,9 @@ class ParquetSnapshotTable(LakeTable):
 
     # ---- maintenance ----------------------------------------------------------
 
-    def _gc_orphans(self, man: dict, retain: int | None = None) -> None:
-        """Drop data/lineage dirs not referenced by the committed manifest —
-        leftovers of crashed attempts — nor by any of the last ``retain``
-        version snapshots (default ``retain_history``; time-travel
-        retention). Best-effort; never fails a commit."""
+    def _live_dirs(self, man: dict, retain: int | None = None) -> tuple[set, set]:
+        """Data/lineage dir names referenced by the manifest, the last
+        ``retain`` history snapshots, tags, and the published/staged chain."""
         retain = self.retain_history if retain is None else retain
         manifests = [man]
         # tagged versions are pinned outside the rolling window
@@ -1956,6 +1954,52 @@ class ParquetSnapshotTable(LakeTable):
         live_lineage = {
             rel.split("/")[1] for m in manifests for rel in m["lineage"]
         }
+        return live_data, live_lineage
+
+    def vacuum(self, grace_seconds: int = 3600) -> dict:
+        """Remove ORPHANED data/lineage dirs on demand — the Iceberg
+        ``remove_orphan_files`` analog (plans/iceberg.py has the procedure
+        twin). Orphans exist when a writer crashed between the bucketed
+        write and the manifest swap: the dir is on disk, no manifest ever
+        references it. ``_gc_orphans`` already sweeps PAST-versioned
+        leftovers inside every commit, but (a) a quiet table never commits
+        again, and (b) a crashed attempt at version N+1 stays invisible to
+        it until the version counter passes N+1. ``vacuum`` closes both:
+        any unreferenced dir goes, REGARDLESS of its version, provided its
+        mtime is older than ``grace_seconds`` — the grace window protects a
+        CONCURRENT writer's freshly written dir whose commit hasn't swapped
+        yet (the same reason Iceberg's procedure defaults older_than to
+        3 days). Metadata-only driver-side listing; no Spark job."""
+        man = self._require_manifest()
+        live_data, live_lineage = self._live_dirs(man)
+        now = time.time()
+        removed: list[str] = []
+        kept_grace: list[str] = []
+        for sub, live in (("data", live_data), ("lineage", live_lineage)):
+            root = os.path.join(self.root, sub)
+            if not os.path.isdir(root):
+                continue
+            for name in os.listdir(root):
+                if name in live:
+                    continue
+                path = os.path.join(root, name)
+                try:
+                    age = now - os.path.getmtime(path)
+                except OSError:
+                    continue
+                if age < grace_seconds:
+                    kept_grace.append(f"{sub}/{name}")
+                    continue
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(f"{sub}/{name}")
+        return {"removed": sorted(removed), "kept_grace": sorted(kept_grace)}
+
+    def _gc_orphans(self, man: dict, retain: int | None = None) -> None:
+        """Drop data/lineage dirs not referenced by the committed manifest —
+        leftovers of crashed attempts — nor by any of the last ``retain``
+        version snapshots (default ``retain_history``; time-travel
+        retention). Best-effort; never fails a commit."""
+        live_data, live_lineage = self._live_dirs(man, retain)
         try:
             data_root = os.path.join(self.root, "data")
             if os.path.isdir(data_root):
