@@ -1359,6 +1359,21 @@ def _q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "split")
 
 
+def _q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling (functions/sampling.py::weighted_sample):
+    each doc survives with probability = its quality score — the
+    pretraining-mix step that thins low-quality text deterministically.
+    Weight quantized to 4 decimals so both engines compare identical
+    integers; sha2 leaf = oracle-parity variant."""
+    from wprdc_etl_spark.functions.sampling import weighted_sample
+    from wprdc_etl_spark.functions.text import quality_score
+
+    docs = _docs(spark, sf_dir).withColumn("quality", quality_score(F.col("text")))
+    return weighted_sample(docs, "quality", ["doc_id"], hash_fn="sha2").select(
+        "doc_id", "quality"
+    )
+
+
 def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-window document chunking with overlap
     (functions/text.py::chunk_documents): size 200, overlap 40 — one in-row
@@ -1582,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
         "doc_sample": _q_doc_sample,
+        "doc_weighted_sample": _q_doc_weighted_sample,
         "doc_train_split": _q_doc_train_split,
         "doc_chunks": _q_doc_chunks,
         "doc_redact": _q_doc_redact,
@@ -2097,6 +2113,15 @@ FROM documents
             f"WHERE {_sampling.slot_sql(['doc_id'], 42)} < "
             f"CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 1000000 "
             f"WHEN 'fr' THEN 500000 ELSE 0 END"
+        ),
+        # quality-weighted downsampling: slot(doc_id) under the quantized
+        # per-row quality threshold
+        "doc_weighted_sample": (
+            f"SELECT doc_id, {_text_sql.quality_score_sql('text')} AS quality "
+            f"FROM documents WHERE "
+            + _sampling.weighted_sample_sql(
+                _text_sql.quality_score_sql("text"), ["doc_id"], 42
+            )
         ),
         # leakage-safe split: cumulative sha2-slot(source) ranges
         "doc_train_split": (

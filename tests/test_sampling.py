@@ -203,3 +203,37 @@ def test_redact_sql_twin_matches(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_weighted_sample_prob_extremes_and_parity(spark):
+    import duckdb
+
+    from wprdc_etl_spark.functions.sampling import weighted_sample, weighted_sample_sql
+
+    df = spark.range(600).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, F.lit(0.0))
+        .when(F.col("id") % 3 == 1, F.lit(1.0))
+        .otherwise(F.lit(0.5))
+        .alias("w"),
+    )
+    kept = weighted_sample(df, "w", ["k"]).collect()
+    by_w = {}
+    for r in kept:
+        by_w.setdefault(r["w"], []).append(r["k"])
+    assert 0.0 not in by_w            # weight 0 -> never kept
+    assert len(by_w[1.0]) == 200      # weight 1 -> always kept
+    assert 40 < len(by_w[0.5]) < 160  # ~half
+    # sha2 twin bit-parity
+    got = sorted(
+        r["k"]
+        for r in weighted_sample(df, "w", ["k"], hash_fn="sha2").collect()
+    )
+    pred = weighted_sample_sql(
+        "CASE WHEN i % 3 = 0 THEN 0.0 WHEN i % 3 = 1 THEN 1.0 ELSE 0.5 END",
+        ["i"],
+    )
+    want = sorted(
+        r[0] for r in duckdb.sql(f"SELECT i FROM range(600) t(i) WHERE {pred}").fetchall()
+    )
+    assert got == want

@@ -10,6 +10,7 @@ from wprdc_etl_spark.functions.text import (
 from wprdc_etl_spark.functions.sampling import (
     hash_sample,
     stratified_sample,
+    weighted_sample,
     with_split,
 )
 from wprdc_etl_spark.functions.dedup import (
@@ -61,5 +62,6 @@ __all__ = [
     "redact_pii",
     "hash_sample",
     "stratified_sample",
+    "weighted_sample",
     "with_split",
 ]

@@ -102,6 +102,38 @@ def stratified_sample(
     return df.where(_key_slot(key_cols, seed, hash_fn) < thr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_cols: list[str],
+    *,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Keep each key group with probability = its weight in [0,1] — the
+    quality-weighted downsampling step of a pretraining mix (keep
+    high-quality docs, thin low-quality ones, deterministically).
+
+    Exact-parity discipline: the weight is quantized to 4 decimals
+    (``round(w*10000)`` — matching quality_score's own rounding) before
+    becoming a slot threshold, so the Spark and DuckDB twins compare the
+    same integers and no float ULP can flip a row across engines. Still a
+    scan-only predicate: slot(key) < round(w*1e4)*100.
+    """
+    thr = F.least(
+        F.lit(SCALE).cast("long"),
+        (F.round(F.col(weight_col) * 10_000).cast("long") * 100),
+    )
+    return df.where(_key_slot(key_cols, seed, hash_fn) < thr)
+
+
+def weighted_sample_sql(weight_expr: str, key_exprs: list[str], seed: int = 42) -> str:
+    """DuckDB twin of ``weighted_sample(..., hash_fn='sha2')`` as a WHERE
+    predicate string."""
+    thr = f"least({SCALE}, CAST(round(({weight_expr}) * 10000) AS BIGINT) * 100)"
+    return f"{slot_sql(key_exprs, seed)} < {thr}"
+
+
 def with_split(
     df: DataFrame,
     key_cols: list[str],
