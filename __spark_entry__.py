@@ -1359,6 +1359,24 @@ def _q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "split")
 
 
+def _q_doc_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing to target proportions
+    (functions/sampling.py::mix_corpus): rebalance the crawl-skewed corpus
+    to 50% en / 30% de / 20% fr. One |strata|-row count decides fractions;
+    membership is the stratified hash-slot predicate (deterministic,
+    scan-only). The oracle recomputes counts/cap/thresholds itself —
+    nothing shared with the engine but the table."""
+    from wprdc_etl_spark.functions.sampling import mix_corpus
+
+    return mix_corpus(
+        _docs(spark, sf_dir),
+        {"en": 0.5, "de": 0.3, "fr": 0.2},
+        strata_col="lang",
+        key_cols=["doc_id"],
+        hash_fn="sha2",
+    ).select("doc_id", "lang")
+
+
 def _q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted downsampling (functions/sampling.py::weighted_sample):
     each doc survives with probability = its quality score — the
@@ -1598,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": _q_doc_lang_id,
         "doc_sample": _q_doc_sample,
         "doc_weighted_sample": _q_doc_weighted_sample,
+        "doc_mix": _q_doc_mix,
         "doc_train_split": _q_doc_train_split,
         "doc_chunks": _q_doc_chunks,
         "doc_redact": _q_doc_redact,
@@ -2122,6 +2141,14 @@ FROM documents
             + _sampling.weighted_sample_sql(
                 _text_sql.quality_score_sql("text"), ["doc_id"], 42
             )
+        ),
+        # corpus mixing: counts/cap/thresholds recomputed wholly in SQL
+        "doc_mix": _sampling.mix_sql(
+            "documents",
+            {"en": 0.5, "de": 0.3, "fr": 0.2},
+            strata_col="lang",
+            key_exprs=["doc_id"],
+            select="d.doc_id, d.lang",
         ),
         # leakage-safe split: cumulative sha2-slot(source) ranges
         "doc_train_split": (

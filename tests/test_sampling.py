@@ -237,3 +237,53 @@ def test_weighted_sample_prob_extremes_and_parity(spark):
         r[0] for r in duckdb.sql(f"SELECT i FROM range(600) t(i) WHERE {pred}").fetchall()
     )
     assert got == want
+
+
+def test_mix_fractions_cap_and_errors():
+    from wprdc_etl_spark.functions.sampling import mix_fractions
+
+    # scarcest stratum relative to its share caps the output
+    n, fr = mix_fractions({"en": 1000, "de": 100}, {"en": 0.5, "de": 0.5})
+    assert n == 200 and fr["de"] == 1.0 and abs(fr["en"] - 0.1) < 1e-12
+    with pytest.raises(ValueError):
+        mix_fractions({"en": 10}, {"en": 0.5, "de": 0.5})  # missing stratum
+    with pytest.raises(ValueError):
+        mix_fractions({"en": 10}, {"en": 0.0})
+
+
+def test_mix_corpus_hits_target_proportions(spark, docs):
+    from wprdc_etl_spark.functions.sampling import mix_corpus
+
+    out = mix_corpus(
+        docs, {"en": 0.5, "de": 0.25, "fr": 0.25}, "lang", ["doc_id"]
+    )
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= {"en", "de", "fr"}  # unlisted strata dropped
+    total = sum(got.values())
+    assert abs(got["en"] / total - 0.5) < 0.12   # hash-sample variance
+    assert abs(got["de"] / total - 0.25) < 0.12
+
+
+def test_mix_sql_twin_matches(spark, docs):
+    import duckdb
+
+    from wprdc_etl_spark.functions.sampling import mix_corpus, mix_sql
+
+    got = sorted(
+        (r["doc_id"], r["lang"])
+        for r in mix_corpus(
+            docs, {"en": 0.5, "de": 0.3, "fr": 0.2}, "lang", ["doc_id"],
+            hash_fn="sha2",
+        ).select("doc_id", "lang").collect()
+    )
+    rel = ("(SELECT i AS doc_id, ['en','de','fr','zz'][(CAST(i AS INT) % 4) + 1] AS lang "
+           "FROM range(400) t(i))")
+    want = sorted(
+        duckdb.sql(
+            mix_sql(rel, {"en": 0.5, "de": 0.3, "fr": 0.2},
+                    strata_col="lang", key_exprs=["doc_id"],
+                    select="d.doc_id, d.lang")
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0

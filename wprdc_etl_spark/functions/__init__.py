@@ -9,6 +9,7 @@ from wprdc_etl_spark.functions.text import (
 )
 from wprdc_etl_spark.functions.sampling import (
     hash_sample,
+    mix_corpus,
     stratified_sample,
     weighted_sample,
     with_split,
@@ -61,6 +62,7 @@ __all__ = [
     "chunk_documents",
     "redact_pii",
     "hash_sample",
+    "mix_corpus",
     "stratified_sample",
     "weighted_sample",
     "with_split",

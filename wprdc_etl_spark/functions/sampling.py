@@ -102,6 +102,90 @@ def stratified_sample(
     return df.where(_key_slot(key_cols, seed, hash_fn) < thr)
 
 
+def _round_half_up(x: float) -> int:
+    """Half-up rounding (DuckDB/Spark ``round`` semantics for positives) —
+    Python's built-in round() is banker's and would disagree on exact .5."""
+    import math
+
+    return int(math.floor(x + 0.5))
+
+
+def mix_fractions(counts: dict[str, int], targets: dict[str, float]) -> tuple[int, dict[str, float]]:
+    """Per-stratum keep fractions that land the output on the TARGET MIX.
+
+    ``targets`` maps stratum → desired share of the output. The achievable
+    output size is capped by the scarcest stratum relative to its share:
+    ``N = floor(min(count_s / share_s))``; each targeted stratum then keeps
+    ``min(1, N·share_s / count_s)`` of its rows; unlisted strata keep 0.
+    Pure arithmetic (unit-testable; the SQL twin repeats it verbatim in
+    one CTE chain so the oracle is independent of this code path).
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    for s, share in targets.items():
+        if share <= 0:
+            raise ValueError(f"share for {s!r} must be > 0, got {share}")
+        if s not in counts or counts[s] == 0:
+            raise ValueError(f"stratum {s!r} has no rows — mix unreachable")
+    n_out = int(min(counts[s] / share for s, share in targets.items()))
+    fracs = {
+        s: min(1.0, (n_out * share) / counts[s]) for s, share in targets.items()
+    }
+    return n_out, fracs
+
+
+def mix_corpus(
+    df: DataFrame,
+    targets: dict[str, float],
+    strata_col: str,
+    key_cols: list[str],
+    *,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Rebalance a corpus to target stratum proportions (the pretraining
+    data-mixing step: e.g. 50% en / 30% de / 20% fr regardless of the raw
+    crawl's skew). One tiny count aggregate decides per-stratum fractions
+    driver-side (|strata| rows), then membership is the same scan-only
+    hash-slot predicate as stratified_sample — deterministic, group-atomic,
+    no second shuffle at any scale."""
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    _, fracs = mix_fractions(counts, targets)
+    thr: Column = F.lit(0)
+    for s, frac in sorted(fracs.items()):
+        thr = F.when(F.col(strata_col) == s, F.lit(_round_half_up(frac * SCALE))).otherwise(thr)
+    return df.where(_key_slot(key_cols, seed, hash_fn) < thr)
+
+
+def mix_sql(
+    relation: str,
+    targets: dict[str, float],
+    strata_col: str,
+    key_exprs: list[str],
+    select: str = "*",
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of ``mix_corpus(..., hash_fn='sha2')`` — recomputes the
+    counts, cap and thresholds itself (same IEEE double ops, same half-up
+    rounding), so the oracle shares no intermediate values with the engine."""
+    share_case = "CASE " + " ".join(
+        f"WHEN s = '{s}' THEN {share!r}" for s, share in targets.items()
+    ) + " END"
+    slot = slot_sql([f"d.{e}" for e in key_exprs], seed)
+    return f"""
+WITH c AS (SELECT {strata_col} AS s, count(*) AS n FROM {relation} GROUP BY 1),
+tg AS (SELECT s, n, {share_case} AS share FROM c),
+cap AS (SELECT CAST(floor(min(n / share)) AS BIGINT) AS n_out FROM tg WHERE share IS NOT NULL),
+th AS (SELECT s, CAST(round(least(1.0, (cap.n_out * share) / n) * {SCALE}) AS BIGINT) AS t
+       FROM tg, cap WHERE share IS NOT NULL)
+SELECT {select} FROM {relation} d JOIN th ON d.{strata_col} = th.s
+WHERE {slot} < th.t
+""".strip()
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,
