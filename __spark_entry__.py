@@ -1430,6 +1430,66 @@ def _q_doc_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules (functions/text.py):
+    duplicate-line fraction, duplicate-line CHARACTER fraction, and the
+    character share of the most repeated word 2-gram — all in-row
+    higher-order built-ins, zero shuffle/Python. The corpus is single-line,
+    so the line metrics run over a deterministically re-lined view
+    (substring windows stacked with '\\n' — same expression in the twin);
+    the bigram metric runs over the raw text."""
+    from wprdc_etl_spark.functions.text import (
+        dup_line_char_frac,
+        dup_line_frac,
+        top_bigram_char_frac,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lined = F.concat_ws(
+        "\n",
+        F.substring("text", 1, 40),
+        F.substring("text", 21, 40),
+        F.substring("text", 1, 40),
+        F.col("text"),
+    )
+    return docs.select(
+        "doc_id",
+        dup_line_frac(lined).alias("dup_line_frac"),
+        dup_line_char_frac(lined).alias("dup_line_char_frac"),
+        top_bigram_char_frac(F.col("text")).alias("top_bigram_char_frac"),
+    )
+
+
+def _q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document boilerplate line removal
+    (functions/text.py::remove_boilerplate_lines): any line in >= 3 distinct
+    docs is dropped from every doc. The corpus is single-line, so the query
+    plants per-source footers plus an alternating copyright/unique line
+    (same expression in the twin): footers and the shared copyright line
+    must vanish, the unique lines and original text must survive. Frequent
+    set counted on narrow leaf hashes and broadcast; one doc-keyed rebuild
+    shuffle. sha2 leaf = oracle-parity variant."""
+    from wprdc_etl_spark.functions.text import remove_boilerplate_lines
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nSubscribe to "),
+            F.col("source"),
+            F.lit("\n"),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.lit("(c) example press")
+            ).otherwise(F.concat(F.lit("ref "), F.col("doc_id").cast("string"))),
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(planted, min_docs=3, hash_fn="sha2")
+    return out.select(
+        "doc_id", F.sha2("clean_text", 256).alias("clean_sha"), "n_removed"
+    )
+
+
 def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (functions/dedup.py::contamination_flags):
     every 20th doc plays the held-out eval set; corpus docs sharing ANY
@@ -1620,6 +1680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_train_split": _q_doc_train_split,
         "doc_chunks": _q_doc_chunks,
         "doc_redact": _q_doc_redact,
+        "doc_repetition": _q_doc_repetition,
+        "doc_boilerplate": _q_doc_boilerplate,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_decontaminate": _q_doc_decontaminate,
         "emb_cosine_topk": _q_emb_cosine_topk,
@@ -1631,6 +1693,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fp": _q_doc_rolling_fp,
         "media_features": _q_media_features,
     }
+
+
+# The re-lined view used by doc_repetition — same stacking expression as the
+# Spark query builds with concat_ws/substring.
+_REPETITION_LINED_SQL = (
+    "concat_ws(chr(10), substring(text, 1, 40), substring(text, 21, 40), "
+    "substring(text, 1, 40), text)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2177,6 +2247,28 @@ FROM documents
                 "|| '.7, acct 9000000000' || CAST(doc_id AS VARCHAR))"
             )
             + ") AS redacted_sha FROM documents"
+        ),
+        # Gopher repetition rules over the deterministically re-lined view
+        "doc_repetition": (
+            "SELECT doc_id, "
+            + _text_sql.dup_line_frac_sql(_REPETITION_LINED_SQL)
+            + " AS dup_line_frac, "
+            + _text_sql.dup_line_char_frac_sql(_REPETITION_LINED_SQL)
+            + " AS dup_line_char_frac, "
+            + _text_sql.top_bigram_char_frac_sql("text")
+            + " AS top_bigram_char_frac FROM documents"
+        ),
+        # C4 boilerplate-line removal over the planted-footer view
+        "doc_boilerplate": (
+            "SELECT doc_id, sha256(clean_text) AS clean_sha, n_removed FROM ("
+            + _text_sql.boilerplate_sql(
+                "(SELECT doc_id, text || chr(10) || 'Subscribe to ' || source "
+                "|| chr(10) || CASE WHEN doc_id % 2 = 0 THEN '(c) example press' "
+                "ELSE 'ref ' || CAST(doc_id AS VARCHAR) END AS text "
+                "FROM documents)",
+                min_docs=3,
+            )
+            + ")"
         ),
         "doc_ngram_jaccard": r"""
 WITH toks AS (

@@ -620,3 +620,96 @@ def test_contamination_sql_twin_matches(spark, docs):
     )
     want = dict(duckdb.sql(sql).fetchall())
     assert got == want
+
+
+# ---- repetition metrics + boilerplate removal (Gopher / C4 rules) ----------
+
+
+def test_repetition_metrics_known_values(spark):
+    from wprdc_etl_spark.functions import (
+        dup_line_char_frac,
+        dup_line_frac,
+        top_bigram_char_frac,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "x\ny\nx"),        # 3 lines, 2 distinct; 'x' twice = 2/3 chars
+            (2, "a b a b"),        # bigrams [a b, b a, a b] -> 'a b' 2*3=6 / 7
+            (3, "solo"),           # one token, one line
+            (4, ""),               # empty
+            (5, "p\n\n\np"),       # empty lines excluded from line metrics
+        ],
+        "id long, t string",
+    )
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            dup_line_frac(F.col("t")).alias("dlf"),
+            dup_line_char_frac(F.col("t")).alias("dlcf"),
+            top_bigram_char_frac(F.col("t")).alias("tbcf"),
+        ).collect()
+    }
+    assert got[1]["dlf"] == round(1 / 3, 4) and got[1]["dlcf"] == round(2 / 3, 4)
+    assert got[2]["tbcf"] == round(6 / 7, 4)
+    assert got[3]["dlf"] == 0.0 and got[3]["tbcf"] == 0.0
+    assert got[4]["dlf"] == 0.0 and got[4]["dlcf"] == 0.0 and got[4]["tbcf"] == 0.0
+    assert got[5]["dlf"] == 0.5 and got[5]["dlcf"] == 1.0
+
+
+def test_remove_boilerplate_lines(spark):
+    from wprdc_etl_spark.functions import remove_boilerplate_lines
+
+    rows = [
+        (1, "alpha\nfooter\nbravo"),
+        (2, "charlie\nfooter"),
+        (3, "footer\ndelta\nrare"),
+        (4, "rare\necho"),
+        (5, "  \nfoxtrot"),  # whitespace-only line is never a candidate
+        (6, "footer"),       # reduced to nothing -> ''
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for hash_fn in ("xxhash64", "sha2"):
+        got = {
+            r["doc_id"]: r
+            for r in remove_boilerplate_lines(
+                df, min_docs=3, hash_fn=hash_fn
+            ).collect()
+        }
+        # 'footer' is in 4 docs -> removed everywhere; 'rare' in 2 -> kept
+        assert got[1]["clean_text"] == "alpha\nbravo" and got[1]["n_removed"] == 1
+        assert got[2]["clean_text"] == "charlie"
+        assert got[3]["clean_text"] == "delta\nrare"
+        assert got[4]["n_removed"] == 0
+        assert got[5]["clean_text"] == "  \nfoxtrot"
+        assert got[6]["clean_text"] == "" and got[6]["n_removed"] == 1
+
+
+def test_boilerplate_sql_twin_matches(spark):
+    """The DuckDB twin reproduces the Spark output byte-for-byte (sha2 leaf)."""
+    import duckdb
+
+    from wprdc_etl_spark.functions import remove_boilerplate_lines
+    from wprdc_etl_spark.functions.text import boilerplate_sql
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").orderBy("doc_id").limit(60)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\nSubscribe to "), F.col("source")
+        ).alias("text"),
+    )
+    sp = sorted(
+        (r["doc_id"], r["clean_text"], r["n_removed"])
+        for r in remove_boilerplate_lines(planted, min_docs=3, hash_fn="sha2").collect()
+    )
+    con = duckdb.connect()
+    rel = (
+        "(SELECT doc_id, text || chr(10) || 'Subscribe to ' || source AS text "
+        f"FROM (SELECT * FROM '{SF}/documents.parquet' ORDER BY doc_id LIMIT 60))"
+    )
+    dk = sorted(
+        con.execute(boilerplate_sql(rel, min_docs=3)).fetchall()
+    )
+    assert sp == dk

@@ -1,11 +1,15 @@
 from wprdc_etl_spark.functions.text import (
     bpe_ish_token_count,
     chunk_documents,
+    dup_line_char_frac,
+    dup_line_frac,
     lang_id,
     quality_score,
     redact_pii,
+    remove_boilerplate_lines,
     rolling_fingerprint,
     token_count,
+    top_bigram_char_frac,
 )
 from wprdc_etl_spark.functions.sampling import (
     hash_sample,
@@ -60,6 +64,10 @@ __all__ = [
     "NearDupIndex",
     "contamination_flags",
     "chunk_documents",
+    "dup_line_frac",
+    "dup_line_char_frac",
+    "top_bigram_char_frac",
+    "remove_boilerplate_lines",
     "redact_pii",
     "hash_sample",
     "mix_corpus",

@@ -256,3 +256,225 @@ def rolling_fp_sql(text_expr: str = "text") -> str:
         f"CASE WHEN {text_expr} IS NULL OR length({text_expr}) = 0 "
         f"THEN 0 ELSE ({signed}) END"
     )
+
+# ---- intra-document repetition metrics (Gopher-style quality rules) ---------
+#
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher", §A1.1) filter
+# training documents by repetition: the fraction of duplicate lines, the
+# fraction of characters inside duplicate lines, and the fraction of
+# characters covered by the most frequent word 2-gram. All three are pure
+# in-row computations here — split/filter/aggregate higher-order built-ins
+# over the line/token arrays, codegen'd, ZERO shuffle and zero Python — so at
+# 100 TB they ride the corpus scan for free. Per-row cost is
+# O(distinct·total) array comparisons, bounded by line/token counts of one
+# document, never by corpus size. Each has an exact DuckDB list-lambda twin
+# (same IEEE double ops, same 4-dp rounding — the quality_score parity
+# pattern).
+
+
+def _nonempty_lines(col: Column) -> Column:
+    return F.filter(F.split(col, "\n"), lambda l: F.length(l) > 0)
+
+
+def dup_line_frac(col: Column) -> Column:
+    """Fraction of non-empty line occurrences that are duplicates of an
+    earlier line: 1 - distinct/total. 0.0 for docs with no non-empty lines."""
+    lines = _nonempty_lines(col)
+    total = F.size(lines)
+    dist = F.size(F.array_distinct(lines))
+    return F.when(
+        total > 0, F.round((total - dist).cast("double") / total.cast("double"), 4)
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_char_frac(col: Column) -> Column:
+    """Fraction of characters (across non-empty lines) that sit inside lines
+    occurring more than once — every occurrence of a duplicated line counts."""
+    lines = _nonempty_lines(col)
+    zero = F.lit(0).cast("long")
+    chars_tot = F.aggregate(lines, zero, lambda a, l: a + F.length(l).cast("long"))
+    dup_chars = F.aggregate(
+        F.array_distinct(lines),
+        zero,
+        lambda a, d: a
+        + F.when(
+            F.size(F.filter(lines, lambda x: x == d)) > 1,
+            F.size(F.filter(lines, lambda x: x == d)).cast("long")
+            * F.length(d).cast("long"),
+        ).otherwise(zero),
+    )
+    return F.when(
+        chars_tot > 0,
+        F.round(dup_chars.cast("double") / chars_tot.cast("double"), 4),
+    ).otherwise(F.lit(0.0))
+
+
+def top_bigram_char_frac(col: Column) -> Column:
+    """Fraction of the document's characters covered by the most repeated
+    word 2-gram: max over distinct bigrams of count·length(bigram), divided
+    by length(text). Bigram length includes the single joining space (the
+    bigrams are materialized with ' ' between tokens). 0.0 when the doc has
+    fewer than two whitespace tokens."""
+    toks = F.split(F.trim(col), r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i.cast("int")),
+            F.lit(" "),
+            F.element_at(toks, (i + F.lit(1)).cast("int")),
+        ),
+    )
+    maxcov = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda g: F.size(F.filter(bigrams, lambda x: x == g)) * F.length(g),
+        )
+    )
+    return F.when(
+        (F.length(col) > 0) & (F.size(toks) >= 2),
+        F.round(maxcov.cast("double") / F.length(col).cast("double"), 4),
+    ).otherwise(F.lit(0.0))
+
+
+def _lines_sql(t: str) -> str:
+    return f"list_filter(string_split({t}, chr(10)), l -> length(l) > 0)"
+
+
+def dup_line_frac_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of dup_line_frac."""
+    lines = _lines_sql(text_expr)
+    return (
+        f"CASE WHEN len({lines}) > 0 THEN "
+        f"round(CAST(len({lines}) - len(list_distinct({lines})) AS DOUBLE) "
+        f"/ CAST(len({lines}) AS DOUBLE), 4) ELSE 0.0 END"
+    )
+
+
+def dup_line_char_frac_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of dup_line_char_frac (nested list lambdas capture the
+    outer variable exactly like Spark's higher-order functions)."""
+    lines = _lines_sql(text_expr)
+    chars_tot = f"list_sum(list_transform({lines}, l -> CAST(length(l) AS BIGINT)))"
+    dup_chars = (
+        f"coalesce(list_sum(list_transform(list_distinct({lines}), d -> "
+        f"CASE WHEN len(list_filter({lines}, x -> x = d)) > 1 "
+        f"THEN CAST(len(list_filter({lines}, x -> x = d)) AS BIGINT) "
+        f"* CAST(length(d) AS BIGINT) ELSE CAST(0 AS BIGINT) END)), 0)"
+    )
+    return (
+        f"CASE WHEN coalesce({chars_tot}, 0) > 0 THEN "
+        f"round(CAST({dup_chars} AS DOUBLE) / CAST({chars_tot} AS DOUBLE), 4) "
+        f"ELSE 0.0 END"
+    )
+
+
+def top_bigram_char_frac_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of top_bigram_char_frac (generate_series list form +
+    1-based list indexing mirror Spark's sequence + element_at)."""
+    t = text_expr
+    toks = f"string_split_regex(trim({t}), '\\s+')"
+    bigrams = (
+        f"list_transform(generate_series(1, len({toks}) - 1), "
+        f"i -> {toks}[i] || ' ' || {toks}[i + 1])"
+    )
+    maxcov = (
+        f"list_max(list_transform(list_distinct({bigrams}), g -> "
+        f"len(list_filter({bigrams}, x -> x = g)) * length(g)))"
+    )
+    return (
+        f"CASE WHEN length({t}) > 0 AND len({toks}) >= 2 THEN "
+        f"round(CAST({maxcov} AS DOUBLE) / CAST(length({t}) AS DOUBLE), 4) "
+        f"ELSE 0.0 END"
+    )
+
+
+# ---- cross-document boilerplate line removal (C4-style) ---------------------
+#
+# Raffel et al. 2020 (C4) deduplicate at the LINE level: any line occurring
+# in three or more documents is boilerplate (nav menus, cookie banners,
+# footers) and every occurrence is dropped. Two passes: (1) one narrow hash
+# aggregate over leaf-hashed lines counts distinct containing docs — corpus
+# text never shuffles, only (hash, doc_id); (2) the small over-threshold set
+# broadcasts into an anti join and each doc is rebuilt from its surviving
+# lines (ONE shuffle keyed by doc id, payload = kept lines only). The leaf
+# hash is pluggable exactly like MinHash: xxhash64 in production, sha2 for
+# the bit-identical DuckDB oracle.
+
+
+def remove_boilerplate_lines(
+    df,
+    *,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    hash_fn: str = "xxhash64",
+):
+    """Drop every occurrence of any line appearing in >= ``min_docs`` distinct
+    documents; returns (id, out_col, n_removed). Whitespace-only lines are
+    never candidates (kept verbatim). NULL text is treated as ''. Line order
+    is preserved; docs reduced to nothing come back as ''."""
+    from wprdc_etl_spark.functions.dedup import _leaf_hash
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines_arr = F.split(text, "\n")
+    ex = df.select(F.col(id_col), F.posexplode(lines_arr).alias("_pos", "_line"))
+    cand = ex.where(F.length(F.trim("_line")) > 0)
+    freq = (
+        cand.select(F.col(id_col), _leaf_hash(F.col("_line"), hash_fn).alias("_h"))
+        .groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("_n_docs"))
+        .where(F.col("_n_docs") >= int(min_docs))
+        .select("_h")
+    )
+    kept = ex.join(
+        F.broadcast(freq), _leaf_hash(F.col("_line"), hash_fn) == F.col("_h"), "left_anti"
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_line"))).alias("_k"))
+        .select(
+            F.col(id_col),
+            F.concat_ws("\n", F.transform("_k", lambda s: s["_line"])).alias(out_col),
+            F.size("_k").cast("long").alias("_n_kept"),
+        )
+    )
+    base = df.select(F.col(id_col), F.size(lines_arr).cast("long").alias("_n_lines"))
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+        (F.col("_n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))).cast("long").alias(
+            "n_removed"
+        ),
+    )
+
+
+def boilerplate_sql(
+    relation: str,
+    *,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of remove_boilerplate_lines(hash_fn='sha2'): parallel
+    unnest for (line, pos), the same distinct-doc threshold on the sha2 leaf
+    hash, order-preserving string_agg rebuild. Returns
+    (id, clean_text, n_removed)."""
+    from wprdc_etl_spark.functions.dedup import leaf_hash_sql
+
+    t = f"coalesce({text_expr}, '')"
+    lines = f"string_split({t}, chr(10))"
+    h = leaf_hash_sql("line")
+    return (
+        f"WITH _ex AS (SELECT {id_col}, unnest({lines}) AS line, "
+        f"unnest(generate_series(1, len({lines}))) AS pos FROM {relation}), "
+        f"_freq AS (SELECT {h} AS h FROM _ex WHERE length(trim(line)) > 0 "
+        f"GROUP BY 1 HAVING count(DISTINCT {id_col}) >= {int(min_docs)}), "
+        f"_kept AS (SELECT * FROM _ex WHERE {h} NOT IN (SELECT h FROM _freq)), "
+        f"_reb AS (SELECT {id_col}, string_agg(line, chr(10) ORDER BY pos) AS clean_text, "
+        f"count(*) AS n_kept FROM _kept GROUP BY {id_col}), "
+        f"_base AS (SELECT {id_col}, CAST(len({lines}) AS BIGINT) AS n_lines FROM {relation}) "
+        f"SELECT b.{id_col}, coalesce(r.clean_text, '') AS clean_text, "
+        f"CAST(b.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed "
+        f"FROM _base b LEFT JOIN _reb r USING ({id_col})"
+    )
