@@ -168,6 +168,52 @@ def _q_cdc_multi_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("repo", "path", "commit", "lang", "content_sha")
 
 
+def _q_cdc_txn_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-consistent apply (operators/txn.py::gate_complete_txns):
+    the log is stamped with synthetic 7-event source transactions and
+    replayed in 3 sequence-range batches whose boundaries TEAR transactions;
+    each batch applies only COMPLETE transactions and carries the torn tail
+    into the next batch (Debezium-transaction-metadata semantics). The
+    query raises unless every inner boundary really held events back, so a
+    pass proves the gating engaged AND that gated multi-batch apply
+    converges to the exact ungated golden state (oracle = cdc_final_state's
+    golden replay)."""
+    from wprdc_etl_spark.operators.txn import gate_complete_txns, with_txn_metadata
+
+    label = _sf_label(sf_dir)
+    n = _SF_EVENTS.get(label, 20_000)
+    ev = with_txn_metadata(_events(spark, sf_dir), txn_size=7, n_events=n)
+    target = os.path.join(FIXTURES, "_targets", f"{label}_txn")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16)
+    job = (
+        IngestJob(f"txn-{label}")
+        .source(_fixture_log(spark, sf_dir))
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    table.ensure(job.target_schema())
+    pending = None
+    bounds = [n // 3, 2 * n // 3, n]  # n//3 and 2n//3 are not multiples of 7
+    lo = 0
+    for i, hi in enumerate(bounds):
+        chunk = ev.where(
+            (F.col("event_sequence") >= lo) & (F.col("event_sequence") < hi)
+        )
+        ready, pending = gate_complete_txns(chunk, pending=pending)
+        held = pending.count()
+        if hi < n and held == 0:
+            raise AssertionError(
+                f"txn gate held back nothing at boundary {hi} — boundary must tear a txn"
+            )
+        job.apply_batch(ready.drop("txn_id", "txn_total"), batch_id=i)
+        lo = hi
+    if pending.count() != 0:
+        raise AssertionError("pending events left after the final batch")
+    return table.read().select("repo", "path", "commit", "lang", "content_sha")
+
+
 def _q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point lookup through driver-side bucket pruning (plans/lake.py::
     lookup + operators/xxhash.py): replay into a bucketed table, then fetch
@@ -1623,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_final_state": _q_cdc_final_state,
         "cdc_multi_log": _q_cdc_multi_log,
+        "cdc_txn_apply": _q_cdc_txn_apply,
         "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_log_scan": _q_cdc_log_scan,
         "cdc_dedup": _q_cdc_dedup,
@@ -2323,6 +2370,8 @@ SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <=
     out["emb_ann_topk"] = out["emb_cosine_topk"]
     # key-sharded logs unioned must replay to the single-log golden state
     out["cdc_multi_log"] = out["cdc_final_state"]
+    # gated multi-batch apply converges to the identical final state
+    out["cdc_txn_apply"] = out["cdc_final_state"]
     # a staged (WAP) replay, once published, equals the golden replay
     out["cdc_wap_publish"] = out["cdc_final_state"]
     # DML twins: the golden replay with the predicate applied relationally —

@@ -3,6 +3,7 @@ from wprdc_etl_spark.operators.latest import latest_per_key
 from wprdc_etl_spark.operators.fingerprint import with_content_sha, state_fingerprint
 from wprdc_etl_spark.operators.patch import normalize_patches, patch_merge
 from wprdc_etl_spark.operators.skew import salted_repartition
+from wprdc_etl_spark.operators.txn import gate_complete_txns, with_txn_metadata
 
 __all__ = [
     "dedup_events",
@@ -13,4 +14,6 @@ __all__ = [
     "normalize_patches",
     "patch_merge",
     "salted_repartition",
+    "gate_complete_txns",
+    "with_txn_metadata",
 ]
