@@ -1536,6 +1536,41 @@ def _q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/Markdown → clean text (functions/text.py::strip_markup): the
+    crawl-ingest normalization chain (comments, script/style payloads, md
+    links, tags→space, headings, emphasis, entities, run collapse) in the
+    RE2∩Java regex subset so both engines replace identical spans. The
+    corpus is plain text, so the query wraps each doc in deterministic
+    markup (same expression in the twin) and strips it — sha-bound."""
+    from wprdc_etl_spark.functions.text import strip_markup
+
+    docs = _docs(spark, sf_dir)
+    plant = F.concat(
+        F.lit("<html><!-- gen --><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1>\n## Sec  A\n<p>"),
+        F.col("text"),
+        F.lit("</p><script>var x = 1 < 2;</script>**b** [l](http://e/"),
+        F.col("doc_id").cast("string"),
+        F.lit(") &amp; `c` &lt;t&gt;&nbsp;&quot;q&#39;\n\n\n\nend</html>"),
+    )
+    return docs.select(
+        "doc_id", F.sha2(strip_markup(plant), 256).alias("clean_sha")
+    )
+
+
+def _q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (functions/text.py::top_terms_per_doc):
+    top-5 terms per doc by tf·(N/df) — the linear-idf variant whose doubles
+    are IEEE-exact in both engines (ln is not bit-specified across libms).
+    Two narrow shuffles + a term-keyed join + WindowGroupLimit top-k
+    (plan-asserted in tests); corpus text never shuffles."""
+    from wprdc_etl_spark.functions.text import top_terms_per_doc
+
+    return top_terms_per_doc(_docs(spark, sf_dir), k=5, min_df=2)
+
+
 def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (functions/dedup.py::contamination_flags):
     every 20th doc plays the held-out eval set; corpus docs sharing ANY
@@ -1729,6 +1764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_redact": _q_doc_redact,
         "doc_repetition": _q_doc_repetition,
         "doc_boilerplate": _q_doc_boilerplate,
+        "doc_markup_strip": _q_doc_markup_strip,
+        "doc_top_terms": _q_doc_top_terms,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_decontaminate": _q_doc_decontaminate,
         "emb_cosine_topk": _q_emb_cosine_topk,
@@ -2305,6 +2342,20 @@ FROM documents
             + _text_sql.top_bigram_char_frac_sql("text")
             + " AS top_bigram_char_frac FROM documents"
         ),
+        # markup strip of the deterministically wrapped docs, sha-bound
+        "doc_markup_strip": (
+            "SELECT doc_id, sha256("
+            + _text_sql.strip_markup_sql(
+                "('<html><!-- gen --><h1>Doc ' || CAST(doc_id AS VARCHAR) || "
+                "'</h1>' || chr(10) || '## Sec  A' || chr(10) || '<p>' || text || "
+                "'</p><script>var x = 1 < 2;</script>**b** [l](http://e/' || "
+                "CAST(doc_id AS VARCHAR) || ') &amp; `c` &lt;t&gt;&nbsp;&quot;q&#39;' "
+                "|| repeat(chr(10), 4) || 'end</html>')"
+            )
+            + ") AS clean_sha FROM documents"
+        ),
+        # TF-IDF top-5 terms per doc (linear idf; exact double parity)
+        "doc_top_terms": _text_sql.top_terms_sql("documents", k=5, min_df=2),
         # C4 boilerplate-line removal over the planted-footer view
         "doc_boilerplate": (
             "SELECT doc_id, sha256(clean_text) AS clean_sha, n_removed FROM ("

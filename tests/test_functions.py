@@ -713,3 +713,84 @@ def test_boilerplate_sql_twin_matches(spark):
         con.execute(boilerplate_sql(rel, min_docs=3)).fetchall()
     )
     assert sp == dk
+
+
+def test_strip_markup_rules(spark):
+    from wprdc_etl_spark.functions import strip_markup
+
+    df = spark.createDataFrame(
+        [
+            (1, "<p>hello <b>world</b></p>"),
+            (2, "<!-- note -->keep<script>drop();</script>"),
+            (3, "## Title\nsee [docs](http://x) and **bold** `code`"),
+            (4, "a &amp; b &lt;c&gt; &quot;d&#39; &nbsp;e"),
+            (5, "x   y\tz\n\n\n\n\nw"),
+        ],
+        "id long, t string",
+    )
+    got = {r["id"]: r["s"] for r in df.select("id", strip_markup(F.col("t")).alias("s")).collect()}
+    assert got[1] == "hello world"           # tags -> space, runs collapsed
+    assert got[2] == "keep"
+    assert got[3] == "Title\nsee docs and bold code"
+    assert got[4] == "a & b <c> \"d' e"
+    assert got[5] == "x y\tz\n\nw" or got[5] == "x y z\n\nw"
+
+
+def test_strip_markup_sql_twin(spark):
+    import duckdb
+
+    from wprdc_etl_spark.functions import strip_markup
+    from wprdc_etl_spark.functions.text import strip_markup_sql
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plant = F.concat(
+        F.lit("<html><h1>T</h1><p>"), F.col("text"),
+        F.lit("</p><!-- x --><script>s</script>**b** [l](http://e)</html>"),
+    )
+    sp = sorted(
+        (r["doc_id"], r["s"])
+        for r in docs.select("doc_id", strip_markup(plant).alias("s")).collect()
+    )
+    con = duckdb.connect()
+    plant_sql = ("'<html><h1>T</h1><p>' || text || "
+                 "'</p><!-- x --><script>s</script>**b** [l](http://e)</html>'")
+    dk = sorted(
+        con.execute(
+            f"SELECT doc_id, {strip_markup_sql(plant_sql)} AS s "
+            f"FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+    assert sp == dk
+
+
+def test_top_terms_per_doc(spark):
+    from wprdc_etl_spark.functions import top_terms_per_doc
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common common"),
+            (2, "banana cherry common common"),
+            (3, "cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = top_terms_per_doc(df, k=2)
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+        for r in out.collect()
+    }
+    # doc 1: apple tf=2 df=1 -> score 6.0 beats common tf=3 df=3 -> 3.0
+    assert got[(1, 1)] == ("apple", 2, 1)
+    assert got[(1, 2)] == ("common", 3, 3)
+    # doc 3: cherry tf=1 df=2 -> 1.5 beats common tf=1 df=3 -> 1.0
+    assert got[(3, 1)] == ("cherry", 1, 2)
+
+
+def test_top_terms_window_group_limit_plan(spark):
+    """The rank filter must compile to WindowGroupLimit (partial per-map
+    top-k before the shuffle) — the 100-TB shape topk_per_group promises."""
+    from wprdc_etl_spark.functions import top_terms_per_doc
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = top_terms_per_doc(docs, k=5, n_docs=500)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -8,8 +8,10 @@ from wprdc_etl_spark.functions.text import (
     redact_pii,
     remove_boilerplate_lines,
     rolling_fingerprint,
+    strip_markup,
     token_count,
     top_bigram_char_frac,
+    top_terms_per_doc,
 )
 from wprdc_etl_spark.functions.sampling import (
     hash_sample,
@@ -68,6 +70,8 @@ __all__ = [
     "dup_line_char_frac",
     "top_bigram_char_frac",
     "remove_boilerplate_lines",
+    "strip_markup",
+    "top_terms_per_doc",
     "redact_pii",
     "hash_sample",
     "mix_corpus",

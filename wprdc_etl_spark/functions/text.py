@@ -478,3 +478,148 @@ def boilerplate_sql(
         f"CAST(b.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed "
         f"FROM _base b LEFT JOIN _reb r USING ({id_col})"
     )
+
+
+# ---- markup stripping (HTML / Markdown → clean training text) ---------------
+#
+# Crawl-derived corpora arrive as HTML or Markdown; the standard ingest
+# normalization strips tags, comments, script/style payloads, link syntax
+# and entities before quality scoring / dedup. Rules are an ordered
+# regexp_replace chain in the RE2∩Java subset (no lookaround, no pattern
+# backreferences — RE2 has none), so Spark and DuckDB replace the exact
+# same spans; only the replacement group syntax differs ($1 vs \1), which
+# is why each rule carries both forms. JVM-codegen'd, zero Python.
+MARKUP_RULES: list[tuple[str, str, str]] = [
+    # (pattern, spark replacement, duckdb replacement)
+    (r"<!--[\s\S]*?-->", "", ""),                        # HTML comments
+    (r"<script[\s\S]*?</script>", "", ""),               # script payloads
+    (r"<style[\s\S]*?</style>", "", ""),                 # style payloads
+    (r"!?\[([^\]]*)\]\([^)]*\)", "$1", r"\1"),           # md links/images
+    (r"<[^>]+>", " ", " "),                              # remaining tags → space
+
+    (r"(?m)^#{1,6}[ \t]*", "", ""),                      # md headings
+    (r"\*{1,3}([^*]+)\*{1,3}", "$1", r"\1"),             # md emphasis
+    (r"`", "", ""),                                      # inline code marks
+    (r"&amp;", "&", "&"),                                # entities (after tag strip)
+    (r"&lt;", "<", "<"),
+    (r"&gt;", ">", ">"),
+    (r"&quot;", "\"", "\""),
+    (r"&#39;", "'", "'"),
+    (r"&nbsp;", " ", " "),
+    (r"[ \t]{2,}", " ", " "),                            # collapse runs
+    (r"\n{3,}", "\n\n", "\n\n"),                         # collapse blank lines
+]
+
+
+def strip_markup(col: Column) -> Column:
+    """HTML/Markdown → clean text via the ordered MARKUP_RULES chain, then
+    trim. One fused whole-stage-codegen expression per row."""
+    out = col
+    for pat, spark_repl, _ in MARKUP_RULES:
+        out = F.regexp_replace(out, pat, spark_repl)
+    return F.trim(out)
+
+
+def strip_markup_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of strip_markup (global flag; RE2 replacement \\1 group
+    refs; identical rule order)."""
+    out = text_expr
+    for pat, _, duck_repl in MARKUP_RULES:
+        sql_pat = pat.replace("'", "''")
+        sql_repl = duck_repl.replace("'", "''").replace("\n", "' || chr(10) || '")
+        out = f"regexp_replace({out}, '{sql_pat}', '{sql_repl}', 'g')"
+    return f"trim({out})"
+
+
+# ---- TF-IDF keyword extraction ----------------------------------------------
+#
+# Per-document top-k salient terms by tf·idf. The idf here is the LINEAR
+# rarity N/df rather than ln(N/df): log implementations are not bit-specified
+# across engines (libm vs RE2-era musl differ in ULPs), while IEEE
+# multiply/divide are exactly rounded everywhere — so the Spark and DuckDB
+# scores compare EXACTLY, ranking included. Monotonicity in df is identical,
+# so top-k sets match the ln variant whenever tf ties don't straddle the
+# transform (and a deterministic (score DESC, term ASC) tiebreak pins the
+# rest).
+#
+# Scale shape: two NARROW shuffles — (doc, term) tf counts with map-side
+# combine, then (term) doc-frequency counts — followed by a term-keyed join
+# (the post-min_df dictionary is vocabulary-sized; AQE broadcasts it when it
+# fits) and a WindowGroupLimit top-k that prunes every map partition to its
+# local k before the final shuffle. Corpus text never moves: only hashed-
+# width (doc, term, count) rows shuffle.
+
+
+def top_terms_per_doc(
+    df,
+    *,
+    k: int = 5,
+    n_docs: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_term_len: int = 2,
+    min_df: int = 1,
+):
+    """Top-k terms per document by tf·(N/df); returns
+    (id, term, tf, df, score, rank). Terms are maximal ``[a-z]{min_term_len,}``
+    runs of the lowercased text. ``n_docs`` (the corpus size N) is counted
+    with one cheap action when not supplied."""
+    from wprdc_etl_spark.operators.analytics import topk_per_group
+
+    if n_docs is None:
+        n_docs = df.count()
+    pat = f"[a-z]{{{int(min_term_len)},}}"
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pat), 0)).alias(
+                "term"
+            ),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if min_df > 1:
+        docfreq = docfreq.where(F.col("df") >= int(min_df))
+    scored = tf.join(docfreq, "term").withColumn(
+        "score",
+        F.round(F.col("tf") * (F.lit(float(n_docs)) / F.col("df")), 4),
+    )
+    out = topk_per_group(
+        scored,
+        group=[id_col],
+        order_by=[F.col("score").desc(), F.col("term").asc()],
+        k=k,
+    )
+    return out.select(id_col, "term", "tf", "df", "score", "rank")
+
+
+def top_terms_sql(
+    relation: str,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    min_term_len: int = 2,
+    min_df: int = 1,
+) -> str:
+    """DuckDB twin of top_terms_per_doc — recomputes N itself (same double
+    division/multiplication, same rounding, same tiebreak)."""
+    pat = f"[a-z]{{{int(min_term_len)},}}"
+    return (
+        f"WITH _tok AS (SELECT {id_col}, "
+        f"unnest(regexp_extract_all(lower({text_expr}), '{pat}')) AS term "
+        f"FROM {relation}), "
+        f"_tf AS (SELECT {id_col}, term, count(*) AS tf FROM _tok GROUP BY 1, 2), "
+        f"_df AS (SELECT term, count(*) AS df FROM _tf GROUP BY 1 "
+        f"HAVING count(*) >= {int(min_df)}), "
+        f"_n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {relation}), "
+        f"_sc AS (SELECT t.{id_col}, t.term, t.tf, d.df, "
+        f"round(t.tf * ((SELECT n FROM _n) / d.df), 4) AS score "
+        f"FROM _tf t JOIN _df d USING (term)) "
+        f"SELECT {id_col}, term, tf, df, score, rank FROM ("
+        f"SELECT *, CAST(row_number() OVER (PARTITION BY {id_col} "
+        f"ORDER BY score DESC, term ASC) AS INT) AS rank FROM _sc) "
+        f"WHERE rank <= {int(k)}"
+    )
