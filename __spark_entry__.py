@@ -214,6 +214,36 @@ def _q_cdc_txn_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("repo", "path", "commit", "lang", "content_sha")
 
 
+def _q_cdc_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-lag / freshness report (operators/freshness.py::lag_report):
+    apply only the FIRST of two sequence-range chunks, then measure the
+    table's applied high-water (from committed lineage), the log head, and
+    the events not yet applied — the numbers a CDC lag SLO consumes. The
+    twin recomputes the applied high-water as the max VALID sequence below
+    the same chunk boundary (lineage records committed, validated progress)
+    and the backlog over the raw log."""
+    from wprdc_etl_spark.operators.freshness import lag_report
+
+    log = _fixture_log(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    target = os.path.join(FIXTURES, "_targets", f"{label}_lag")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16)
+    job = (
+        IngestJob("lag-probe")
+        .source(log)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    table.ensure(job.target_schema())
+    ev = spark.read.parquet(log)
+    max_seq = ev.agg(F.max("event_sequence")).collect()[0][0]
+    step = max(1, (int(max_seq) + 1 + 1) // 2)  # run_batch's chunk arithmetic, n=2
+    job.apply_batch(ev.where(F.col("event_sequence") < step), batch_id=0)
+    return lag_report(ev, table, "lag-probe")
+
+
 def _q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point lookup through driver-side bucket pruning (plans/lake.py::
     lookup + operators/xxhash.py): replay into a bucketed table, then fetch
@@ -1705,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": _q_cdc_final_state,
         "cdc_multi_log": _q_cdc_multi_log,
         "cdc_txn_apply": _q_cdc_txn_apply,
+        "cdc_lag": _q_cdc_lag,
         "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_log_scan": _q_cdc_log_scan,
         "cdc_dedup": _q_cdc_dedup,
@@ -1925,6 +1956,27 @@ valid AS (
 )
 SELECT repo, path, commit, lang, sha256(content) AS content_sha
 FROM latest WHERE op <> 'D' AND event_sequence >= (SELECT lo FROM bound)
+""",
+        "cdc_lag": f"""
+WITH bound AS (
+  SELECT (max(event_sequence) + 1 + 1) // 2 AS step FROM {log}
+),
+{dedup_cte.lstrip()},
+valid AS (
+  SELECT event_sequence, op, repo, path, commit, trim(lang) AS lang, content
+  FROM dedup WHERE {_valid_pred()}
+), applied AS (
+  SELECT max(event_sequence) AS a FROM valid
+  WHERE event_sequence < (SELECT step FROM bound)
+), behind AS (
+  SELECT count(*) AS n FROM {log}
+  WHERE event_sequence > (SELECT a FROM applied)
+)
+SELECT CAST('lag-probe' AS VARCHAR) AS job,
+       CAST((SELECT a FROM applied) AS BIGINT) AS applied_seq,
+       CAST((SELECT max(event_sequence) FROM {log}) AS BIGINT) AS head_seq,
+       CAST((SELECT n FROM behind) AS BIGINT) AS events_behind,
+       (SELECT n FROM behind) = 0 AS caught_up
 """,
         "cdc_log_scan": f"SELECT event_sequence, op, repo, path, commit, lang, content FROM {log}",
         "cdc_dedup": f"""

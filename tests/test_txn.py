@@ -120,3 +120,39 @@ def test_gated_replay_reaches_ungated_final_state(spark, tmp_path):
     a = gated.read().select("repo", "path", "commit", "content_sha")
     b = golden.read().select("repo", "path", "commit", "content_sha")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_lag_report(spark, tmp_path):
+    """Freshness: after applying only the first half, lag_report sees the
+    committed high-water, the log head, and the exact backlog; after the
+    second half it reports caught up."""
+    from wprdc_etl_spark.operators.freshness import lag_report
+    from wprdc_etl_spark.plans.lake import ParquetSnapshotTable
+    from wprdc_etl_spark.streaming.job import IngestJob
+    from wprdc_etl_spark.testgen import gen_change_events
+
+    n = 2000
+    log_dir = str(tmp_path / "log")
+    gen_change_events(spark, n, with_anomalies=False).write.parquet(log_dir)
+    ev = spark.read.parquet(log_dir)
+    table = ParquetSnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=8)
+    job = (
+        IngestJob("lagjob")
+        .source(log_dir)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    table.ensure(job.target_schema())
+    job.apply_batch(ev.where(F.col("event_sequence") < 1200), batch_id=0)
+    r = lag_report(ev, table, "lagjob").collect()[0]
+    assert r["applied_seq"] == 1199
+    assert r["head_seq"] == n - 1
+    assert r["events_behind"] == n - 1200
+    assert not r["caught_up"]
+    # unknown job -> nothing applied, everything behind
+    r0 = lag_report(ev, table, "nosuchjob").collect()[0]
+    assert r0["applied_seq"] == -1 and r0["events_behind"] == n
+    job.apply_batch(ev.where(F.col("event_sequence") >= 1200), batch_id=1)
+    r2 = lag_report(ev, table, "lagjob").collect()[0]
+    assert r2["caught_up"] and r2["events_behind"] == 0

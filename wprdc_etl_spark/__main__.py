@@ -37,7 +37,7 @@ def main() -> None:
                              "export", "history", "rollback", "rollup", "optimize",
                              "replicate", "tag", "drop-tag", "requeue",
                              "delete", "update", "publish", "abort-staged",
-                             "profile", "lookup", "sql", "vacuum"],
+                             "profile", "lookup", "sql", "vacuum", "lag"],
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
@@ -237,6 +237,18 @@ def main() -> None:
         else:
             v = table.rollback(args.to_version)
             print(f"restored version {args.to_version} as new version {v}")
+        spark.stop()
+        return
+    if args.mode == "lag":
+        # consumer-lag / freshness SLO numbers vs the log head
+        # (operators/freshness.py::lag_report)
+        if not args.source:
+            ap.error("lag mode requires --source (the change-event log)")
+        from wprdc_etl_spark.operators.freshness import lag_report
+
+        log_df = spark.read.parquet(*(args.source if isinstance(args.source, list) else [args.source]))
+        for r in lag_report(log_df, table, args.name).collect():
+            print(r.asDict())
         spark.stop()
         return
     if args.mode == "profile":
