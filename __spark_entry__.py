@@ -37,6 +37,7 @@ from wprdc_etl_spark.functions import similarity as _sim_sql  # noqa: E402
 from wprdc_etl_spark.functions import packing as _packing  # noqa: E402
 from wprdc_etl_spark.functions import sampling as _sampling  # noqa: E402
 from wprdc_etl_spark.functions import text as _text_sql  # noqa: E402
+from wprdc_etl_spark.operators import analytics as _analytics_sql  # noqa: E402
 from wprdc_etl_spark.testgen import LANGS, gen_change_events, write_event_log  # noqa: E402
 
 FIXTURES = os.path.join(REPO, ".fixtures")
@@ -1616,6 +1617,31 @@ def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (operators/analytics.py::funnel): per user,
+    how deep into signup → click → purchase, each step strictly after the
+    previous. The engine walks each user's time-sorted step events in-row
+    (ONE user-keyed shuffle); the twin is the chained-min SQL formulation —
+    two independent constructions of the same answer. Events thinned to a
+    deterministic sparse subset so depths actually vary."""
+    from wprdc_etl_spark.operators.analytics import funnel
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).where(
+        F.pmod(F.col("event_id"), F.lit(17)) < 2
+    )
+    return funnel(ev, ["signup", "click", "purchase"])
+
+
+def _q_doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with deterministic ids
+    (functions/text.py::build_vocab): one narrow (term, count) hash agg —
+    corpus text never shuffles — then (count DESC, term ASC) ranking over
+    the post-threshold vocabulary-sized set."""
+    from wprdc_etl_spark.functions.text import build_vocab
+
+    return build_vocab(_docs(spark, sf_dir), min_count=5, max_size=100)
+
+
 def _q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wprdc_etl_spark.functions.similarity import cosine_topk
 
@@ -1799,6 +1825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_terms": _q_doc_top_terms,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_decontaminate": _q_doc_decontaminate,
+        "events_funnel": _q_events_funnel,
+        "doc_vocab": _q_doc_vocab,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_ann_topk": _q_emb_ann_topk,
         "emb_near_dup": _q_emb_near_dup,
@@ -2408,6 +2436,13 @@ FROM documents
         ),
         # TF-IDF top-5 terms per doc (linear idf; exact double parity)
         "doc_top_terms": _text_sql.top_terms_sql("documents", k=5, min_df=2),
+        # ordered funnel via the independent chained-min formulation
+        "events_funnel": _analytics_sql.funnel_sql(
+            "(SELECT * FROM events WHERE event_id % 17 < 2)",
+            ["signup", "click", "purchase"],
+        ),
+        # corpus vocabulary (count DESC, term ASC ids)
+        "doc_vocab": _text_sql.vocab_sql("documents", min_count=5, max_size=100),
         # C4 boilerplate-line removal over the planted-footer view
         "doc_boilerplate": (
             "SELECT doc_id, sha256(clean_text) AS clean_sha, n_removed FROM ("

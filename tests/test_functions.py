@@ -794,3 +794,18 @@ def test_top_terms_window_group_limit_plan(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = top_terms_per_doc(docs, k=5, n_docs=500)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_build_vocab_deterministic_ids(spark):
+    from wprdc_etl_spark.functions.text import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "aa bb bb cc cc cc"), (2, "cc dd")], "doc_id long, text string"
+    )
+    got = {r["term"]: (r["term_id"], r["count"]) for r in build_vocab(df).collect()}
+    assert got["cc"] == (1, 4)
+    assert got["bb"] == (2, 2)
+    # count tie between aa and dd broken by term ASC
+    assert got["aa"] == (3, 1) and got["dd"] == (4, 1)
+    capped = build_vocab(df, max_size=2).collect()
+    assert {r["term"] for r in capped} == {"cc", "bb"}

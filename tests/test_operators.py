@@ -495,3 +495,34 @@ def test_profile_table_approx_within_bounds(spark):
     df = spark.range(5000).selectExpr("id % 1000 AS k")
     r = {x["column"]: x for x in profile_table(df, ["k"], approx=True).collect()}
     assert abs(r["k"]["n_distinct"] - 1000) <= 150  # HLL++ rsd=0.05 slack
+
+
+def test_funnel_semantics(spark):
+    """Greedy earliest-match funnel: strictly-after ordering, partial
+    depths, zero-activity users present at step 0."""
+    from datetime import datetime
+
+    from wprdc_etl_spark.operators.analytics import funnel
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        # u1 completes in order
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2: purchase BEFORE click -> stops at 2
+        (2, t(1), "view"), (2, t(2), "purchase"), (2, t(3), "click"),
+        # u3: only later steps, never step 1 -> 0
+        (3, t(1), "click"), (3, t(2), "purchase"),
+        # u4: unrelated events only -> 0 (but present)
+        (4, t(1), "error"),
+        # u5: same-ts step events do NOT chain (strictly after)
+        (5, t(1), "view"), (5, t(1), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["user_id"]: (r["steps_completed"], r["completed_at"]) for r in
+           funnel(df, ["view", "click", "purchase"]).collect()}
+    assert got[1] == (3, t(3))
+    assert got[2] == (2, t(3))   # click matched at t3, purchase at t2 ignored
+    assert got[3][0] == 0 and got[3][1] is None
+    assert got[4][0] == 0
+    assert got[5][0] == 1        # click at the same instant doesn't count
+    assert len(got) == 5

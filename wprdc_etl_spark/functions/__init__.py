@@ -1,5 +1,6 @@
 from wprdc_etl_spark.functions.text import (
     bpe_ish_token_count,
+    build_vocab,
     chunk_documents,
     dup_line_char_frac,
     dup_line_frac,
@@ -72,6 +73,7 @@ __all__ = [
     "remove_boilerplate_lines",
     "strip_markup",
     "top_terms_per_doc",
+    "build_vocab",
     "redact_pii",
     "hash_sample",
     "mix_corpus",

@@ -623,3 +623,64 @@ def top_terms_sql(
         f"ORDER BY score DESC, term ASC) AS INT) AS rank FROM _sc) "
         f"WHERE rank <= {int(k)}"
     )
+
+
+# ---- vocabulary building ----------------------------------------------------
+
+
+def build_vocab(
+    df,
+    *,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_size: int | None = None,
+    min_term_len: int = 2,
+):
+    """Corpus vocabulary with deterministic ids: (term, term_id, count),
+    ids assigned by (count DESC, term ASC) — the tokenizer-training /
+    embedding-table precursor.
+
+    Scale shape: ONE narrow (term, count) hash aggregate with map-side
+    combine over in-row-extracted terms (corpus text never shuffles), then
+    the id ranking runs on the POST-THRESHOLD vocabulary — vocabulary-sized
+    data (a single-partition window is fine at any corpus scale; vocabulary
+    grows ~log corpus). ``max_size`` caps the vocab at the top ids."""
+    from pyspark.sql import Window
+
+    pat = f"[a-z]{{{int(min_term_len)},}}"
+    counts = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pat), 0)
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("count"))
+        .where(F.col("count") >= int(min_count))
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("term").asc())
+    out = counts.withColumn("term_id", F.row_number().over(w).cast("long"))
+    if max_size is not None:
+        out = out.where(F.col("term_id") <= int(max_size))
+    return out.select("term", "term_id", "count")
+
+
+def vocab_sql(
+    relation: str,
+    *,
+    text_expr: str = "text",
+    min_count: int = 1,
+    max_size: int | None = None,
+    min_term_len: int = 2,
+) -> str:
+    """DuckDB twin of build_vocab."""
+    pat = f"[a-z]{{{int(min_term_len)},}}"
+    cap = f"WHERE term_id <= {int(max_size)}" if max_size is not None else ""
+    return (
+        f"SELECT term, term_id, count FROM ("
+        f"SELECT term, count, CAST(row_number() OVER "
+        f"(ORDER BY count DESC, term ASC) AS BIGINT) AS term_id FROM ("
+        f"SELECT term, count(*) AS count FROM ("
+        f"SELECT unnest(regexp_extract_all(lower({text_expr}), '{pat}')) AS term "
+        f"FROM {relation}) GROUP BY term HAVING count(*) >= {int(min_count)})) {cap}"
+    )

@@ -241,3 +241,107 @@ def profile_table(
         )
     )
     return row.select(F.inline(F.array(*[F.struct(*fields(c)) for c in cols])))
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: per user, how far through ``steps`` did they
+    get, each step matched STRICTLY after the previous one? Returns
+    (user, steps_completed, completed_at) for every user in ``df`` —
+    completed_at is the timestamp of the furthest matched step, NULL at 0.
+
+    Semantics: greedy earliest-match — step 1 is the user's earliest step-1
+    event, step i the earliest step-i event after the matched step i-1.
+    Greedy-earliest maximizes funnel depth (matching any later step-(i-1)
+    event only shrinks the window for step i), so this equals the
+    "min ts after previous" chained formulation the SQL oracle uses — two
+    independent constructions of the same answer.
+
+    Scale shape: events are filtered to the step types, then ONE shuffle
+    keyed by user builds each user's time-sorted step-event list and the
+    funnel walk is an in-row ``aggregate`` over it (codegen'd, no Python).
+    State per user = its step events only — bounded by user activity, not
+    corpus size; a pathological power-user key is the same skew the engine's
+    salting helpers address. Plus one narrow distinct-users aggregate so
+    zero-activity users report step 0.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    evs = (
+        df.where(F.col(type_col).isin(steps))
+        .groupBy(user_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("y")))
+            ).alias("_evs")
+        )
+    )
+    init = F.struct(
+        F.lit(0).alias("step"), F.lit(None).cast("timestamp").alias("at")
+    )
+    walk = F.aggregate(
+        "_evs",
+        init,
+        lambda acc, e: F.when(
+            (acc["step"] < F.lit(len(steps)))
+            & (e["y"] == F.element_at(step_arr, (acc["step"] + 1).cast("int")))
+            & (acc["at"].isNull() | (e["t"] > acc["at"])),
+            F.struct((acc["step"] + 1).alias("step"), e["t"].alias("at")),
+        ).otherwise(acc),
+    )
+    walked = evs.select(
+        F.col(user_col),
+        walk["step"].alias("steps_completed"),
+        walk["at"].alias("completed_at"),
+    )
+    users = df.select(user_col).distinct()
+    return users.join(walked, user_col, "left").select(
+        F.col(user_col),
+        F.coalesce(F.col("steps_completed"), F.lit(0)).cast("int").alias("steps_completed"),
+        F.col("completed_at"),
+    )
+
+
+def funnel_sql(
+    relation: str,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB twin of ``funnel`` via the chained-min formulation: step i's
+    time is the min ts of a step-i event strictly after step i-1's time —
+    an INDEPENDENT construction (k chained aggregates instead of one in-row
+    walk), so agreement is evidence, not tautology."""
+    steps = list(steps)
+    ctes = [
+        f"s1 AS (SELECT {user_col}, min({ts_col}) AS t FROM {relation} "
+        f"WHERE {type_col} = '{steps[0]}' GROUP BY 1)"
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"s{i + 1} AS (SELECT e.{user_col}, min(e.{ts_col}) AS t "
+            f"FROM {relation} e JOIN s{i} ON e.{user_col} = s{i}.{user_col} "
+            f"AND e.{ts_col} > s{i}.t "
+            f"WHERE e.{type_col} = '{steps[i]}' GROUP BY 1)"
+        )
+    k = len(steps)
+    depth = " ".join(
+        f"WHEN s{i}.t IS NOT NULL THEN {i}" for i in range(k, 0, -1)
+    )
+    at = "coalesce(" + ", ".join(f"s{i}.t" for i in range(k, 0, -1)) + ")"
+    joins = " ".join(f"LEFT JOIN s{i} USING ({user_col})" for i in range(1, k + 1))
+    return (
+        "WITH " + ", ".join(ctes) + f", u AS (SELECT DISTINCT {user_col} FROM {relation}) "
+        f"SELECT u.{user_col}, CAST(CASE {depth} ELSE 0 END AS INT) AS steps_completed, "
+        f"{at} AS completed_at FROM u {joins}"
+    )
