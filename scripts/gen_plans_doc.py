@@ -144,6 +144,20 @@ sections.append(("Partial-image patch normalization (carry-forward on narrow met
   "normalize_patches: the carry-forward Window (last non-null setter rid per patch column) and the Sort feeding it list only keys + flags + rids in their Input — `content` appears solely in the per-column value joins ON `_rid` above the window (pinned by test_payload_not_in_carry_forward_window_sort). Baseline rows come from a driver-side bucket-pruned read.",
   cap(normalize_patches(t, patch_batch, patch_cols=("lang", "content")))))
 
+from wprdc_etl_spark.operators.analytics import funnel
+sections.append(("Funnel analysis (in-row walk after one user-keyed shuffle)",
+  "Events filter to the step types at the scan (pushed In-filter on event_type), ONE hash-partitioned exchange on user_id feeds collect_list, and the greedy funnel walk is a codegen'd in-row aggregate over the sorted step list — no per-step joins, no second exchange beyond the distinct-users agg.",
+  cap(funnel(evts, ["signup", "click", "purchase"]))))
+
+from wprdc_etl_spark.functions.text import remove_boilerplate_lines, top_terms_per_doc
+sections.append(("Boilerplate line removal (narrow count pass + broadcast anti join)",
+  "Pass 1 aggregates leaf-HASHED lines (the groupBy exchange carries (hash, doc_id) — no line text); the over-threshold set rides a BroadcastHashJoin LeftAnti into pass 2; the only doc-keyed exchange carries surviving lines for the ordered rebuild.",
+  cap(remove_boilerplate_lines(docs, min_docs=3))))
+
+sections.append(("TF-IDF top terms (two narrow aggs + WindowGroupLimit)",
+  "tf and df are hash aggregates over in-row-extracted terms (map-side partial; corpus text never shuffles); the dictionary join is AQE-eligible; the per-doc top-k compiles to WindowGroupLimit on both sides of its exchange.",
+  cap(top_terms_per_doc(docs, k=5, n_docs=500, min_df=2))))
+
 with open("/root/repo/docs/PLANS.md", "w") as fh:
     fh.write("# Physical plans of the hot paths (captured via explain('formatted'))\n\n")
     fh.write("Regenerate with `python scripts/gen_plans_doc.py` (this file is evidence\nthat pushdown/pruning/broadcast/partial-agg actually happen — SURVEY §5).\n")
