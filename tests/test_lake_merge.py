@@ -949,3 +949,59 @@ def test_rollback_keeps_tags(spark, tmp_path):
     t.create_tag("keep-me")
     t.rollback(v1)
     assert "keep-me" in t.tags()
+
+
+def test_plan_schema_changes_classification():
+    """Dry-run classifier mirrors merge()'s evolution decisions exactly."""
+    import pyspark.sql.types as T
+
+    from wprdc_etl_spark.plans.lake import plan_schema_changes
+
+    table = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("stars", T.IntegerType()),
+            T.StructField("ratio", T.FloatType()),
+            T.StructField("note", T.StringType()),
+            T.StructField("flag", T.BooleanType()),
+        ]
+    )
+    batch = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("stars", T.LongType()),      # widens
+            T.StructField("ratio", T.FloatType()),     # unchanged
+            T.StructField("flag", T.StringType()),     # incompatible
+            T.StructField("license", T.StringType()),  # added
+        ]
+    )
+    rows = {
+        r["column"]: r
+        for r in plan_schema_changes(
+            table, batch, keys=["repo", "path"], bucket_keys=["repo", "path"]
+        )
+    }
+    assert rows["path"]["kind"] == "missing_key" and rows["path"]["blocking"]
+    assert rows["stars"]["kind"] == "widened" and "bigint" in rows["stars"]["action"]
+    assert rows["ratio"]["kind"] == "unchanged"
+    assert rows["flag"]["kind"] == "incompatible" and rows["flag"]["blocking"]
+    assert rows["note"]["kind"] == "batch_omits" and not rows["note"]["blocking"]
+    assert rows["license"]["kind"] == "added"
+    # key width change blocks even though int->long would widen elsewhere
+    batch2 = T.StructType(
+        [T.StructField("repo", T.IntegerType()), T.StructField("path", T.StringType())]
+    )
+    table2 = T.StructType(
+        [T.StructField("repo", T.LongType()), T.StructField("path", T.StringType())]
+    )
+    rows2 = {
+        r["column"]: r
+        for r in plan_schema_changes(table2, batch2, keys=["repo", "path"])
+    }
+    assert rows2["repo"]["kind"] == "key_type_change" and rows2["repo"]["blocking"]
+    # batch narrower on a shared non-key column is non-blocking
+    t3 = T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.LongType())])
+    b3 = T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.IntegerType())])
+    r3 = {r["column"]: r for r in plan_schema_changes(t3, b3, keys=["k"])}
+    assert r3["v"]["kind"] == "batch_narrower" and not r3["v"]["blocking"]

@@ -37,7 +37,7 @@ def main() -> None:
                              "export", "history", "rollback", "rollup", "optimize",
                              "replicate", "tag", "drop-tag", "requeue",
                              "delete", "update", "publish", "abort-staged",
-                             "profile", "lookup", "sql", "vacuum", "lag"],
+                             "profile", "lookup", "sql", "vacuum", "lag", "schema-diff"],
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
@@ -238,6 +238,28 @@ def main() -> None:
             v = table.rollback(args.to_version)
             print(f"restored version {args.to_version} as new version {v}")
         spark.stop()
+        return
+    if args.mode == "schema-diff":
+        # pre-flight: what would merge() do with this batch's schema?
+        # (plans/lake.py::plan_schema_changes — a clean report means the
+        # merge cannot raise on schema grounds; blocking rows name why)
+        if not args.source:
+            ap.error("schema-diff mode requires --source (a batch to inspect)")
+        from wprdc_etl_spark.plans.lake import plan_schema_changes
+
+        batch_schema = spark.read.parquet(args.source).schema
+        man_keys = getattr(table, "keys", [])
+        bucket_keys = getattr(table, "bucket_keys", man_keys)
+        rows = plan_schema_changes(
+            table.read().schema, batch_schema, keys=man_keys, bucket_keys=bucket_keys
+        )
+        blocking = [r for r in rows if r["blocking"]]
+        for r in rows:
+            print(r)
+        print(f"blocking: {len(blocking)}")
+        spark.stop()
+        if blocking:
+            raise SystemExit(3)
         return
     if args.mode == "lag":
         # consumer-lag / freshness SLO numbers vs the log head

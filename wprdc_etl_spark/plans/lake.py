@@ -212,6 +212,84 @@ def _widen_type(name: str, table_t: T.DataType, batch_t: T.DataType) -> T.DataTy
     )
 
 
+def plan_schema_changes(
+    table_schema: T.StructType,
+    batch_schema: T.StructType,
+    *,
+    keys: list[str] | tuple[str, ...] = (),
+    bucket_keys: list[str] | tuple[str, ...] = (),
+) -> list[dict]:
+    """Dry-run of the merge's B9 schema-evolution rule: classify, column by
+    column, what ``merge()`` would do with this batch — WITHOUT touching the
+    table. The classification mirrors merge()'s own decisions exactly (same
+    ``_widen_type`` chains, same key/bucket guard), so a clean report means
+    the merge will not raise on schema grounds; a ``blocking`` row names the
+    column and the reason before any data moves — the pre-flight a schema
+    registry runs on every producer deploy.
+
+    Kinds: ``unchanged`` · ``added`` (new column appends, existing rows read
+    NULL) · ``widened`` (table type promotes metadata-only, SPARK-40876) ·
+    ``batch_narrower`` (batch upcasts losslessly at alignment) ·
+    ``batch_omits`` (batch rows null-fill the column) · ``missing_key`` /
+    ``key_type_change`` / ``incompatible`` (blocking — merge would raise).
+    """
+    keyish = set(keys) | set(bucket_keys)
+    tf = {f.name: f.dataType for f in table_schema.fields}
+    bf = {f.name: f.dataType for f in batch_schema.fields}
+    report: list[dict] = []
+
+    def add(column, kind, action, blocking=False):
+        report.append(
+            {
+                "column": column,
+                "kind": kind,
+                "table_type": tf[column].simpleString() if column in tf else None,
+                "batch_type": bf[column].simpleString() if column in bf else None,
+                "action": action,
+                "blocking": blocking,
+            }
+        )
+
+    for k in keys:
+        if k not in bf:
+            add(k, "missing_key", "merge raises: batch missing key column", True)
+    for name, tt in tf.items():
+        if name not in bf:
+            if name not in keys:  # missing keys already reported as blocking
+                add(name, "batch_omits", "batch rows null-fill this column")
+            continue
+        bt = bf[name]
+        if tt == bt:
+            add(name, "unchanged", "none")
+            continue
+        if name in keyish:
+            add(
+                name,
+                "key_type_change",
+                "merge raises: bucket routing hashes key values",
+                True,
+            )
+            continue
+        try:
+            widened = _widen_type(name, tt, bt)
+        except SinkCommitError:
+            add(name, "incompatible", "merge raises: not a widening promotion", True)
+            continue
+        if widened == tt:
+            add(name, "batch_narrower", "batch upcasts losslessly at alignment")
+        else:
+            add(
+                name,
+                "widened",
+                f"table promotes to {widened.simpleString()} "
+                f"(metadata-only; old files read widened)",
+            )
+    for name in bf:
+        if name not in tf:
+            add(name, "added", "column appends; existing rows read NULL")
+    return report
+
+
 def _merge_zone(old: list | None, lo: int, hi: int) -> list[int]:
     """Widen a bucket's [min_seq, max_seq] zone with a new commit's range.
     Zones are CONSERVATIVE (may be wider than the rows actually present
