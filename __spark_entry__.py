@@ -1642,6 +1642,21 @@ def _q_doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(_docs(spark, sf_dir), min_count=5, max_size=100)
 
 
+def _q_doc_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dedup (functions/dedup.py::cross_corpus_pairs):
+    MinHash-LSH pairs between the crawl (doc_id %% 20 != 0) and the
+    reference set (every 20th doc) — the fuzzy complement to
+    doc_decontaminate's exact shared-n-gram rule. Both sides band in-row;
+    the join keys on (band, band_hash) with the small reference side
+    AQE-broadcastable; never all-pairs. sha2 leaf = oracle-parity variant."""
+    from wprdc_etl_spark.functions.dedup import cross_corpus_pairs
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.where(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
+    cor = docs.where(F.pmod(F.col("doc_id"), F.lit(20)) != 0)
+    return cross_corpus_pairs(cor, ref, hash_fn="sha2", est_threshold=0.3)
+
+
 def _q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wprdc_etl_spark.functions.similarity import cosine_topk
 
@@ -1825,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_terms": _q_doc_top_terms,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_decontaminate": _q_doc_decontaminate,
+        "doc_cross_dedup": _q_doc_cross_dedup,
         "events_funnel": _q_events_funnel,
         "doc_vocab": _q_doc_vocab,
         "emb_cosine_topk": _q_emb_cosine_topk,
@@ -2400,6 +2416,11 @@ FROM documents
             "documents",
             "(SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0)",
             n=5,
+        ),
+        # cross-corpus MinHash-LSH near-dup pairs vs the %20 reference set
+        "doc_cross_dedup": _dedup_sql.cross_lsh_sql(
+            "(SELECT * FROM documents WHERE doc_id % 20 <> 0)",
+            "(SELECT * FROM documents WHERE doc_id % 20 = 0)",
         ),
         # PII scrub of the deterministically salted contact line
         "doc_redact": (

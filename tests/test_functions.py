@@ -809,3 +809,23 @@ def test_build_vocab_deterministic_ids(spark):
     assert got["aa"] == (3, 1) and got["dd"] == (4, 1)
     capped = build_vocab(df, max_size=2).collect()
     assert {r["term"] for r in capped} == {"cc", "bb"}
+
+
+def test_cross_corpus_pairs(spark, neardup_docs):
+    """Near-dups across two corpora: the reference copy of doc 1 is found
+    from the crawl side; unrelated docs aren't; pairs never pair two docs
+    of the same side."""
+    from wprdc_etl_spark.functions.dedup import cross_corpus_pairs
+
+    ref = neardup_docs.where(F.col("doc_id") < 100)        # 1, 2
+    crawl = neardup_docs.where(F.col("doc_id") >= 100)     # 101, 102, 103
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in cross_corpus_pairs(
+            crawl, ref, n_hashes=64, n_bands=16, shingle_k=5
+        ).collect()
+    }
+    assert (101, 1) in got and got[(101, 1)] > 0.5   # near-dup of ref doc 1
+    assert (103, 2) in got and got[(103, 2)] == 1.0  # exact copy of ref doc 2
+    assert all(a >= 100 and b < 100 for a, b in got)
+    assert (102, 1) not in got and (102, 2) not in got

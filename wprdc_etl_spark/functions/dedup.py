@@ -490,3 +490,116 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def cross_corpus_pairs(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_hashes: int = 32,
+    shingle_k: int = 5,
+    n_bands: int = 8,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    est_threshold: float | None = None,
+) -> DataFrame:
+    """Near-dup pairs ACROSS two corpora — dedupe a new crawl against the
+    corpus you already trained on (or an eval set, fuzzily — the MinHash
+    complement to ``contamination_flags``'s exact n-gram rule). Returns
+    (id_a = corpus doc, id_b = reference doc, est_jaccard); a corpus doc
+    appearing in any pair is a cross-corpus near-dup.
+
+    Scale shape: both sides band to n_bands rows/doc (in-row signatures, no
+    shuffle); the join is keyed on (band, band_hash) — the reference side is
+    typically the smaller curated set, and AQE broadcasts it when it fits,
+    so the crawl side never shuffles at all in the common case. Never
+    all-pairs. Same banding leaf as lsh_candidate_pairs / NearDupIndex, so
+    candidates agree with the within-corpus and incremental tiers.
+    """
+    sc = minhash_signatures(
+        corpus, text_col, id_col, n_hashes=n_hashes, shingle_k=shingle_k,
+        seed=seed, hash_fn=hash_fn,
+    )
+    sr = minhash_signatures(
+        reference, text_col, id_col, n_hashes=n_hashes, shingle_k=shingle_k,
+        seed=seed, hash_fn=hash_fn,
+    )
+    bc = band_rows(sc, id_col, n_bands=n_bands).alias("l")
+    br = band_rows(sr, id_col, n_bands=n_bands).alias("r")
+    pairs = (
+        bc.join(
+            br,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.signature").alias("_sa"),
+            F.col("r.signature").alias("_sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out = pairs.select(
+        "id_a", "id_b", sig_est_jaccard(F.col("_sa"), F.col("_sb")).alias("est_jaccard")
+    )
+    if est_threshold is not None:
+        out = out.where(F.col("est_jaccard") >= est_threshold)
+    return out
+
+
+def cross_lsh_sql(
+    corpus_rel: str,
+    reference_rel: str,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    *,
+    n_hashes: int = 32,
+    shingle_k: int = 5,
+    n_bands: int = 8,
+    seed: int = 42,
+    est_threshold: float = 0.3,
+) -> str:
+    """DuckDB twin of cross_corpus_pairs(hash_fn='sha2') — the two-relation
+    form of lsh_pairs_sql (bands compared by value; Spark buckets on
+    xxhash64 of the same band string)."""
+    coeffs = _perm_coeffs(n_hashes, seed)
+    r = n_hashes // n_bands
+    leaf = leaf_hash_sql(f"substr({text_expr}, CAST(i AS INT), {shingle_k})")
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * (h % {_MERSENNE_P}) + {b}) % {_MERSENNE_P}))"
+        for a, b in coeffs
+    )
+
+    def side(rel: str, name: str) -> str:
+        return f"""
+{name}_sh AS (
+  SELECT {id_expr} AS doc_id,
+         list_transform(generate_series(1, greatest(length({text_expr}) - {shingle_k - 1}, 1)),
+                        i -> {leaf}) AS hs
+  FROM {rel}
+), {name}_sig AS (
+  SELECT doc_id, [{sig_items}] AS signature FROM {name}_sh
+), {name}_bands AS (
+  SELECT doc_id, b,
+         array_to_string(signature[b*{r}+1 : b*{r}+{r}], ',') AS bkey
+  FROM {name}_sig, UNNEST(generate_series(0, {n_bands - 1})) AS u(b)
+)"""
+
+    return f"""
+WITH {side(corpus_rel, 'c').lstrip()}, {side(reference_rel, 'f').lstrip()},
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM c_bands l JOIN f_bands r ON l.b = r.b AND l.bkey = r.bkey
+)
+SELECT id_a, id_b,
+       round(len(list_filter(list_zip(sa.signature, sb.signature), x -> x[1] = x[2]))
+             / len(sa.signature), 4) AS est_jaccard
+FROM pairs JOIN c_sig sa ON sa.doc_id = id_a JOIN f_sig sb ON sb.doc_id = id_b
+WHERE round(len(list_filter(list_zip(sa.signature, sb.signature), x -> x[1] = x[2]))
+            / len(sa.signature), 4) >= {est_threshold}
+"""
