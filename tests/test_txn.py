@@ -156,3 +156,122 @@ def test_lag_report(spark, tmp_path):
     job.apply_batch(ev.where(F.col("event_sequence") >= 1200), batch_id=1)
     r2 = lag_report(ev, table, "lagjob").collect()[0]
     assert r2["caught_up"] and r2["events_behind"] == 0
+
+
+def _txn_schema():
+    from pyspark.sql import types as T
+
+    from wprdc_etl_spark.streaming.job import event_struct
+
+    return event_struct(
+        [T.StructField("txn_id", T.LongType()), T.StructField("txn_total", T.LongType())]
+    )
+
+
+def test_job_txn_gate_run_batch(spark, tmp_path):
+    """IngestJob(txn_gate=...): a chunked replay whose boundaries tear
+    transactions converges to the ungated final state."""
+    from wprdc_etl_spark.plans.lake import ParquetSnapshotTable
+    from wprdc_etl_spark.streaming.job import IngestJob
+    from wprdc_etl_spark.testgen import gen_change_events
+
+    n = 3000
+    log_dir = str(tmp_path / "log")
+    with_txn_metadata(
+        gen_change_events(spark, n, with_anomalies=False), txn_size=7, n_events=n
+    ).write.parquet(log_dir)
+
+    def run(tag, gated, n_chunks):
+        table = ParquetSnapshotTable(spark, str(tmp_path / tag), n_buckets=8)
+        kw = {"txn_gate": ("txn_id", "txn_total")} if gated else {}
+        job = (
+            IngestJob(tag, **kw)
+            .source(log_dir, event_schema=_txn_schema())
+            .schema(IngestJob.default_payload_schema())
+            .sink(table)
+            .build()
+        )
+        job.run_batch(spark, n_chunks=n_chunks)
+        return {
+            tuple(r)
+            for r in table.read()
+            .select("repo", "path", "commit", "content_sha")
+            .collect()
+        }
+
+    assert run("gated", True, 3) == run("plain", False, 1)
+
+
+def test_job_txn_gate_stream_restart_recovers_pending(spark, tmp_path):
+    """Streaming txn gating with a persisted pending tail: drain part 1
+    (ends mid-transaction), restart with a FRESH job object and the same
+    checkpoint after part 2 arrives — the pending tail is recovered from
+    txn_pending_dir and the final state equals the full golden replay."""
+    import duckdb
+
+    from wprdc_etl_spark.operators.freshness import lag_report
+    from wprdc_etl_spark.plans.lake import ParquetSnapshotTable
+    from wprdc_etl_spark.streaming.job import IngestJob
+    from wprdc_etl_spark.testgen import gen_change_events, golden_final_state_sql
+
+    n, cut = 3000, 2003  # 2003 % 7 != 0: the boundary tears txn 286
+    full_dir = str(tmp_path / "full")
+    with_txn_metadata(
+        gen_change_events(spark, n, with_anomalies=False), txn_size=7, n_events=n
+    ).write.parquet(full_dir)
+    ev = spark.read.parquet(full_dir)
+    log_dir = str(tmp_path / "slog")
+    ev.where(F.col("event_sequence") < cut).repartitionByRange(
+        4, "event_sequence"
+    ).write.parquet(log_dir)
+
+    pend = str(tmp_path / "pend")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(name):
+        table = ParquetSnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=8)
+        job = (
+            IngestJob(
+                name,
+                max_files_per_trigger=2,
+                txn_gate=("txn_id", "txn_total"),
+                txn_pending_dir=pend,
+            )
+            .source(log_dir, event_schema=_txn_schema())
+            .schema(IngestJob.default_payload_schema())
+            .sink(table)
+            .build()
+        )
+        return job, table
+
+    job1, table1 = mk("txnstream")
+    job1.start_stream(spark, ckpt).awaitTermination(600)
+    # applied high-water stops at the last complete txn below the cut:
+    # txn 286 spans 2002..2008, so 2001 is the last applied sequence
+    r = lag_report(ev.where(F.col("event_sequence") < cut), table1, "txnstream").collect()[0]
+    assert r["applied_seq"] == 2001
+    import os
+    assert any(d.startswith("b") for d in os.listdir(pend))
+
+    # part 2 arrives; a FRESH job (new process) resumes from ckpt + pending dir
+    ev.where(F.col("event_sequence") >= cut).repartitionByRange(
+        2, "event_sequence"
+    ).write.mode("append").parquet(log_dir)
+    job2, table2 = mk("txnstream")
+    job2.start_stream(spark, ckpt).awaitTermination(600)
+
+    con = duckdb.connect()
+    golden = {
+        tuple(r)
+        for r in con.execute(
+            golden_final_state_sql(f"read_parquet('{full_dir}/*.parquet')")
+        ).fetchall()
+    }
+    con.close()
+    got = {
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content_sha"])
+        for r in table2.read()
+        .select("repo", "path", "commit", "lang", "content_sha")
+        .collect()
+    }
+    assert got == golden

@@ -21,6 +21,8 @@ atomically with the (job, batch_id) exactly-once guard (B8).
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -67,6 +69,8 @@ class IngestJob:
         staged: bool = False,
         patch: bool = False,
         patch_cols: list[str] | None = None,
+        txn_gate: tuple[str, str] | None = None,
+        txn_pending_dir: str | None = None,
     ) -> None:
         self.name = name
         self.lateness = lateness  # None → late events are applied, not dropped
@@ -106,6 +110,19 @@ class IngestJob:
         # for inspection — the distributed descendant of marshmallow's
         # returned ``errors`` dict. None → count-only (lineage).
         self.quarantine_dir = quarantine_dir
+        # Transaction-consistent apply (operators/txn.py): gate every
+        # (micro-)batch to COMPLETE source transactions — txn_gate names the
+        # (txn_id, txn_total) columns carried by the events; the incomplete
+        # tail carries into the next batch. In-memory within a run;
+        # ``txn_pending_dir`` persists the tail per batch id (_SUCCESS-marked
+        # dir, last two batches retained — the foreachBatch replay window) so
+        # a checkpoint restart resumes with the same pending set. Pending is
+        # a pure function of the log prefix, so a replayed batch rewrites
+        # identical content and the sink guard keeps the merge exactly-once.
+        self.txn_gate = tuple(txn_gate) if txn_gate is not None else None
+        self.txn_pending_dir = txn_pending_dir
+        self._pending: DataFrame | None = None
+        self._pending_bid: int = -1
         self._source_path: str | None = None
         self._source_format: str = "parquet"
         self._envelope: str | None = None
@@ -256,6 +273,17 @@ class IngestJob:
         if hasattr(sink, "job_state"):
             state = sink.job_state(self.name)
 
+        pending_out: DataFrame | None = None
+        if self.txn_gate is not None:
+            from wprdc_etl_spark.operators.txn import gate_complete_txns
+
+            txn_col, total_col = self.txn_gate
+            prev = self._read_pending(batch_df.sparkSession, batch_id)
+            batch_df, pending_out = gate_complete_txns(
+                batch_df, txn_col=txn_col, total_col=total_col, pending=prev
+            )
+            batch_df = batch_df.drop(txn_col, total_col)
+
         if self.patch:
             from wprdc_etl_spark.operators.patch import normalize_patches
 
@@ -350,8 +378,49 @@ class IngestJob:
             )
             bad.write.mode("overwrite").parquet(f"{self.quarantine_dir}/batch_id={batch_id}")
 
+        if pending_out is not None:
+            self._write_pending(pending_out, batch_id)
+
         for view in self._rollups:
             view.refresh()
+
+    def _pending_dirs(self) -> list[tuple[int, str]]:
+        import glob
+
+        assert self.txn_pending_dir is not None
+        out = []
+        for d in glob.glob(os.path.join(self.txn_pending_dir, "b*")):
+            if os.path.exists(os.path.join(d, "_SUCCESS")):
+                try:
+                    out.append((int(os.path.basename(d)[1:]), d))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _read_pending(self, spark: SparkSession, batch_id: int) -> DataFrame | None:
+        """The pending tail as of BEFORE ``batch_id``: the in-memory carry
+        when this process produced it, else the newest persisted dir with a
+        smaller batch id (checkpoint-restart path)."""
+        if self._pending is not None and self._pending_bid < batch_id:
+            return self._pending
+        if self.txn_pending_dir is not None:
+            older = [(b, d) for b, d in self._pending_dirs() if b < batch_id]
+            if older:
+                return spark.read.parquet(older[-1][1])
+        return None
+
+    def _write_pending(self, pending: DataFrame, batch_id: int) -> None:
+        self._pending, self._pending_bid = pending, batch_id
+        if self.txn_pending_dir is None:
+            return
+        pending.write.mode("overwrite").parquet(
+            os.path.join(self.txn_pending_dir, f"b{batch_id}")
+        )
+        # keep this batch and the previous one (the foreachBatch replay
+        # window); GC everything older
+        for b, d in self._pending_dirs():
+            if b < batch_id - 1:
+                shutil.rmtree(d, ignore_errors=True)
 
     def requeue_quarantine(
         self, spark: SparkSession, *, schema: BaseSchema | None = None
