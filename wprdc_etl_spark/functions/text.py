@@ -409,11 +409,19 @@ def remove_boilerplate_lines(
     text_col: str = "text",
     out_col: str = "clean_text",
     hash_fn: str = "xxhash64",
+    broadcast_frequent: bool = True,
 ):
     """Drop every occurrence of any line appearing in >= ``min_docs`` distinct
     documents; returns (id, out_col, n_removed). Whitespace-only lines are
     never candidates (kept verbatim). NULL text is treated as ''. Line order
-    is preserved; docs reduced to nothing come back as ''."""
+    is preserved; docs reduced to nothing come back as ''.
+
+    ``broadcast_frequent`` forces the over-threshold hash set into a
+    broadcast anti join — right for the typical curated-boilerplate scale
+    (thousands of lines). A web-crawl corpus whose frequent set runs to
+    tens of millions of hashes should pass False and let AQE plan the anti
+    join as a shuffle (C4 itself resorted to approximate membership at that
+    scale; 8 bytes/hash makes the exact set ~100 MB per 10M lines)."""
     from wprdc_etl_spark.functions.dedup import _leaf_hash
 
     text = F.coalesce(F.col(text_col), F.lit(""))
@@ -427,8 +435,9 @@ def remove_boilerplate_lines(
         .where(F.col("_n_docs") >= int(min_docs))
         .select("_h")
     )
+    freq_side = F.broadcast(freq) if broadcast_frequent else freq
     kept = ex.join(
-        F.broadcast(freq), _leaf_hash(F.col("_line"), hash_fn) == F.col("_h"), "left_anti"
+        freq_side, _leaf_hash(F.col("_line"), hash_fn) == F.col("_h"), "left_anti"
     )
     rebuilt = (
         kept.groupBy(id_col)
