@@ -238,6 +238,43 @@ def main() -> None:
         idx.add(docs.where(F.col("doc_id") % 2 == 0), batch_id=0).count()
         idx.add(docs.where(F.col("doc_id") % 2 == 1), batch_id=1).count()
 
+    def q_txn_gated_inc():
+        # transaction-gated steady-state batch (operators/txn.py): the
+        # same 1%-sized trickle stamped with 7-event source transactions,
+        # gated to complete txns (one narrow (txn, seq) agg + broadcast
+        # splits) before the ordinary merge
+        from wprdc_etl_spark.operators.txn import gate_complete_txns, with_txn_metadata
+
+        table = ParquetSnapshotTable(
+            spark, os.path.join(BENCH_TMP, "tbl"), n_buckets=64
+        )
+        n_inc = max(1000, n_events // 100)
+        inc = gen_change_events(spark, n_inc).withColumn(
+            "event_sequence", F.col("event_sequence") + 5 * n_events
+        )
+        inc = with_txn_metadata(inc, txn_size=7, n_events=5 * n_events + n_inc)
+        ready, _pending = gate_complete_txns(inc)
+        mk_job(table).apply_batch(ready.drop("txn_id", "txn_total"), batch_id=103)
+
+    def q_doc_boilerplate():
+        # C4 boilerplate removal over the docs table with planted footers
+        # (xxhash64 prod leaf): narrow count pass + broadcast anti join +
+        # one doc-keyed rebuild
+        from wprdc_etl_spark.functions.text import remove_boilerplate_lines
+
+        planted = docs.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit("\nfooter "), F.col("source")).alias("text"),
+        )
+        remove_boilerplate_lines(planted, min_docs=3).select(
+            F.sum("n_removed")
+        ).collect()
+
+    def q_doc_top_terms():
+        from wprdc_etl_spark.functions.text import top_terms_per_doc
+
+        top_terms_per_doc(docs, k=5, min_df=2).count()
+
     plan = [
         ("dedup", q_dedup),
         ("latest_per_key", q_latest_per_key),
@@ -248,7 +285,10 @@ def main() -> None:
         ("cdc_replay_stream", q_replay_stream),
         ("cdc_incremental_mor", q_incremental_mor),
         ("cdc_patch_apply", q_patch_apply),
+        ("cdc_txn_gated_inc", q_txn_gated_inc),
         ("doc_minhash_lsh", q_doc_minhash_lsh),
+        ("doc_boilerplate", q_doc_boilerplate),
+        ("doc_top_terms", q_doc_top_terms),
         ("doc_quality_langid", q_doc_quality_langid),
         ("emb_near_dup", q_emb_near_dup),
         ("neardup_index_inc", q_neardup_index_inc),
