@@ -1632,6 +1632,20 @@ def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, ["signup", "click", "purchase"])
 
 
+def _q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/analytics.py::cohort_retention):
+    users cohorted by first-event week; cell (cohort_week, week_k) counts
+    the cohort's users active k weeks later. Two narrow (user, week) aggs
+    + one user-keyed join — raw events never reach the cell count. Events
+    thinned to a deterministic sparse subset so cells actually decay."""
+    from wprdc_etl_spark.operators.analytics import cohort_retention
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).where(
+        F.pmod(F.col("event_id"), F.lit(11)) < 2
+    )
+    return cohort_retention(ev)
+
+
 def _q_doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary with deterministic ids
     (functions/text.py::build_vocab): one narrow (term, count) hash agg —
@@ -1640,6 +1654,40 @@ def _q_doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wprdc_etl_spark.functions.text import build_vocab
 
     return build_vocab(_docs(spark, sf_dir), min_count=5, max_size=100)
+
+
+def _q_doc_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline — the composition the individual
+    ops exist for: quality filter (>= 0.5) → exact-dedup to the smallest id
+    (the corpus is planted with duplicate copies of every 5th doc, which
+    must all drop) → fixed-window chunking (200 chars) → token-aware shard
+    packing into 8 balanced shards. Every stage is the oracled operator;
+    the twin composes the four SQL twins over the identical planted input,
+    so the hash compare binds the whole pipeline, not just the stages.
+    Scale shape: one narrow dedup agg + semi join, in-row chunking, one
+    group-bounded packing window — corpus text crosses one shuffle (the
+    dedup semi join's build side is ids only)."""
+    from wprdc_etl_spark.functions.dedup import exact_dedup
+    from wprdc_etl_spark.functions.packing import pack_shards
+    from wprdc_etl_spark.functions.text import chunk_documents, quality_score
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = base.unionByName(
+        base.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0).select(
+            (F.col("doc_id") + F.lit(10000)).alias("doc_id"), "text"
+        )
+    )
+    good = planted.where(quality_score(F.col("text")) >= 0.5)
+    canon = exact_dedup(good).select("doc_id")
+    surv = good.join(canon, "doc_id", "left_semi")
+    chunks = chunk_documents(surv, id_col="doc_id", text_col="text", size=200)
+    keyed = chunks.select(
+        (F.col("doc_id") * F.lit(1000) + F.col("chunk_id")).alias("chunk_key"),
+        F.col("chunk"),
+    )
+    return pack_shards(
+        keyed, 8, id_col="chunk_key", text_col="chunk", n_groups=8, hash_fn="sha2"
+    )
 
 
 def _q_doc_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1841,8 +1889,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_cross_dedup": _q_doc_cross_dedup,
+        "doc_training_pipeline": _q_doc_training_pipeline,
         "events_funnel": _q_events_funnel,
         "doc_vocab": _q_doc_vocab,
+        "events_retention": _q_events_retention,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_ann_topk": _q_emb_ann_topk,
         "emb_near_dup": _q_emb_near_dup,
@@ -1852,6 +1902,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fp": _q_doc_rolling_fp,
         "media_features": _q_media_features,
     }
+
+
+def _training_pipeline_sql() -> str:
+    """The composed four-twin oracle for doc_training_pipeline."""
+    planted = (
+        "(SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)"
+    )
+    good = (
+        f"(SELECT doc_id, text FROM {planted} "
+        f"WHERE {_text_sql.quality_score_sql('text')} >= 0.5)"
+    )
+    canon = f"(SELECT min(doc_id) AS doc_id FROM {good} GROUP BY sha256(text))"
+    surv = (
+        f"(SELECT g.doc_id, g.text FROM {good} g JOIN {canon} c USING (doc_id))"
+    )
+    chunks = _text_sql.chunk_sql(surv, size=200, overlap=0)
+    keyed = f"(SELECT doc_id * 1000 + chunk_id AS chunk_key, chunk FROM ({chunks}))"
+    ws_tokens = (
+        r"CASE WHEN length(trim(chunk)) = 0 THEN 0 "
+        r"ELSE len(string_split_regex(trim(chunk), '\s+')) END"
+    )
+    return _packing.pack_shards_sql(
+        keyed, 8, id_col="chunk_key", tokens_sql=ws_tokens, n_groups=8
+    )
 
 
 # The re-lined view used by doc_repetition — same stacking expression as the
@@ -2417,6 +2492,8 @@ FROM documents
             "(SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0)",
             n=5,
         ),
+        # end-to-end pipeline: quality -> exact-dedup -> chunk -> pack
+        "doc_training_pipeline": _training_pipeline_sql(),
         # cross-corpus MinHash-LSH near-dup pairs vs the %20 reference set
         "doc_cross_dedup": _dedup_sql.cross_lsh_sql(
             "(SELECT * FROM documents WHERE doc_id % 20 <> 0)",
@@ -2461,6 +2538,10 @@ FROM documents
         "events_funnel": _analytics_sql.funnel_sql(
             "(SELECT * FROM events WHERE event_id % 17 < 2)",
             ["signup", "click", "purchase"],
+        ),
+        # weekly cohort retention over the sparse subset
+        "events_retention": _analytics_sql.cohort_retention_sql(
+            "(SELECT * FROM events WHERE event_id % 11 < 2)"
         ),
         # corpus vocabulary (count DESC, term ASC ids)
         "doc_vocab": _text_sql.vocab_sql("documents", min_count=5, max_size=100),

@@ -526,3 +526,28 @@ def test_funnel_semantics(spark):
     assert got[4][0] == 0
     assert got[5][0] == 1        # click at the same instant doesn't count
     assert len(got) == 5
+
+
+def test_cohort_retention(spark):
+    """Cohorting by first-event week; k counts weeks since cohort; users
+    only count in weeks they're active."""
+    from datetime import datetime
+
+    from wprdc_etl_spark.operators.analytics import cohort_retention
+
+    d = lambda day, h=0: datetime(2026, 3, day, h)  # 2026-03-02 is a Monday
+    rows = [
+        (1, d(2)), (1, d(9)), (1, d(16)),   # cohort w0, active k=0,1,2
+        (2, d(3)), (2, d(17)),              # cohort w0, active k=0,2 (skips 1)
+        (3, d(10)),                         # cohort w1, active k=0 only
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_week"].isoformat(), r["week_k"]): r["n_active"]
+        for r in cohort_retention(df).collect()
+    }
+    assert got[("2026-03-02", 0)] == 2
+    assert got[("2026-03-02", 1)] == 1   # only user 1
+    assert got[("2026-03-02", 2)] == 2
+    assert got[("2026-03-09", 0)] == 1
+    assert ("2026-03-09", 1) not in got

@@ -4,7 +4,7 @@ from wprdc_etl_spark.operators.fingerprint import with_content_sha, state_finger
 from wprdc_etl_spark.operators.patch import normalize_patches, patch_merge
 from wprdc_etl_spark.operators.skew import salted_repartition
 from wprdc_etl_spark.operators.txn import gate_complete_txns, with_txn_metadata
-from wprdc_etl_spark.operators.analytics import funnel
+from wprdc_etl_spark.operators.analytics import cohort_retention, funnel
 from wprdc_etl_spark.operators.freshness import lag_report
 
 __all__ = [
@@ -19,5 +19,6 @@ __all__ = [
     "gate_complete_txns",
     "with_txn_metadata",
     "funnel",
+    "cohort_retention",
     "lag_report",
 ]

@@ -345,3 +345,55 @@ def funnel_sql(
         f"SELECT u.{user_col}, CAST(CASE {depth} ELSE 0 END AS INT) AS steps_completed, "
         f"{at} AS completed_at FROM u {joins}"
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention — the second classic consumer table after the
+    funnel: users cohorted by the week of their FIRST event; cell
+    (cohort_week, week_k) counts the cohort's users active k weeks later
+    (k=0 is the cohort size). Returns (cohort_week, week_k, n_active).
+
+    Scale shape: first-event per user is one narrow hash agg (map-side
+    min); activity is one distinct over (user, week) — both shuffles carry
+    (user, timestamp) pairs only; the cohort join is user-keyed (AQE
+    broadcasts the first-event side when the user dimension fits) and the
+    final cell count is a map-side-combined agg over user-week rows, never
+    raw events.
+    """
+    week = F.to_date(F.date_trunc("week", F.col(ts_col)))
+    firsts = df.groupBy(user_col).agg(F.min(week).alias("cohort_week"))
+    active = df.select(F.col(user_col), week.alias("_wk")).distinct()
+    joined = active.join(firsts, user_col)
+    k = (F.datediff(F.col("_wk"), F.col("cohort_week")) / 7).cast("int")
+    return (
+        joined.select("cohort_week", k.alias("week_k"), F.col(user_col))
+        .groupBy("cohort_week", "week_k")
+        .agg(F.countDistinct(user_col).alias("n_active"))
+    )
+
+
+def cohort_retention_sql(
+    relation: str,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of cohort_retention (date_trunc week starts Monday in
+    both engines, normalized to DATE; day-difference // 7)."""
+    return (
+        f"WITH firsts AS (SELECT {user_col}, "
+        f"min(CAST(date_trunc('week', {ts_col}) AS DATE)) AS cohort_week "
+        f"FROM {relation} GROUP BY 1), "
+        f"active AS (SELECT DISTINCT {user_col}, "
+        f"CAST(date_trunc('week', {ts_col}) AS DATE) AS wk FROM {relation}) "
+        f"SELECT cohort_week, "
+        f"CAST(date_diff('day', cohort_week, wk) // 7 AS INT) AS week_k, "
+        f"CAST(count(DISTINCT {user_col}) AS BIGINT) AS n_active "
+        f"FROM active JOIN firsts USING ({user_col}) "
+        f"GROUP BY 1, 2"
+    )
