@@ -1632,6 +1632,25 @@ def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, ["signup", "click", "purchase"])
 
 
+def _q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection (operators/analytics.py::iqr_outliers):
+    per-event-type IQR fences from the EXACT percentile (deterministic
+    sort-based agg — z-scores were rejected: stddev over doubles is
+    summation-order-dependent), broadcast back onto the scan; outliers
+    stream out with no second shuffle. The full row set is hash-bound."""
+    from wprdc_etl_spark.operators.analytics import iqr_outliers
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = iqr_outliers(ev, group=["event_type"], value="value")
+    return out.select(
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round("lo_fence", 6).alias("lo_fence"),
+        F.round("hi_fence", 6).alias("hi_fence"),
+        "side",
+    )
+
+
 def _q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention (operators/analytics.py::cohort_retention):
     users cohorted by first-event week; cell (cohort_week, week_k) counts
@@ -1893,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_events_funnel,
         "doc_vocab": _q_doc_vocab,
         "events_retention": _q_events_retention,
+        "events_outliers": _q_events_outliers,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_ann_topk": _q_emb_ann_topk,
         "emb_near_dup": _q_emb_near_dup,
@@ -2538,6 +2558,14 @@ FROM documents
         "events_funnel": _analytics_sql.funnel_sql(
             "(SELECT * FROM events WHERE event_id % 17 < 2)",
             ["signup", "click", "purchase"],
+        ),
+        # Tukey-fence outliers per event type (exact-percentile fences)
+        "events_outliers": (
+            "SELECT event_type, round(value, 6) AS value, "
+            "round(lo_fence, 6) AS lo_fence, round(hi_fence, 6) AS hi_fence, side "
+            "FROM (" + _analytics_sql.iqr_outliers_sql(
+                "events", group=["event_type"], value="value"
+            ) + ")"
         ),
         # weekly cohort retention over the sparse subset
         "events_retention": _analytics_sql.cohort_retention_sql(

@@ -551,3 +551,17 @@ def test_cohort_retention(spark):
     assert got[("2026-03-02", 2)] == 2
     assert got[("2026-03-09", 0)] == 1
     assert ("2026-03-09", 1) not in got
+
+
+def test_iqr_outliers(spark):
+    from wprdc_etl_spark.operators.analytics import iqr_outliers
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 100]] + [
+        ("b", float(v)) for v in [50, 51, 52, 53, -40]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {(r["g"], r["v"]): r["side"] for r in
+           iqr_outliers(df, group=["g"], value="v").collect()}
+    assert got[("a", 100.0)] == "high"
+    assert got[("b", -40.0)] == "low"
+    assert len(got) == 2  # inliers stay out

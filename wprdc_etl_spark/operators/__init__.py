@@ -4,7 +4,7 @@ from wprdc_etl_spark.operators.fingerprint import with_content_sha, state_finger
 from wprdc_etl_spark.operators.patch import normalize_patches, patch_merge
 from wprdc_etl_spark.operators.skew import salted_repartition
 from wprdc_etl_spark.operators.txn import gate_complete_txns, with_txn_metadata
-from wprdc_etl_spark.operators.analytics import cohort_retention, funnel
+from wprdc_etl_spark.operators.analytics import cohort_retention, funnel, iqr_outliers
 from wprdc_etl_spark.operators.freshness import lag_report
 
 __all__ = [
@@ -20,5 +20,6 @@ __all__ = [
     "with_txn_metadata",
     "funnel",
     "cohort_retention",
+    "iqr_outliers",
     "lag_report",
 ]

@@ -397,3 +397,68 @@ def cohort_retention_sql(
         f"FROM active JOIN firsts USING ({user_col}) "
         f"GROUP BY 1, 2"
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    *,
+    group: Sequence[str],
+    value: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier detection per group: rows whose ``value`` falls
+    outside [q1 - k·IQR, q3 + k·IQR]. Returns the offending rows' group
+    columns + value + the fences + a ``side`` ('low'/'high') label.
+
+    Chosen over z-scores deliberately: exact ``percentile`` is sort-based
+    and deterministic across engines and partitionings, while stddev over
+    doubles is summation-order-dependent — a z-score twin could flip rows
+    sitting on the threshold. All fence arithmetic here is IEEE-exact on
+    both engines.
+
+    Scale shape: one exact-percentile agg per group (the oracle path —
+    swap ``grouped_quantiles(approx=True)``'s sketch in at 100 TB), the
+    group-cardinality fence table broadcast back onto the scan, and a
+    scan-resident filter — outliers stream out without a second shuffle.
+    """
+    q = grouped_quantiles(df, group=group, value=value, probs=[0.25, 0.75])
+    iqr = F.col("p75") - F.col("p25")
+    fences = q.select(
+        *group,
+        (F.col("p25") - F.lit(float(k)) * iqr).alias("lo_fence"),
+        (F.col("p75") + F.lit(float(k)) * iqr).alias("hi_fence"),
+    )
+    j = df.join(F.broadcast(fences), list(group))
+    v = F.col(value)
+    return j.where((v < F.col("lo_fence")) | (v > F.col("hi_fence"))).select(
+        *group,
+        v.alias(value),
+        F.col("lo_fence"),
+        F.col("hi_fence"),
+        F.when(v < F.col("lo_fence"), F.lit("low")).otherwise(F.lit("high")).alias("side"),
+    )
+
+
+def iqr_outliers_sql(
+    relation: str,
+    *,
+    group: Sequence[str],
+    value: str,
+    k: float = 1.5,
+) -> str:
+    """DuckDB twin of iqr_outliers (quantile_cont == Spark's exact
+    percentile, proven by the grouped-quantiles oracle; same fence
+    arithmetic)."""
+    g = ", ".join(group)
+    return (
+        f"WITH fences AS (SELECT {g}, "
+        f"quantile_cont({value}, 0.25) - {float(k)} * "
+        f"(quantile_cont({value}, 0.75) - quantile_cont({value}, 0.25)) AS lo_fence, "
+        f"quantile_cont({value}, 0.75) + {float(k)} * "
+        f"(quantile_cont({value}, 0.75) - quantile_cont({value}, 0.25)) AS hi_fence "
+        f"FROM {relation} GROUP BY {g}) "
+        f"SELECT r.{g.replace(', ', ', r.')}, r.{value}, f.lo_fence, f.hi_fence, "
+        f"CASE WHEN r.{value} < f.lo_fence THEN 'low' ELSE 'high' END AS side "
+        f"FROM {relation} r JOIN fences f USING ({g}) "
+        f"WHERE r.{value} < f.lo_fence OR r.{value} > f.hi_fence"
+    )
