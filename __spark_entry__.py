@@ -38,7 +38,7 @@ from wprdc_etl_spark.functions import packing as _packing  # noqa: E402
 from wprdc_etl_spark.functions import sampling as _sampling  # noqa: E402
 from wprdc_etl_spark.functions import text as _text_sql  # noqa: E402
 from wprdc_etl_spark.operators import analytics as _analytics_sql  # noqa: E402
-from wprdc_etl_spark.testgen import LANGS, gen_change_events, write_event_log  # noqa: E402
+from wprdc_etl_spark.testgen import LANGS, gen_change_events, golden_final_state_sql, write_event_log  # noqa: E402
 
 FIXTURES = os.path.join(REPO, ".fixtures")
 _LANG_LIST = ", ".join(f"'{x}'" for x in LANGS)
@@ -167,6 +167,58 @@ def _q_cdc_multi_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     job.run_batch(spark, n_chunks=2)
     return table.read().select("repo", "path", "commit", "lang", "content_sha")
+
+
+# Route predicates shared VERBATIM between the engine (F.expr) and the
+# DuckDB oracle — repo is a key column, so filtering commutes with dedup /
+# validation / LWW and each route's table is exactly an independent pipeline
+# over the filtered log. P2 deliberately overlaps P1: first-match-wins is
+# part of what the oracle checks.
+_ROUTE_P1 = "repo = 'mega/monorepo'"
+_ROUTE_P2 = (
+    "repo LIKE 'org0/%' OR repo LIKE 'org1/%' OR repo LIKE 'org2/%' "
+    "OR repo = 'mega/monorepo'"
+)
+
+
+def _q_cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based table routing (plans/router.py::TableRouter — Debezium
+    ContentBasedRouter / per-resource pipeline analog): one validated replay
+    fans out into three tables — the hot mega-repo isolated to its own
+    table (first match even though route 2 also covers it), low orgs, and a
+    catch-all default. Each member table keeps its own exactly-once guard;
+    the oracle replays three independent golden pipelines over the
+    first-match-filtered log."""
+    from wprdc_etl_spark.plans.router import TableRouter
+
+    label = _sf_label(sf_dir)
+    names = ("mega", "orgs", "rest")
+    roots = {
+        n: os.path.join(FIXTURES, "_targets", f"{label}_route_{n}") for n in names
+    }
+    for p in roots.values():
+        shutil.rmtree(p, ignore_errors=True)
+    tbl = {n: ParquetSnapshotTable(spark, p, n_buckets=8) for n, p in roots.items()}
+    router = TableRouter(
+        [("mega", _ROUTE_P1, tbl["mega"]), ("orgs", _ROUTE_P2, tbl["orgs"])],
+        default=tbl["rest"],
+    )
+    job = (
+        IngestJob(f"route-{label}")
+        .source(_fixture_log(spark, sf_dir))
+        .schema(IngestJob.default_payload_schema())
+        .sink(router)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=2)
+    return router.read().select(
+        F.col("_route").alias("route"),
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content_sha",
+    )
 
 
 def _q_cdc_txn_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1567,6 +1619,34 @@ def _q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style exact paragraph dedup
+    (functions/text.py::dedup_paragraphs): every repeated \\n\\n-block keeps
+    its FIRST (doc_id, pos) occurrence only. The corpus is single-line, so
+    the query plants a corpus-wide footer paragraph (exactly one survivor)
+    plus a per-source promo / per-doc note (one survivor per source; notes
+    unique, all survive). Winners computed on narrow (hash, doc, pos) rows;
+    one doc-keyed rebuild shuffle. sha2 leaf = oracle-parity variant."""
+    from wprdc_etl_spark.functions.text import dedup_paragraphs
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n\nshared footer paragraph\n\n"),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+                F.concat(F.lit("promo from "), F.col("source")),
+            ).otherwise(F.concat(F.lit("note "), F.col("doc_id").cast("string"))),
+        ).alias("text"),
+    )
+    out = dedup_paragraphs(planted, hash_fn="sha2")
+    return out.select(
+        "doc_id", F.sha2("clean_text", 256).alias("clean_sha"), "n_removed"
+    )
+
+
 def _q_doc_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML/Markdown → clean text (functions/text.py::strip_markup): the
     crawl-ingest normalization chain (comments, script/style payloads, md
@@ -1842,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_final_state": _q_cdc_final_state,
         "cdc_multi_log": _q_cdc_multi_log,
+        "cdc_route": _q_cdc_route,
         "cdc_txn_apply": _q_cdc_txn_apply,
         "cdc_lag": _q_cdc_lag,
         "cdc_point_lookup": _q_cdc_point_lookup,
@@ -1903,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_redact": _q_doc_redact,
         "doc_repetition": _q_doc_repetition,
         "doc_boilerplate": _q_doc_boilerplate,
+        "doc_paragraph_dedup": _q_doc_paragraph_dedup,
         "doc_markup_strip": _q_doc_markup_strip,
         "doc_top_terms": _q_doc_top_terms,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
@@ -2585,6 +2667,17 @@ FROM documents
             )
             + ")"
         ),
+        "doc_paragraph_dedup": (
+            "SELECT doc_id, sha256(clean_text) AS clean_sha, n_removed FROM ("
+            + _text_sql.paragraph_dedup_sql(
+                "(SELECT doc_id, text || chr(10) || chr(10) "
+                "|| 'shared footer paragraph' || chr(10) || chr(10) "
+                "|| CASE WHEN doc_id % 3 = 0 THEN 'promo from ' || source "
+                "ELSE 'note ' || CAST(doc_id AS VARCHAR) END AS text "
+                "FROM documents)"
+            )
+            + ")"
+        ),
         "doc_ngram_jaccard": r"""
 WITH toks AS (
   SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t FROM documents
@@ -2640,6 +2733,18 @@ SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <=
     out["cdc_multi_log"] = out["cdc_final_state"]
     # gated multi-batch apply converges to the identical final state
     out["cdc_txn_apply"] = out["cdc_final_state"]
+    # routed fan-out: each member table is an independent golden pipeline
+    # over the FIRST-MATCH-filtered log (route 2's overlap with route 1 is
+    # excluded here exactly because the engine's when-chain excludes it)
+    out["cdc_route"] = " UNION ALL ".join(
+        f"SELECT '{name}' AS route, repo, path, commit, lang, content_sha "
+        f"FROM ({golden_final_state_sql(f'(SELECT * FROM {log} WHERE {pred})')})"
+        for name, pred in [
+            ("mega", _ROUTE_P1),
+            ("orgs", f"({_ROUTE_P2}) AND NOT ({_ROUTE_P1})"),
+            ("__default__", f"NOT ({_ROUTE_P2}) AND NOT ({_ROUTE_P1})"),
+        ]
+    )
     # a staged (WAP) replay, once published, equals the golden replay
     out["cdc_wap_publish"] = out["cdc_final_state"]
     # DML twins: the golden replay with the predicate applied relationally —

@@ -715,6 +715,78 @@ def test_boilerplate_sql_twin_matches(spark):
     assert sp == dk
 
 
+def test_dedup_paragraphs_first_occurrence(spark):
+    from wprdc_etl_spark.functions import dedup_paragraphs
+
+    rows = [
+        (1, "alpha\n\nshared\n\nbravo"),      # first 'shared' in corpus order
+        (2, "shared\n\ncharlie"),             # later copy dropped
+        (3, "delta\n\nshared\n\ndelta"),      # cross-doc AND in-doc repeat
+        (4, "  \n\nunique"),                  # whitespace block kept verbatim
+        (5, "shared"),                        # reduced to nothing -> ''
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for hash_fn in ("xxhash64", "sha2"):
+        got = {
+            r["doc_id"]: r
+            for r in dedup_paragraphs(df, hash_fn=hash_fn).collect()
+        }
+        assert got[1]["clean_text"] == "alpha\n\nshared\n\nbravo"
+        assert got[1]["n_removed"] == 0
+        assert got[2]["clean_text"] == "charlie" and got[2]["n_removed"] == 1
+        # doc 3: 'delta' keeps its first in-doc occurrence only; 'shared'
+        # already won in doc 1
+        assert got[3]["clean_text"] == "delta" and got[3]["n_removed"] == 2
+        assert got[4]["clean_text"] == "  \n\nunique"
+        assert got[5]["clean_text"] == "" and got[5]["n_removed"] == 1
+
+
+def test_dedup_paragraphs_min_chars(spark):
+    from wprdc_etl_spark.functions import dedup_paragraphs
+
+    # 'ok' (2 chars) is below min_chars=3 -> never a candidate, both kept
+    df = spark.createDataFrame(
+        [(1, "ok\n\nlong paragraph"), (2, "ok\n\nlong paragraph")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in dedup_paragraphs(df, min_chars=3).collect()
+    }
+    assert got[1]["clean_text"] == "ok\n\nlong paragraph"
+    assert got[2]["clean_text"] == "ok" and got[2]["n_removed"] == 1
+
+
+def test_paragraph_dedup_sql_twin_matches(spark):
+    """The DuckDB twin reproduces the Spark output byte-for-byte (sha2 leaf)."""
+    import duckdb
+
+    from wprdc_etl_spark.functions import dedup_paragraphs
+    from wprdc_etl_spark.functions.text import paragraph_dedup_sql
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").orderBy("doc_id").limit(60)
+    # plant a shared paragraph after every doc, plus a per-source one
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n\nshared footer paragraph\n\nfrom "),
+            F.col("source"),
+        ).alias("text"),
+    )
+    sp = sorted(
+        (r["doc_id"], r["clean_text"], r["n_removed"])
+        for r in dedup_paragraphs(planted, hash_fn="sha2").collect()
+    )
+    con = duckdb.connect()
+    rel = (
+        "(SELECT doc_id, text || chr(10) || chr(10) || 'shared footer paragraph' "
+        "|| chr(10) || chr(10) || 'from ' || source AS text "
+        f"FROM (SELECT * FROM '{SF}/documents.parquet' ORDER BY doc_id LIMIT 60))"
+    )
+    dk = sorted(con.execute(paragraph_dedup_sql(rel)).fetchall())
+    assert sp == dk
+
+
 def test_strip_markup_rules(spark):
     from wprdc_etl_spark.functions import strip_markup
 

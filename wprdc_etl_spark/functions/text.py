@@ -489,6 +489,125 @@ def boilerplate_sql(
     )
 
 
+# ---- cross-document paragraph dedup (keep first occurrence) -----------------
+#
+# RefinedWeb/MassiveText-style exact paragraph dedup: every repeated
+# paragraph keeps its FIRST occurrence in corpus order (min (doc_id, pos))
+# and drops all others — the complement of C4's frequency-threshold line
+# removal above (which drops EVERY occurrence of frequent lines). Plan
+# shape mirrors remove_boilerplate_lines: pass 1 computes winners on
+# narrow (hash, doc_id, pos) rows — corpus text never shuffles — and the
+# rebuild is one doc-keyed shuffle.
+
+
+def dedup_paragraphs(
+    df,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    hash_fn: str = "xxhash64",
+    min_chars: int = 1,
+):
+    """Keep only the first occurrence (lowest ``(doc_id, pos)``) of every
+    exact-duplicate paragraph across the corpus; returns
+    (id, out_col, n_removed). Paragraphs are ``\\n{2,}``-separated blocks;
+    rebuild joins survivors with a canonical ``\\n\\n``. Blocks whose
+    trimmed length is below ``min_chars`` are never dedup candidates (kept
+    verbatim — guards bullet fragments / blank blocks). NULL text is ''.
+
+    Scale shape: winners are ``min(struct(id, pos))`` per paragraph hash —
+    a partial-aggregated narrow agg, so at most one ~24-byte row per
+    (hash, map partition) shuffles; the paragraph TEXT crosses only the
+    final doc-keyed rebuild exchange. min over a struct buffer plans as
+    SortAggregate (declarative immutable buffer, same trade as the merge's
+    LWW — see plans/lake.py), but the per-partition sort orders the narrow
+    projection, never content bytes."""
+    from wprdc_etl_spark.functions.dedup import _leaf_hash
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    paras = F.split(text, r"\n{2,}")
+    ex = df.select(F.col(id_col), F.posexplode(paras).alias("_pos", "_p"))
+    cand = ex.where(F.length(F.trim("_p")) >= int(min_chars)).select(
+        F.col(id_col),
+        F.col("_pos"),
+        F.col("_p"),
+        _leaf_hash(F.col("_p"), hash_fn).alias("_h"),
+    )
+    winners = (
+        cand.select("_h", F.struct(F.col(id_col), F.col("_pos")).alias("_occ"))
+        .groupBy("_h")
+        .agg(F.min("_occ").alias("_w"))
+    )
+    kept_cand = (
+        cand.join(winners, "_h")
+        .where(
+            (F.col("_w")[id_col] == F.col(id_col))
+            & (F.col("_w")["_pos"] == F.col("_pos"))
+        )
+        .select(id_col, "_pos", "_p")
+    )
+    kept_short = ex.where(F.length(F.trim("_p")) < int(min_chars)).select(
+        id_col, "_pos", "_p"
+    )
+    rebuilt = (
+        kept_cand.unionByName(kept_short)
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_p"))).alias("_k"))
+        .select(
+            F.col(id_col),
+            F.concat_ws("\n\n", F.transform("_k", lambda s: s["_p"])).alias(out_col),
+            F.size("_k").cast("long").alias("_n_kept"),
+        )
+    )
+    base = df.select(F.col(id_col), F.size(paras).cast("long").alias("_n_paras"))
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+        (F.col("_n_paras") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
+def paragraph_dedup_sql(
+    relation: str,
+    *,
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    min_chars: int = 1,
+) -> str:
+    """DuckDB twin of ``dedup_paragraphs(hash_fn='sha2')``: same
+    ``\\n{2,}`` split, winner = ``rank() = 1`` over
+    ``(doc_id, pos)`` per sha2 paragraph hash — an independent construction
+    of the same first-occurrence rule. Returns (id, clean_text,
+    n_removed)."""
+    from wprdc_etl_spark.functions.dedup import leaf_hash_sql
+
+    t = f"coalesce({text_expr}, '')"
+    paras = rf"regexp_split_to_array({t}, '\n{{2,}}')"
+    h = leaf_hash_sql("para")
+    mc = int(min_chars)
+    return (
+        f"WITH _ex AS (SELECT {id_col}, unnest({paras}) AS para, "
+        f"unnest(generate_series(1, len({paras}))) AS pos FROM {relation}), "
+        f"_cand AS (SELECT {id_col}, pos, para, "
+        f"rank() OVER (PARTITION BY {h} ORDER BY {id_col}, pos) AS rk "
+        f"FROM _ex WHERE length(trim(para)) >= {mc}), "
+        f"_kept AS (SELECT {id_col}, pos, para FROM _cand WHERE rk = 1 "
+        f"UNION ALL SELECT {id_col}, pos, para FROM _ex "
+        f"WHERE length(trim(para)) < {mc}), "
+        f"_reb AS (SELECT {id_col}, string_agg(para, chr(10) || chr(10) "
+        f"ORDER BY pos) AS clean_text, count(*) AS n_kept "
+        f"FROM _kept GROUP BY {id_col}), "
+        f"_base AS (SELECT {id_col}, CAST(len({paras}) AS BIGINT) AS n_paras "
+        f"FROM {relation}) "
+        f"SELECT b.{id_col}, coalesce(r.clean_text, '') AS clean_text, "
+        f"CAST(b.n_paras - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed "
+        f"FROM _base b LEFT JOIN _reb r USING ({id_col})"
+    )
+
+
 # ---- markup stripping (HTML / Markdown → clean training text) ---------------
 #
 # Crawl-derived corpora arrive as HTML or Markdown; the standard ingest
