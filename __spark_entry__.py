@@ -1116,6 +1116,60 @@ def _q_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replica.read().select("repo", "path", "commit", "lang", "content_sha")
 
 
+# hex literals over the synthetic hex content: the 3-char ones land ~100
+# docs each, the 4-char ones a handful — small AND-of-posting-lists work
+# plus a non-degenerate verified result set
+_GREP_LITERALS = ("a1b", "c0d", "beef", "1337")
+
+
+def _q_cdc_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram substring search over the live table (operators/codesearch.py
+    ::TrigramIndex — the Google-Code-Search/Zoekt posting structure as a
+    changelog-fed second engine table): replay the log into a source table
+    in 2 chunks, bootstrap the gram-bucketed posting index at chunk 1's
+    version, advance it with ONE incremental changelog sync (stale grams of
+    updated/deleted docs tombstoned, new grams upserted, exactly-once per
+    source version via the index's own batch guard), then answer four
+    literal queries as AND-of-posting-lists + contains() verification —
+    the index probe reads only the literal's gram buckets, the verify only
+    the candidates' key buckets. Raises unless the second sync really took
+    the incremental path. The DuckDB twin scans the golden replay with
+    contains() directly — a fully independent construction of the answer."""
+    from wprdc_etl_spark.operators.codesearch import TrigramIndex
+
+    log = _fixture_log(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    src_path = os.path.join(FIXTURES, "_targets", f"{label}_grep_src")
+    idx_path = os.path.join(FIXTURES, "_targets", f"{label}_grep_idx")
+    shutil.rmtree(src_path, ignore_errors=True)
+    shutil.rmtree(idx_path, ignore_errors=True)
+    source = ParquetSnapshotTable(spark, src_path, n_buckets=16, retain_history=8)
+    job = (
+        IngestJob(f"grep-{label}")
+        .source(log)
+        .schema(IngestJob.default_payload_schema())
+        .sink(source)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=2)
+    idx = TrigramIndex(spark, idx_path, source, n_buckets=16)
+    v1 = max(
+        h["version"] for h in source.history()
+        if h["committed"].get(f"grep-{label}") == 0
+    )
+    r1 = idx.sync(to_version=v1)
+    r2 = idx.sync()
+    if r1["mode"] != "bootstrap" or r2["mode"] != "incremental":
+        raise AssertionError(f"index sync modes: {r1}, {r2}")
+    out = None
+    for lit in _GREP_LITERALS:
+        part = idx.grep(lit).select(
+            F.lit(lit).alias("literal"), "repo", "path", "commit", "lang"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def _q_cdc_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium envelope ingestion (sources/envelopes.py::parse_debezium —
     the log-tailing-connector extract step): the fixture log is serialized
@@ -1948,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2": _q_cdc_scd2,
         "cdc_rollup_incremental": _q_cdc_rollup_incremental,
         "cdc_replicate": _q_cdc_replicate,
+        "cdc_grep": _q_cdc_grep,
         "cdc_debezium": _q_cdc_debezium,
         "events_dedup": _q_events_dedup,
         "cdc_canal": _q_cdc_canal,
@@ -2796,6 +2851,17 @@ FROM latest WHERE op <> 'D'
     # bootstrap + incremental changelog replication must land the replica on
     # the source's golden final state (exactly-once per source version)
     out["cdc_replicate"] = out["cdc_final_state"]
+    # trigram-index grep: the twin answers each literal by scanning the
+    # golden replay with contains() — no posting lists, no index; equality
+    # binds the whole index/sync/probe/verify chain to the direct answer
+    out["cdc_grep"] = " UNION ALL ".join(
+        f"SELECT '{lit}' AS literal, repo, path, commit, lang FROM ("
+        + golden_final_state_sql(
+            log, select_expr="repo, path, commit, lang, content"
+        )
+        + f") WHERE contains(content, '{lit}')"
+        for lit in _GREP_LITERALS
+    )
     # the Debezium round trip preserves every log record with op codes
     # mapped, the before image on deletes, and ms timestamp precision
     out["cdc_debezium"] = (

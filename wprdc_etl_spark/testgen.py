@@ -163,7 +163,11 @@ def write_event_log(
     df.repartitionByRange(n_files, "event_sequence").write.mode("overwrite").parquet(path)
 
 
-def golden_final_state_sql(events_relation: str, known_langs: tuple[str, ...] = tuple(LANGS)) -> str:
+def golden_final_state_sql(
+    events_relation: str,
+    known_langs: tuple[str, ...] = tuple(LANGS),
+    select_expr: str = "repo, path, commit, lang, sha256(content) AS content_sha",
+) -> str:
     """Engine-independent golden oracle (FIXTURES.md §3) as ANSI SQL that both
     DuckDB and Spark can run: replay the log with (a) exact-redelivery dedup on
     (key, event_sequence), (b) quarantine of invalid rows, (c) last-writer-wins
@@ -194,6 +198,6 @@ WITH dedup AS (
         ORDER BY event_sequence DESC, op DESC) AS rn
     FROM valid) t WHERE rn = 1
 )
-SELECT repo, path, commit, lang, sha256(content) AS content_sha
+SELECT {select_expr}
 FROM latest WHERE op <> 'D'
 """.strip()
