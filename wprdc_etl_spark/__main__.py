@@ -37,7 +37,8 @@ def main() -> None:
                              "export", "history", "rollback", "rollup", "optimize",
                              "replicate", "tag", "drop-tag", "requeue",
                              "delete", "update", "publish", "abort-staged",
-                             "profile", "lookup", "sql", "vacuum", "lag", "schema-diff"],
+                             "profile", "lookup", "sql", "vacuum", "lag", "schema-diff",
+                             "index-sync", "grep"],
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
@@ -196,6 +197,36 @@ def main() -> None:
         rep = TableReplicator(src, table, job=args.name)
         r = rep.sync()
         print(f"replicate {r['mode']}: cursor at source version {r['cursor']}")
+        spark.stop()
+        return
+    if args.mode in ("index-sync", "grep"):
+        # trigram code-search index (operators/codesearch.py): --target is
+        # the INDEX root, --source the document table root. Cron index-sync
+        # next to the ingest job (cursor in the index manifest, exactly-once
+        # per source version); grep answers literal queries bucket-pruned.
+        from wprdc_etl_spark.operators.codesearch import TrigramIndex
+
+        if args.sink == "iceberg":
+            ap.error("index modes currently support the parquet-snapshot sink only")
+        if not args.source:
+            ap.error("--source (the document TABLE root) is required in index modes")
+        src = ParquetSnapshotTable(spark, args.source)
+        idx = TrigramIndex(spark, args.target, src, n_buckets=args.n_buckets)
+        if args.mode == "index-sync":
+            r = idx.sync()
+            print(
+                f"index-sync {r['mode']}: cursor at source version {r['cursor']} "
+                f"(+{r.get('rows_upserted', 0)}/-{r.get('rows_deleted', 0)} postings)"
+            )
+        else:
+            if not args.query:
+                ap.error("--query (the search literal) is required in grep mode")
+            out = idx.grep(args.query)
+            if args.output:
+                out.write.mode("overwrite").parquet(args.output)
+                print(f"grep result written to {args.output}")
+            else:
+                out.show(args.max_rows, truncate=False)
         spark.stop()
         return
     if args.mode == "optimize":
