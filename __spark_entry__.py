@@ -1901,6 +1901,24 @@ def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE embedding-dup clusters — the semantic-dedup complement of
+    doc_dedup_clusters: RP-LSH banded cosine pairs (the oracled emb_near_dup
+    chain) fed into hash-min connected components (functions/graph.py — one
+    keyed shuffle per round, rounds ≈ dup-graph diameter). Every vector gets
+    (component, is_canonical); canonical = the cluster's min vec_id — the
+    keep-policy a SemDeDup-style pipeline applies downstream. Oracle: the
+    identical pair twin + a recursive CTE computing min-reachable-id."""
+    from wprdc_etl_spark.functions.graph import dedup_clusters
+    from wprdc_etl_spark.functions.similarity import cosine_near_dup_pairs
+
+    emb = _emb(spark, sf_dir)
+    pairs = cosine_near_dup_pairs(
+        emb, dim=64, threshold=0.4, n_bands=8, band_bits=4
+    )
+    return dedup_clusters(emb, pairs.select("id_a", "id_b"), id_col="vec_id")
+
+
 def _q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, oracle-parity variant: the sha2 leaf
     hash (hash_fn='sha2') is bit-identical in DuckDB, so the full
@@ -2053,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_ann_topk": _q_emb_ann_topk,
         "emb_near_dup": _q_emb_near_dup,
+        "emb_dedup_clusters": _q_emb_dedup_clusters,
         "doc_minhash_pairs": _q_doc_minhash_pairs,
         "doc_incremental_near_dup": _q_doc_incremental_near_dup,
         "doc_simhash": _q_doc_simhash,
@@ -2753,6 +2772,24 @@ WHERE round(i / (sa.n + sb.n - i), 4) >= 0.05
         "emb_near_dup": _sim_sql.cosine_near_dup_sql(
             "embeddings", dim=64, threshold=0.4, n_bands=8, band_bits=4
         ),
+        "emb_dedup_clusters": f"""
+WITH RECURSIVE verified AS ({_sim_sql.cosine_near_dup_sql("embeddings", dim=64, threshold=0.4, n_bands=8, band_bits=4)}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM verified
+  UNION
+  SELECT id_b, id_a FROM verified
+), reach(v, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.v
+), comp AS (
+  SELECT v, min(r) AS component FROM reach GROUP BY v
+)
+SELECT m.vec_id,
+       coalesce(c.component, m.vec_id) AS component,
+       (coalesce(c.component, m.vec_id) = m.vec_id) AS is_canonical
+FROM embeddings m LEFT JOIN comp c ON c.v = m.vec_id
+""",
         "emb_cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
 scored AS (
