@@ -158,6 +158,14 @@ sections.append(("TF-IDF top terms (two narrow aggs + WindowGroupLimit)",
   "tf and df are hash aggregates over in-row-extracted terms (map-side partial; corpus text never shuffles); the dictionary join is AQE-eligible; the per-doc top-k compiles to WindowGroupLimit on both sides of its exchange.",
   cap(top_terms_per_doc(docs, k=5, n_docs=500, min_df=2))))
 
+from wprdc_etl_spark.operators.codesearch import TrigramIndex
+shutil.rmtree("/tmp/plandoc_tgi", ignore_errors=True)
+tgi = TrigramIndex(spark, "/tmp/plandoc_tgi", t, n_buckets=8)
+tgi.sync()
+sections.append(("Trigram grep (pruned posting intersection + contains verify)",
+  "The index scan lists only the literal's gram bucket dirs (driver-side pruning, like the near-dup probe); the AND-of-posting-lists is one narrow hash agg (map-side partial over ~50-byte posting rows); the surviving candidates BROADCAST into the source verify join, whose scan is itself pruned to the candidates' key buckets — the corpus is never scanned, and content bytes appear only in the final contains() filter.",
+  cap(tgi.grep("a1b"))))
+
 with open("/root/repo/docs/PLANS.md", "w") as fh:
     fh.write("# Physical plans of the hot paths (captured via explain('formatted'))\n\n")
     fh.write("Regenerate with `python scripts/gen_plans_doc.py` (this file is evidence\nthat pushdown/pruning/broadcast/partial-agg actually happen — SURVEY §5).\n")
