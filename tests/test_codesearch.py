@@ -216,6 +216,56 @@ def test_grep_prunes_index_and_source_buckets(spark, tmp_path):
     assert 0 < len(seen["src"]) <= 1  # one candidate doc -> one source bucket
 
 
+def test_index_rides_batch_replay_and_stream(spark, tmp_path):
+    """An index attached via IngestJob.search_index stays exactly-once
+    consistent with the table across chunked batch replay AND a streaming
+    drain from checkpoint, including a full redelivery (guard-skipped
+    batches sync to no-ops). Final postings equal a from-scratch bootstrap."""
+    from wprdc_etl_spark.streaming.job import IngestJob
+    from wprdc_etl_spark.testgen import gen_change_events, write_event_log
+
+    src = str(tmp_path / "log")
+    write_event_log(gen_change_events(spark, 800), src, n_files=8)
+    t = ParquetSnapshotTable(
+        spark, str(tmp_path / "tbl"), n_buckets=4, retain_history=8
+    )
+    idx = TrigramIndex(spark, str(tmp_path / "idx"), t, n_buckets=8)
+    job = (
+        IngestJob("cs-batch")
+        .source(src)
+        .schema(IngestJob.default_payload_schema())
+        .sink(t)
+        .search_index(idx)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=3)
+    assert idx.cursor() == t.current_version()
+    fresh = TrigramIndex(spark, str(tmp_path / "idx_f"), t, n_buckets=8)
+    fresh.sync()
+    assert _postings(idx) == _postings(fresh)
+    # streaming drain into a second table/index pair
+    t2 = ParquetSnapshotTable(
+        spark, str(tmp_path / "tbl2"), n_buckets=4, retain_history=8
+    )
+    idx2 = TrigramIndex(spark, str(tmp_path / "idx2"), t2, n_buckets=8)
+    sjob = (
+        IngestJob("cs-stream", max_files_per_trigger=3)
+        .source(src)
+        .schema(IngestJob.default_payload_schema())
+        .sink(t2)
+        .search_index(idx2)
+        .build()
+    )
+    ckpt = str(tmp_path / "ckpt")
+    sjob.start_stream(spark, ckpt).awaitTermination()
+    assert idx2.cursor() == t2.current_version()
+    assert _postings(idx2) == _postings(fresh)
+    ver = t2.current_version()
+    # redeliver the drained stream: table and index both stay put
+    sjob.start_stream(spark, ckpt).awaitTermination()
+    assert t2.current_version() == ver and idx2.cursor() == ver
+
+
 def test_grep_before_sync_raises(spark, tmp_path):
     src = _src(spark, tmp_path)
     src.merge(ev(spark, DOCS), job="j", batch_id=0)

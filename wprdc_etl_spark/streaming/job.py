@@ -131,6 +131,7 @@ class IngestJob:
         self._payload_schema: BaseSchema | None = None
         self._sink: LakeTable | None = None
         self._rollups: list = []
+        self._indexes: list = []
         self._built = False
 
     # ---- builder (A1–A5) --------------------------------------------------
@@ -218,6 +219,17 @@ class IngestJob:
         is a version-checked no-op for skipped/replayed batches, so the
         stream's exactly-once story extends to the aggregate for free."""
         self._rollups.append(view)
+        return self
+
+    def search_index(self, idx) -> "IngestJob":
+        """Attach a changelog-fed index (operators/codesearch.py::
+        TrigramIndex): after every committed (micro-)batch the index syncs
+        from the sink's changelog — postings recomputed only for the
+        batch's changed keys, exactly-once per table version via the
+        index's own guard (a skipped/replayed batch syncs to a no-op). The
+        streaming analog of a Debezium→Elasticsearch connector pair, inside
+        one exactly-once pipeline."""
+        self._indexes.append(idx)
         return self
 
     def build(self) -> "IngestJob":
@@ -383,6 +395,8 @@ class IngestJob:
 
         for view in self._rollups:
             view.refresh()
+        for ix in self._indexes:
+            ix.sync()
 
     def _pending_dirs(self) -> list[tuple[int, str]]:
         import glob
