@@ -1170,6 +1170,48 @@ def _q_cdc_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# RE2∩Java patterns (both engines match identical spans): each carries at
+# least one provably-required >=3-char literal for the trigram planner
+_GREP_REGEXES = ("c0d[e0-9]", "a1b.*f00", "beef[0-9a-f]")
+
+
+def _q_cdc_grep_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex code search via trigram query planning (operators/codesearch.py
+    ::TrigramIndex.grep_regex — Cox codesearch): required_literals extracts
+    the literals every match must contain (conservative — alternations and
+    optional atoms drop out, so false negatives are impossible), their
+    trigrams bound the candidate set through the posting index, and the
+    full regex verifies via rlike on the candidate-bucket-pruned source.
+    The DuckDB twin runs regexp_matches over the golden replay directly —
+    the patterns stay in the RE2∩Java subset so both engines agree."""
+    from wprdc_etl_spark.operators.codesearch import TrigramIndex
+
+    log = _fixture_log(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    src_path = os.path.join(FIXTURES, "_targets", f"{label}_rgrep_src")
+    idx_path = os.path.join(FIXTURES, "_targets", f"{label}_rgrep_idx")
+    shutil.rmtree(src_path, ignore_errors=True)
+    shutil.rmtree(idx_path, ignore_errors=True)
+    source = ParquetSnapshotTable(spark, src_path, n_buckets=16, retain_history=4)
+    job = (
+        IngestJob(f"rgrep-{label}")
+        .source(log)
+        .schema(IngestJob.default_payload_schema())
+        .sink(source)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=1)
+    idx = TrigramIndex(spark, idx_path, source, n_buckets=16)
+    idx.sync()
+    out = None
+    for pat in _GREP_REGEXES:
+        part = idx.grep_regex(pat).select(
+            F.lit(pat).alias("pattern"), "repo", "path", "commit", "lang"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def _q_cdc_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium envelope ingestion (sources/envelopes.py::parse_debezium —
     the log-tailing-connector extract step): the fixture log is serialized
@@ -2021,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rollup_incremental": _q_cdc_rollup_incremental,
         "cdc_replicate": _q_cdc_replicate,
         "cdc_grep": _q_cdc_grep,
+        "cdc_grep_regex": _q_cdc_grep_regex,
         "cdc_debezium": _q_cdc_debezium,
         "events_dedup": _q_events_dedup,
         "cdc_canal": _q_cdc_canal,
@@ -2898,6 +2941,16 @@ FROM latest WHERE op <> 'D'
         )
         + f") WHERE contains(content, '{lit}')"
         for lit in _GREP_LITERALS
+    )
+    # regex grep: same independent construction, regexp_matches instead of
+    # contains — patterns are RE2∩Java so the engines match identical spans
+    out["cdc_grep_regex"] = " UNION ALL ".join(
+        f"SELECT '{pat}' AS pattern, repo, path, commit, lang FROM ("
+        + golden_final_state_sql(
+            log, select_expr="repo, path, commit, lang, content"
+        )
+        + f") WHERE regexp_matches(content, '{pat}')"
+        for pat in _GREP_REGEXES
     )
     # the Debezium round trip preserves every log record with op codes
     # mapped, the before image on deletes, and ms timestamp precision

@@ -266,6 +266,45 @@ def test_index_rides_batch_replay_and_stream(spark, tmp_path):
     assert t2.current_version() == ver and idx2.cursor() == ver
 
 
+def test_required_literals_conservative():
+    """Cox-style literal extraction: everything returned must occur in
+    EVERY match of the pattern (necessity); doubt drops the literal."""
+    from wprdc_etl_spark.operators.codesearch import required_literals as rl
+
+    assert rl("a1b2c3") == ["a1b2c3"]
+    assert rl("foo.*bar") == ["foo", "bar"]
+    assert rl("foo?bar") == ["bar"]          # 'o?' voids the prefix run
+    assert rl("foo+bar") == ["foo", "bar"]   # one-or-more keeps the char
+    assert rl("foo|bar") == []               # either branch may match
+    assert rl("a(bcd)e") == ["bcd"]
+    assert rl("a(bcd)?e") == []              # optional group contributes nothing
+    assert rl("(abc)+x") == ["abc"]          # required group, repetition ok
+    assert rl("a(b|c)defg") == ["defg"]      # inner alternation voided locally
+    assert rl("[abc]xyz") == ["xyz"]
+    assert rl("[^]x]yzw") == ["yzw"]         # ']' first in negated class
+    assert rl(r"foo\.bar") == ["foo.bar"]    # escaped metachar is literal
+    assert rl(r"\dabc") == ["abc"]
+    assert rl("abc{2}d") == []               # '{' conservatively voids runs
+    assert rl("^abc$") == ["abc"]
+    assert rl("c0d[e0-9]") == ["c0d"]
+    assert rl("a1b.*a1b") == ["a1b"]         # deduplicated
+
+
+def test_grep_regex_matches_rlike_bruteforce(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    src.merge(ev(spark, DOCS), job="j", batch_id=0)
+    idx = _index(spark, tmp_path, src)
+    idx.sync()
+    for pat in ("alpha.*(bet|soup)", "beta gamm[ab]", r"alpha\w+soup", "xabc.+xyzq"):
+        got = _keys(idx.grep_regex(pat))
+        want = _keys(src.read().where(F.col("content").rlike(pat)))
+        assert got == want, pat
+    with pytest.raises(ValueError, match="cannot bound"):
+        idx.grep_regex("alpha|beta")
+    with pytest.raises(ValueError, match="cannot bound"):
+        idx.grep_regex("a.b.c")
+
+
 def test_grep_before_sync_raises(spark, tmp_path):
     src = _src(spark, tmp_path)
     src.merge(ev(spark, DOCS), job="j", batch_id=0)

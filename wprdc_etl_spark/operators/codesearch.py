@@ -87,6 +87,127 @@ def trigram_array(col, *, n: int = 3):
     return F.array_distinct(F.filter(acc, lambda x: F.length(x) == n))
 
 
+def required_literals(pattern: str, *, min_len: int = 3) -> list[str]:
+    """Literal substrings PROVABLY required by ``pattern`` (the heart of
+    Russ Cox's codesearch trigram query planning, conservative subset):
+    every returned literal occurs in EVERY string the regex matches, so
+    their trigrams bound the candidate set with no false negatives.
+
+    Conservative by construction — whenever a construct could make
+    surrounding text optional, the affected characters (or the whole
+    enclosed group) are dropped from the requirement set:
+
+    - plain characters extend the current literal run
+    - ``\\`` escapes of non-class metachars (``\\.`` etc.) are literal;
+      class escapes (``\\d\\w\\s`` …) just break the run
+    - ``?`` / ``*`` / ``{`` make the PRECEDING atom optional/repeatable →
+      it leaves the run; ``+`` keeps it (one-or-more); a quantified GROUP
+      drops the whole group's contribution
+    - ``.``, ``[...]`` classes, anchors ``^$`` break the run
+    - a ``(...)`` group with no top-level ``|`` contributes its own
+      required literals UNLESS quantified; any ``|`` at a given nesting
+      level voids every requirement at that level (either branch may match)
+
+    Returns maximal runs of length ≥ ``min_len``, deduplicated, order
+    preserved. An unsupported/unbalanced pattern yields ``[]`` (callers
+    must treat that as "cannot bound — full scan or error")."""
+
+    def parse(i: int) -> tuple[list[str], int, bool]:
+        # returns (required literals inside this group, index past it,
+        # saw_top_level_alternation)
+        lits: list[str] = []
+        run: list[str] = []
+        alt = False
+
+        def flush():
+            if len(run) >= min_len:
+                lits.append("".join(run))
+            run.clear()
+
+        while i < len(pattern):
+            ch = pattern[i]
+            nxt = pattern[i + 1] if i + 1 < len(pattern) else ""
+            if ch == ")":
+                flush()
+                return lits, i + 1, alt
+            if ch == "|":
+                alt = True
+                run.clear()
+                lits.clear()  # nothing before/after | is required
+                i += 1
+                continue
+            if ch == "(":
+                flush()
+                sub, j, sub_alt = parse(i + 1)
+                quant = j < len(pattern) and pattern[j] in "?*{"
+                if not sub_alt and not quant:
+                    lits.extend(sub)
+                i = j + (1 if quant and pattern[j] != "{" else 0)
+                if quant and pattern[j] == "{":
+                    i = pattern.find("}", j)
+                    if i == -1:
+                        return [], len(pattern), alt
+                    i += 1
+                continue
+            if ch == "\\":
+                if nxt and nxt in r".^$*+?()[]{}|\/":
+                    run.append(nxt)  # escaped metachar is a literal char
+                else:
+                    flush()  # \d \w \b … — a class/anchor, breaks the run
+                i += 2
+                continue
+            if ch == "[":
+                flush()
+                # ']' immediately after '[' (or '[^') is a literal member;
+                # walk escape-aware so an escaped \] never ends the class
+                # early (which would leak class members as "required")
+                j = i + 2 + (1 if nxt == "^" else 0)
+                while j < len(pattern) and pattern[j] != "]":
+                    j += 2 if pattern[j] == "\\" else 1
+                if j >= len(pattern):
+                    return [], len(pattern), alt
+                i = j + 1
+                continue
+            if ch in "?*":
+                if run:
+                    run.pop()  # preceding char now optional/repeatable-from-0
+                flush()
+                i += 1
+                continue
+            if ch == "{":
+                if run:
+                    run.pop()  # could be {0,n}; conservative
+                flush()
+                j = pattern.find("}", i)
+                if j == -1:
+                    return [], len(pattern), alt
+                i = j + 1
+                continue
+            if ch == "+":
+                # one-or-more: the char itself stays required, but the run
+                # cannot extend PAST it contiguously (aa+b matches "aab")
+                flush()
+                i += 1
+                continue
+            if ch in ".^$":
+                flush()
+                i += 1
+                continue
+            run.append(ch)
+            i += 1
+        flush()
+        return lits, i, alt
+
+    lits, _, alt = parse(0)
+    if alt:
+        return []
+    out: list[str] = []
+    for l in lits:
+        if l not in out:
+            out.append(l)
+    return out
+
+
 class TrigramIndex:
     """Persistent trigram posting table over a ``ParquetSnapshotTable``
     of documents, synced from its changelog.
@@ -287,7 +408,9 @@ class TrigramIndex:
         """Keys of documents whose posting lists contain EVERY trigram of
         ``literal`` (necessary, not sufficient) — the AND-of-posting-lists
         step, bucket-pruned to the literal's gram buckets."""
-        grams = self.grams_of(literal)
+        return self._candidates_for_grams(self.grams_of(literal), filters)
+
+    def _candidates_for_grams(self, grams: list[str], filters: dict) -> DataFrame:
         man = self.table._require_manifest()
         buckets = sorted(
             {
@@ -323,4 +446,35 @@ class TrigramIndex:
         state = self._pruned_state(cand, at)
         return state.join(F.broadcast(cand), list(self.source.keys)).where(
             F.col(self.content_col).contains(literal)
+        )
+
+    def grep_regex(self, pattern: str, **filters) -> DataFrame:
+        """Regex search bounded by trigram query planning (Cox codesearch):
+        candidates must hold every trigram of every PROVABLY-REQUIRED
+        literal of ``pattern`` (``required_literals`` — conservative, so
+        false negatives are impossible); the full regex then verifies via
+        ``rlike`` on the pruned source state. A pattern with no required
+        literal of gram size (top-level alternation, pure wildcards) cannot
+        be index-bounded — raises; scan the source directly for those. Use
+        the RE2∩Java syntax subset when an external engine must agree on
+        the match set."""
+        lits = [
+            l
+            for l in required_literals(pattern, min_len=self.gram_n)
+            if len(l) >= self.gram_n
+        ]
+        if not lits:
+            raise ValueError(
+                f"pattern {pattern!r} has no required literal of length >= "
+                f"{self.gram_n} — the trigram index cannot bound it; scan "
+                f"the source with rlike directly"
+            )
+        at = self.cursor()
+        if at is None:
+            raise SinkCommitError("index has never been synced — nothing to query")
+        grams = sorted({g for l in lits for g in self.grams_of(l)})
+        cand = self._candidates_for_grams(grams, filters)
+        state = self._pruned_state(cand, at)
+        return state.join(F.broadcast(cand), list(self.source.keys)).where(
+            F.col(self.content_col).rlike(pattern)
         )
