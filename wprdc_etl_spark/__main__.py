@@ -94,6 +94,9 @@ def main() -> None:
     ap.add_argument("--set", action="append", default=None, metavar="COL=EXPR",
                     help="update mode: column assignment as a SQL expression "
                          "(repeatable); key/bucket columns are rejected")
+    ap.add_argument("--regex", action="store_true",
+                    help="grep mode: treat --query as a regex (trigram query "
+                         "planning over its provably-required literals)")
     ap.add_argument("--grace-minutes", type=int, default=60,
                     help="vacuum mode: unreferenced dirs younger than this "
                          "survive (protects in-flight writers)")
@@ -221,7 +224,7 @@ def main() -> None:
         else:
             if not args.query:
                 ap.error("--query (the search literal) is required in grep mode")
-            out = idx.grep(args.query)
+            out = idx.grep_regex(args.query) if args.regex else idx.grep(args.query)
             if args.output:
                 out.write.mode("overwrite").parquet(args.output)
                 print(f"grep result written to {args.output}")
