@@ -338,6 +338,7 @@ class TrigramIndex:
             return {"mode": "noop", "applied": False, "cursor": last,
                     "to_version": to_v}
 
+        pinned: list[DataFrame] = []
         if last is None:
             batch = self._postings(self.source.read(version=to_v)).withColumn(
                 "op", F.lit("I")
@@ -345,9 +346,18 @@ class TrigramIndex:
             mode = "bootstrap"
         else:
             try:
-                changed = self.source.changes_between(last, to_v).select(
-                    *self.source.keys, "change_op"
+                # persist the NARROW diff: without it the full-outer
+                # changelog join re-executes for every consumer below (two
+                # bucket-id collects, both posting builds, both anti-join
+                # sides, every merge action) — measured ~6 evaluations per
+                # sync. The posting sets persist too: each feeds both
+                # anti-joins and then the merge.
+                changed = (
+                    self.source.changes_between(last, to_v)
+                    .select(*self.source.keys, "change_op")
+                    .persist()
                 )
+                pinned.append(changed)
                 mode = "incremental"
                 new_keys = changed.where(F.col("change_op") != "D").select(
                     *self.source.keys
@@ -359,12 +369,13 @@ class TrigramIndex:
                     self._pruned_state(new_keys, to_v).join(
                         F.broadcast(new_keys), self.source.keys
                     )
-                )
+                ).persist()
                 old_p = self._postings(
                     self._pruned_state(old_keys, last).join(
                         F.broadcast(old_keys), self.source.keys
                     )
-                )
+                ).persist()
+                pinned += [new_p, old_p]
                 batch = self._delta(new_p, old_p)
             except SinkCommitError:
                 # cursor expired under source retention: diff the full
@@ -372,17 +383,22 @@ class TrigramIndex:
                 # grams + index), still an exact net delta (also repairs any
                 # divergence), for this one sync only.
                 mode = "repair"
-                new_p = self._postings(self.source.read(version=to_v))
+                new_p = self._postings(self.source.read(version=to_v)).persist()
+                pinned.append(new_p)
                 batch = self._delta(new_p, self.table.read())
 
-        self.table.ensure(batch.drop("op").schema)
-        batch = batch.withColumn("event_sequence", F.lit(to_v).cast("long"))
-        res = self.table.merge(
-            batch,
-            job=self.job,
-            batch_id=to_v,
-            counts=LineageCounts(extra={"mode": mode, "source_version": to_v}),
-        )
+        try:
+            self.table.ensure(batch.drop("op").schema)
+            batch = batch.withColumn("event_sequence", F.lit(to_v).cast("long"))
+            res = self.table.merge(
+                batch,
+                job=self.job,
+                batch_id=to_v,
+                counts=LineageCounts(extra={"mode": mode, "source_version": to_v}),
+            )
+        finally:
+            for df in pinned:
+                df.unpersist()
         return {
             "mode": mode,
             "applied": res.applied,
