@@ -137,7 +137,11 @@ class NearDupIndex:
         """
         if not self.table.exists():
             self.table.ensure(self.SCHEMA)
-        bands = self._bands_of(docs, id_col, text_col)
+        # the band rows feed the merge (several actions) AND the bucket-id
+        # collect below — persist so the minhash/banding of the batch runs
+        # once; released after the collect (the returned probe plan
+        # recomputes them lazily IF the caller evaluates it, as before)
+        bands = self._bands_of(docs, id_col, text_col).persist()
         self.table.merge(
             bands.withColumn("op", F.lit("I")).withColumn(
                 "event_sequence", F.lit(int(batch_id)).cast("long")
@@ -154,6 +158,7 @@ class NearDupIndex:
             .distinct()
             .collect()
         )  # <= n_buckets rows — the only thing collected
+        bands.unpersist()
         index = self.table.read_pruned([r["_b"] for r in hit])
         b = bands.alias("b")
         i = index.alias("i")

@@ -139,6 +139,7 @@ class TableReplicator:
             return {"mode": "noop", "applied": False, "cursor": last, "to_version": to_v}
 
         target_state = self.source.read(version=to_v)
+        changes = None
         if last is None:
             batch = target_state.withColumn("op", F.lit("I"))
             mode = "bootstrap"
@@ -162,16 +163,25 @@ class TableReplicator:
                     ]
                 changes = diff_states(rep_state, target_state, self.source.keys, both)
                 mode = "repair"
+            # the NARROW diff feeds the batch's I/U branch AND its D branch,
+            # and every action the merge runs evaluates both — persist it so
+            # the full-outer version join executes once per sync, not ~2×
+            # per merge action
+            changes = changes.persist()
             batch = self._materialize(changes, target_state)
 
-        self.replica.ensure(batch.drop("op").schema)
-        batch = batch.withColumn("event_sequence", F.lit(to_v).cast("long"))
-        res = self.replica.merge(
-            batch,
-            job=self.job,
-            batch_id=to_v,
-            counts=LineageCounts(extra={"mode": mode, "source_version": to_v}),
-        )
+        try:
+            self.replica.ensure(batch.drop("op").schema)
+            batch = batch.withColumn("event_sequence", F.lit(to_v).cast("long"))
+            res = self.replica.merge(
+                batch,
+                job=self.job,
+                batch_id=to_v,
+                counts=LineageCounts(extra={"mode": mode, "source_version": to_v}),
+            )
+        finally:
+            if changes is not None:
+                changes.unpersist()
         return {
             "mode": mode,
             "applied": res.applied,
