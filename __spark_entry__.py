@@ -1001,6 +1001,23 @@ def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("value_sum", F.round(F.col("value_sum"), 4))
 
 
+def _q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled resampling (operators/analytics.py::gapfill_resample —
+    TimescaleDB time_bucket_gapfill analog): per-user HOURLY grid between
+    each user's first and last event, event-free hours materialized as
+    zero rows flagged `filled`. One (key, window) hash agg + narrow bounds
+    agg + in-row grid explode + one keyed left join; the oracle
+    reconstructs the grid with generate_series over the identical
+    epoch-µs floor."""
+    from wprdc_etl_spark.operators.analytics import gapfill_resample
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = gapfill_resample(
+        ev, key="user_id", ts="ts", window_seconds=3600, value_col="value"
+    )
+    return out.withColumn("value_sum", F.round("value_sum", 4))
+
+
 def _q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history over the change log (operators/analytics.py::
     scd2_history): per (repo, path, commit) every validated change becomes a
@@ -2075,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "events_sessions_stream": _q_events_sessions_stream,
         "events_tumbling": _q_events_tumbling,
+        "events_gapfill": _q_events_gapfill,
         "events_sliding": _q_events_sliding,
         "events_topk_per_type": _q_events_topk_per_type,
         "events_value_quantiles": _q_events_value_quantiles,
@@ -2459,6 +2477,10 @@ FROM sess
 WHERE epoch_ms(session_end) + 1800 * 1000
       <= (SELECT max(epoch_ms(ts)) FROM events)
 """,
+        "events_gapfill": _analytics_sql.gapfill_sql(
+            "events", key="user_id", ts="ts", window_seconds=3600,
+            value="value",
+        ),
         "events_tumbling": """
 WITH w AS (
   SELECT user_id, epoch_us(ts) - epoch_us(ts) % 3600000000 AS ws, value

@@ -565,3 +565,64 @@ def test_iqr_outliers(spark):
     assert got[("a", 100.0)] == "high"
     assert got[("b", -40.0)] == "low"
     assert len(got) == 2  # inliers stay out
+
+
+def test_gapfill_resample_modes(spark):
+    """Gap-filled resampling (operators/analytics.py::gapfill_resample —
+    time_bucket_gapfill analog): gapless per-key grid, fill semantics."""
+    from wprdc_etl_spark.operators.analytics import gapfill_resample
+
+    rows = [
+        # user 1: events in hours 0 and 3 -> hours 1,2 are gaps
+        (1, "2024-01-01 00:10:00", 10.0),
+        (1, "2024-01-01 00:40:00", 5.0),
+        (1, "2024-01-01 03:20:00", 7.0),
+        # user 2: single hour -> one row, no gaps
+        (2, "2024-01-01 05:05:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double").select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "value"
+    )
+    out = {
+        (r["user_id"], str(r["window_start"])): r
+        for r in gapfill_resample(
+            df, key="user_id", ts="ts", window_seconds=3600, value_col="value"
+        ).collect()
+    }
+    assert len(out) == 5  # user1 hours 0..3 + user2 hour 5
+    h0 = out[(1, "2024-01-01 00:00:00")]
+    assert h0["n_events"] == 2 and h0["value_sum"] == 15.0 and not h0["filled"]
+    h1 = out[(1, "2024-01-01 01:00:00")]
+    assert h1["n_events"] == 0 and h1["value_sum"] == 0.0 and h1["filled"]
+    assert out[(1, "2024-01-01 03:00:00")]["value_sum"] == 7.0
+    assert out[(2, "2024-01-01 05:00:00")]["n_events"] == 1
+
+    # locf: gap hours carry the last non-empty bucket's sum; counts stay 0
+    locf = {
+        (r["user_id"], str(r["window_start"])): r
+        for r in gapfill_resample(
+            df, key="user_id", ts="ts", window_seconds=3600,
+            value_col="value", fill="locf",
+        ).collect()
+    }
+    assert locf[(1, "2024-01-01 01:00:00")]["value_sum"] == 15.0
+    assert locf[(1, "2024-01-01 02:00:00")]["value_sum"] == 15.0
+    assert locf[(1, "2024-01-01 03:00:00")]["value_sum"] == 7.0
+    assert locf[(1, "2024-01-01 01:00:00")]["n_events"] == 0
+
+    # null: gaps stay null
+    nul = {
+        (r["user_id"], str(r["window_start"])): r
+        for r in gapfill_resample(
+            df, key="user_id", ts="ts", window_seconds=3600,
+            value_col="value", fill="null",
+        ).collect()
+    }
+    assert nul[(1, "2024-01-01 02:00:00")]["value_sum"] is None
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown fill"):
+        gapfill_resample(df, key="user_id", ts="ts", window_seconds=3600,
+                         value_col="value", fill="bogus")
+    with _pytest.raises(ValueError, match="window_seconds"):
+        gapfill_resample(df, key="user_id", ts="ts", window_seconds=0)

@@ -462,3 +462,115 @@ def iqr_outliers_sql(
         f"FROM {relation} r JOIN fences f USING ({g}) "
         f"WHERE r.{value} < f.lo_fence OR r.{value} > f.hi_fence"
     )
+
+
+# ---- gap-filled resampling (TimescaleDB time_bucket_gapfill analog) ---------
+#
+# A CDC-fed events table feeding dashboards/models needs REGULAR time grids:
+# a window with no events must appear as an explicit zero/null/carried row,
+# or downstream rate math silently skips gaps. The reference has no
+# windowing at all (SURVEY Table C); Timescale's continuous aggregates call
+# this time_bucket_gapfill + locf.
+
+
+def gapfill_resample(
+    df: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    window_seconds: int,
+    value_col: str | None = None,
+    fill: str = "zero",
+) -> DataFrame:
+    """Per-key tumbling aggregate on a GAPLESS window grid: one row for
+    every ``window_seconds`` bucket between each key's first and last
+    event, event-free buckets included, flagged ``filled``. ``fill``:
+    'zero' (count/sum 0), 'null', or 'locf' (value carries forward from
+    the last non-empty bucket; counts stay 0).
+
+    Window start = epoch-aligned integer-µs floor — the identical
+    arithmetic as the tumbling/sliding oracles, so the 'zero'/'null' forms
+    are SQL-exact (``gapfill_sql``).
+
+    100-TB shape: one (key, window) hash agg with map-side combine, one
+    narrow per-key bounds agg, the grid generated IN-ROW from the bounds
+    (explode of a sequence — each key's grid is proportional to its own
+    activity span, nothing global), one keyed left join back. locf adds a
+    per-key window pass over bucket-grain rows (narrow; never raw events).
+    """
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be > 0, got {window_seconds}")
+    if fill not in ("zero", "null", "locf"):
+        raise ValueError(f"unknown fill {fill!r}: zero | null | locf")
+    span = int(window_seconds) * 1_000_000
+    # ts columns arrive as TIMESTAMP_NTZ from parquet; unix_micros needs
+    # TIMESTAMP — the session timezone is pinned UTC (config.py), so the
+    # cast is value-preserving and matches DuckDB's naive epoch_us
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("value_sum"))
+    agg = df.groupBy(
+        F.col(key), (us - F.pmod(us, F.lit(span))).alias("_w")
+    ).agg(*aggs)
+    spine = (
+        agg.groupBy(key)
+        .agg(F.min("_w").alias("_lo"), F.max("_w").alias("_hi"))
+        .select(
+            key,
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.lit(span).cast("long"))
+            ).alias("_w"),
+        )
+    )
+    out = spine.join(agg, [key, "_w"], "left")
+    filled = F.col("n_events").isNull().alias("filled")
+    n = F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events")
+    cols = [
+        F.col(key),
+        F.timestamp_micros(F.col("_w")).cast("timestamp_ntz").alias("window_start"),
+        n,
+    ]
+    if value_col is not None:
+        v = F.col("value_sum")
+        if fill == "zero":
+            v = F.coalesce(v, F.lit(0.0))
+        elif fill == "locf":
+            v = F.last(v, ignorenulls=True).over(
+                Window.partitionBy(key).orderBy("_w")
+            )
+        cols.append(v.alias("value_sum"))
+    return out.select(*cols, filled)
+
+
+def gapfill_sql(
+    relation: str,
+    *,
+    key: str,
+    ts: str,
+    window_seconds: int,
+    value: str | None = None,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of ``gapfill_resample(fill='zero')`` — generate_series
+    over each key's own bucket bounds, epoch-µs floor identical to the
+    engine's."""
+    span = int(window_seconds) * 1_000_000
+    val_sel = (
+        f", round(coalesce(a.s, 0.0), {int(round_dp)}) AS value_sum"
+        if value is not None
+        else ""
+    )
+    val_agg = f", sum({value}) AS s" if value is not None else ""
+    return (
+        f"WITH agg AS (SELECT {key} AS k, "
+        f"epoch_us({ts}) - epoch_us({ts}) % {span} AS w, "
+        f"count(*) AS n{val_agg} FROM {relation} GROUP BY k, w), "
+        f"bounds AS (SELECT k, min(w) AS lo, max(w) AS hi FROM agg GROUP BY k), "
+        f"spine AS (SELECT k, unnest(generate_series(lo, hi, {span})) AS w "
+        f"FROM bounds) "
+        f"SELECT sp.k AS {key}, make_timestamp(sp.w) AS window_start, "
+        f"CAST(coalesce(a.n, 0) AS BIGINT) AS n_events{val_sel}, "
+        f"a.n IS NULL AS filled "
+        f"FROM spine sp LEFT JOIN agg a ON a.k = sp.k AND a.w = sp.w"
+    )
