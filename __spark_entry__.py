@@ -1018,6 +1018,52 @@ def _q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("value_sum", F.round("value_sum", 4))
 
 
+def _q_cdc_scd2_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-accumulated SCD Type-2 history table (plans/scd2.py::
+    Scd2Table — the dbt-snapshot analog, changelog-fed): replay the log in
+    4 chunks, folding each committed version into the interval table
+    (bootstrap + 3 incremental syncs, exactly-once per version via the
+    history table's own guard; U/D keys close their open interval, I/U
+    keys open one). Return ``as_of(<chunk-2 version>)`` — the past state
+    RECONSTRUCTED FROM INTERVALS, no source snapshot retention involved —
+    which must equal the sequence-truncated golden replay (the identical
+    oracle as cdc_time_travel, reached by a completely different
+    mechanism). Raises unless the syncs took bootstrap+incremental paths."""
+    from wprdc_etl_spark.plans.scd2 import Scd2Table
+
+    log = _fixture_log(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    src_path = os.path.join(FIXTURES, "_targets", f"{label}_scd2_src")
+    hist_path = os.path.join(FIXTURES, "_targets", f"{label}_scd2_hist")
+    shutil.rmtree(src_path, ignore_errors=True)
+    shutil.rmtree(hist_path, ignore_errors=True)
+    source = ParquetSnapshotTable(spark, src_path, n_buckets=16, retain_history=8)
+    job = (
+        IngestJob(f"scd2-{label}")
+        .source(log)
+        .schema(IngestJob.default_payload_schema())
+        .sink(source)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=4)
+    vers = sorted(
+        max(
+            h["version"] for h in source.history()
+            if h["committed"].get(f"scd2-{label}") == i
+        )
+        for i in range(4)
+    )
+    hist = Scd2Table(
+        spark, hist_path, source, track_cols=["lang", "content_sha"], n_buckets=16
+    )
+    modes = [hist.sync(to_version=v)["mode"] for v in vers]
+    if modes != ["bootstrap"] + ["incremental"] * 3:
+        raise AssertionError(f"scd2 sync modes: {modes}")
+    return hist.as_of(vers[1]).select(
+        "repo", "path", "commit", "lang", "content_sha"
+    )
+
+
 def _q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history over the change log (operators/analytics.py::
     scd2_history): per (repo, path, commit) every validated change becomes a
@@ -2077,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog": _q_cdc_changelog,
         "cdc_modified_since": _q_cdc_modified_since,
         "cdc_scd2": _q_cdc_scd2,
+        "cdc_scd2_table": _q_cdc_scd2_table,
         "cdc_rollup_incremental": _q_cdc_rollup_incremental,
         "cdc_replicate": _q_cdc_replicate,
         "cdc_grep": _q_cdc_grep,
@@ -2953,6 +3000,10 @@ FROM latest WHERE op <> 'D'
     # bootstrap + incremental changelog replication must land the replica on
     # the source's golden final state (exactly-once per source version)
     out["cdc_replicate"] = out["cdc_final_state"]
+    # the SCD2 interval reconstruction of the chunk-2 state must equal the
+    # same truncated golden replay the snapshot time-travel read equals —
+    # two unrelated mechanisms, one oracle
+    out["cdc_scd2_table"] = out["cdc_time_travel"]
     # trigram-index grep: the twin answers each literal by scanning the
     # golden replay with contains() — no posting lists, no index; equality
     # binds the whole index/sync/probe/verify chain to the direct answer
