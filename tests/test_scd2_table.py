@@ -118,6 +118,46 @@ def test_flapping_key_keeps_all_intervals(spark, tmp_path):
     )
 
 
+def test_history_follows_ingest_job_stream(spark, tmp_path):
+    """Scd2Table attached via IngestJob.follow() accumulates intervals
+    per micro-batch and stays exactly-once across a redelivery."""
+    from wprdc_etl_spark.streaming.job import IngestJob
+    from wprdc_etl_spark.testgen import gen_change_events, write_event_log
+
+    src_log = str(tmp_path / "log")
+    write_event_log(gen_change_events(spark, 600), src_log, n_files=6)
+    t = ParquetSnapshotTable(
+        spark, str(tmp_path / "tbl"), n_buckets=4, retain_history=8
+    )
+    h = Scd2Table(
+        spark, str(tmp_path / "hist"), t, n_buckets=4,
+        track_cols=["lang", "content"],
+    )
+    job = (
+        IngestJob("scd2-stream", max_files_per_trigger=2)
+        .source(src_log)
+        .schema(IngestJob.default_payload_schema())
+        .sink(t)
+        .follow(h)
+        .build()
+    )
+    ckpt = str(tmp_path / "ckpt")
+    job.start_stream(spark, ckpt).awaitTermination()
+    assert h.cursor() == t.current_version()
+    assert _rows(h.current()) == _rows(
+        t.read().select("repo", "path", "commit", "lang", "content")
+    )
+    # every synced version reconstructs from intervals
+    for hh in t.history():
+        v = hh["version"]
+        assert _rows(h.as_of(v)) == _rows(
+            t.read(version=v).select("repo", "path", "commit", "lang", "content")
+        ), v
+    ver = t.current_version()
+    job.start_stream(spark, ckpt).awaitTermination()  # redelivery: all noop
+    assert t.current_version() == ver and h.cursor() == ver
+
+
 def test_expired_cursor_raises(spark, tmp_path):
     """History cannot be rebuilt across a retention gap without losing the
     intermediate intervals — sync must fail loudly, not fabricate."""

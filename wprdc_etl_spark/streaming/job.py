@@ -232,6 +232,14 @@ class IngestJob:
         self._indexes.append(idx)
         return self
 
+    def follow(self, consumer) -> "IngestJob":
+        """Attach ANY changelog follower exposing ``sync()`` with its own
+        exactly-once cursor (TrigramIndex, plans/scd2.py::Scd2Table, custom
+        consumers with the same contract): synced after every committed
+        (micro-)batch, alongside rollup views and search indexes."""
+        self._indexes.append(consumer)
+        return self
+
     def build(self) -> "IngestJob":
         """A6 — ``Pipeline.enforce_full_pipeline`` analog."""
         missing = [
