@@ -38,7 +38,7 @@ def main() -> None:
                              "replicate", "tag", "drop-tag", "requeue",
                              "delete", "update", "publish", "abort-staged",
                              "profile", "lookup", "sql", "vacuum", "lag", "schema-diff",
-                             "index-sync", "grep"],
+                             "index-sync", "grep", "scd2-sync"],
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
@@ -230,6 +230,27 @@ def main() -> None:
                 print(f"grep result written to {args.output}")
             else:
                 out.show(args.max_rows, truncate=False)
+        spark.stop()
+        return
+    if args.mode == "scd2-sync":
+        # accumulate SCD Type-2 history of --source into --target (the
+        # dbt-snapshot verb): cron next to the ingest job; cursor in the
+        # history table's manifest, exactly-once per source version
+        from wprdc_etl_spark.plans.scd2 import Scd2Table
+
+        if args.sink == "iceberg":
+            ap.error("scd2-sync mode currently supports the parquet-snapshot sink only")
+        if not args.source:
+            ap.error("--source (the document TABLE root) is required in scd2-sync mode")
+        src = ParquetSnapshotTable(spark, args.source)
+        cols = args.columns.split(",") if args.columns else None
+        h = Scd2Table(spark, args.target, src, track_cols=cols,
+                      n_buckets=args.n_buckets)
+        r = h.sync()
+        print(
+            f"scd2-sync {r['mode']}: cursor at source version {r['cursor']} "
+            f"(+{r.get('rows_upserted', 0)} interval rows)"
+        )
         spark.stop()
         return
     if args.mode == "optimize":
