@@ -158,6 +158,11 @@ sections.append(("TF-IDF top terms (two narrow aggs + WindowGroupLimit)",
   "tf and df are hash aggregates over in-row-extracted terms (map-side partial; corpus text never shuffles); the dictionary join is AQE-eligible; the per-doc top-k compiles to WindowGroupLimit on both sides of its exchange.",
   cap(top_terms_per_doc(docs, k=5, n_docs=500, min_df=2))))
 
+from wprdc_etl_spark.operators.analytics import gapfill_resample
+sections.append(("Gap-filled resampling (in-row grid explode + one keyed join)",
+  "The (key, window) agg and the per-key bounds agg are both map-side-combined hash aggregates over narrow rows; the gapless grid comes from an in-row sequence explode of the bounds (no global range, no driver loop), and the spine meets the aggregate in one keyed join — raw events never shuffle twice.",
+  cap(gapfill_resample(evts, key="user_id", ts="ts", window_seconds=3600, value_col="value"))))
+
 from wprdc_etl_spark.operators.codesearch import TrigramIndex
 shutil.rmtree("/tmp/plandoc_tgi", ignore_errors=True)
 tgi = TrigramIndex(spark, "/tmp/plandoc_tgi", t, n_buckets=8)
