@@ -288,6 +288,15 @@ def test_required_literals_conservative():
     assert rl("^abc$") == ["abc"]
     assert rl("c0d[e0-9]") == ["c0d"]
     assert rl("a1b.*a1b") == ["a1b"]         # deduplicated
+    # '(?' special groups: '(?:' is semantics-preserving; everything else
+    # ((?i) flags, lookaround, named groups) voids ALL requirements —
+    # e.g. (?i) would invalidate every case-sensitive literal
+    assert rl("(?:foo)bar") == ["foo", "bar"]
+    assert rl("(?:foo)?bar") == ["bar"]
+    assert rl("(?i)needle") == []
+    assert rl("(?!foo)barbaz") == []
+    assert rl("(?=foo)barbaz") == []
+    assert rl("a(?P<g>bcd)e") == []
 
 
 def test_grep_regex_matches_rlike_bruteforce(spark, tmp_path):

@@ -49,7 +49,7 @@ from wprdc_etl_spark.functions.dedup import (
     minhash_signatures,
     sig_est_jaccard,
 )
-from wprdc_etl_spark.plans.lake import ParquetSnapshotTable, bucket_of
+from wprdc_etl_spark.plans.lake import ParquetSnapshotTable
 
 
 class NearDupIndex:
@@ -150,16 +150,10 @@ class NearDupIndex:
             batch_id=batch_id,
         )
         # ---- probe: batch bands vs the updated index, bucket-pruned ------
-        man = self.table._require_manifest()
-        hit = (
-            bands.select(
-                bucket_of(man["n_buckets"], ["band", "band_hash"]).alias("_b")
-            )
-            .distinct()
-            .collect()
-        )  # <= n_buckets rows — the only thing collected
+        # (read_pruned_for_keys: one <= n_buckets bucket-id collect — the
+        # only thing collected)
+        index = self.table.read_pruned_for_keys(bands)
         bands.unpersist()
-        index = self.table.read_pruned([r["_b"] for r in hit])
         b = bands.alias("b")
         i = index.alias("i")
         pairs = (

@@ -58,7 +58,7 @@ from pyspark.sql import functions as F
 
 from wprdc_etl_spark.exceptions import SinkCommitError
 from wprdc_etl_spark.operators.xxhash import bucket_of_py
-from wprdc_etl_spark.plans.lake import LineageCounts, ParquetSnapshotTable, bucket_of
+from wprdc_etl_spark.plans.lake import LineageCounts, ParquetSnapshotTable
 
 
 def trigram_array(col, *, n: int = 3):
@@ -138,7 +138,19 @@ def required_literals(pattern: str, *, min_len: int = 3) -> list[str]:
                 continue
             if ch == "(":
                 flush()
-                sub, j, sub_alt = parse(i + 1)
+                body = i + 1
+                if nxt == "?":
+                    # '(?:' is semantics-preserving — parse past the prefix;
+                    # every other '(?...' construct (inline flags (?i),
+                    # lookaround (?=/(?!/(?<, named groups, ...) can change
+                    # what the WHOLE pattern matches — e.g. (?i) voids every
+                    # case-sensitive literal — so the only safe answer is no
+                    # requirements at all
+                    if i + 2 < len(pattern) and pattern[i + 2] == ":":
+                        body = i + 3
+                    else:
+                        return [], len(pattern), alt
+                sub, j, sub_alt = parse(body)
                 quant = j < len(pattern) and pattern[j] in "?*{"
                 if not sub_alt and not quant:
                     lits.extend(sub)
@@ -284,22 +296,6 @@ class TrigramIndex:
             return None
         return self.table.last_committed_batch(self.job)
 
-    def _pruned_state(self, keys_df: DataFrame, version: int) -> DataFrame:
-        """Source state at ``version`` restricted to the buckets the given
-        keys hash into — one ≤ n_buckets collect, then a driver-side pruned
-        read (the NearDupIndex probe pattern). The bucket count comes from
-        the manifest AT that version: a rebucket between versions would
-        otherwise route keys to ids the old layout never had."""
-        man = self.source._manifest_at(version)
-        hit = (
-            keys_df.select(
-                bucket_of(man["n_buckets"], list(self.source.bucket_keys)).alias("_b")
-            )
-            .distinct()
-            .collect()
-        )
-        return self.source.read_pruned([r["_b"] for r in hit], version=version)
-
     def _delta(self, new_p: DataFrame, old_p: DataFrame) -> DataFrame:
         """Posting delta as a merge batch: new-only → 'I', old-only → 'D'
         (null payload — the merge tombstone contract). Unchanged postings
@@ -366,12 +362,12 @@ class TrigramIndex:
                     *self.source.keys
                 )
                 new_p = self._postings(
-                    self._pruned_state(new_keys, to_v).join(
+                    self.source.read_pruned_for_keys(new_keys, version=to_v).join(
                         F.broadcast(new_keys), self.source.keys
                     )
                 ).persist()
                 old_p = self._postings(
-                    self._pruned_state(old_keys, last).join(
+                    self.source.read_pruned_for_keys(old_keys, version=last).join(
                         F.broadcast(old_keys), self.source.keys
                     )
                 ).persist()
@@ -426,15 +422,43 @@ class TrigramIndex:
         step, bucket-pruned to the literal's gram buckets."""
         return self._candidates_for_grams(self.grams_of(literal), filters)
 
-    def _candidates_for_grams(self, grams: list[str], filters: dict) -> DataFrame:
+    def _query_snapshot(self) -> tuple[dict, int]:
+        """ONE manifest read pinning a consistent (index version, source
+        cursor) pair for a whole query — a sync committing mid-query can
+        then neither surface unindexed matches nor verify stale grams
+        against newer bytes (both reads below pass explicit versions)."""
+        if not self.table.exists():
+            raise SinkCommitError("index has never been synced — nothing to query")
         man = self.table._require_manifest()
+        at = man.get("committed", {}).get(self.job)
+        if at is None:
+            raise SinkCommitError("index has never been synced — nothing to query")
+        return man, int(at)
+
+    def _candidates_for_grams(
+        self, grams: list[str], filters: dict, man: dict | None = None
+    ) -> DataFrame:
+        if man is None:
+            man = self.table._require_manifest()
+        import pyspark.sql.types as T
+
+        posting_cols = set(T.StructType.fromJson(man["schema"]).fieldNames())
+        missing = [c for c in filters if c not in posting_cols]
+        if missing:
+            raise ValueError(
+                f"filter column(s) {missing} do not ride the postings "
+                f"(available: {sorted(posting_cols)}) — pass payload_cols= "
+                f"at index build time or filter the grep result instead"
+            )
         buckets = sorted(
             {
                 bucket_of_py(man["n_buckets"], g, types=["string"])
                 for g in grams
             }
         )
-        idx = self.table.read_pruned(buckets).where(F.col("gram").isin(grams))
+        idx = self.table.read_pruned(buckets, version=man["version"]).where(
+            F.col("gram").isin(grams)
+        )
         for col, val in filters.items():
             idx = idx.where(F.col(col) == val)
         # posting rows are unique per (gram, key): count == n_grams ⇔ all
@@ -455,11 +479,9 @@ class TrigramIndex:
         against newer bytes). ``filters`` (e.g. ``lang='py'``) are applied
         at the INDEX when the column rides the postings — a filtered query
         never widens the candidate set."""
-        at = self.cursor()
-        if at is None:
-            raise SinkCommitError("index has never been synced — nothing to query")
-        cand = self.candidates(literal, **filters)
-        state = self._pruned_state(cand, at)
+        man, at = self._query_snapshot()
+        cand = self._candidates_for_grams(self.grams_of(literal), filters, man=man)
+        state = self.source.read_pruned_for_keys(cand, version=at)
         return state.join(F.broadcast(cand), list(self.source.keys)).where(
             F.col(self.content_col).contains(literal)
         )
@@ -485,12 +507,10 @@ class TrigramIndex:
                 f"{self.gram_n} — the trigram index cannot bound it; scan "
                 f"the source with rlike directly"
             )
-        at = self.cursor()
-        if at is None:
-            raise SinkCommitError("index has never been synced — nothing to query")
+        man, at = self._query_snapshot()
         grams = sorted({g for l in lits for g in self.grams_of(l)})
-        cand = self._candidates_for_grams(grams, filters)
-        state = self._pruned_state(cand, at)
+        cand = self._candidates_for_grams(grams, filters, man=man)
+        state = self.source.read_pruned_for_keys(cand, version=at)
         return state.join(F.broadcast(cand), list(self.source.keys)).where(
             F.col(self.content_col).rlike(pattern)
         )

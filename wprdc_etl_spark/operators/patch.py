@@ -59,17 +59,12 @@ def _baseline_for(table, batch: DataFrame) -> DataFrame | None:
     supports it (the incremental-probe pattern of functions/neardup_index)."""
     if not table.exists():
         return None
-    from wprdc_etl_spark.plans.lake import ParquetSnapshotTable, bucket_of
+    from wprdc_etl_spark.plans.lake import ParquetSnapshotTable
 
     if isinstance(table, ParquetSnapshotTable):
-        man = table._require_manifest()
-        if not man["buckets"]:
+        if not table._require_manifest()["buckets"]:
             return None
-        bkeys = man.get("bucket_keys", table.bucket_keys)
-        hit = batch.select(
-            bucket_of(man["n_buckets"], bkeys).alias("_b")
-        ).distinct().collect()
-        base = table.read_pruned([int(r["_b"]) for r in hit])
+        base = table.read_pruned_for_keys(batch)
     else:
         base = table.read()
     return base.join(batch.select(*table.keys).distinct(), list(table.keys), "left_semi")

@@ -1156,6 +1156,25 @@ class ParquetSnapshotTable(LakeTable):
             .drop(*INTERNAL_COLS)
         )
 
+    def read_pruned_for_keys(self, keys_df: DataFrame, version: int | None = None) -> DataFrame:
+        """Table state restricted to the buckets a keys DataFrame hashes
+        into — the shared probe idiom (near-dup index, patch baseline,
+        trigram grep, SCD2 close): ONE ≤ n_buckets collect of bucket ids
+        (never data rows), then a driver-side pruned read. The bucket
+        count and bucket keys come from the manifest AT the requested
+        version — a rebucket between versions would otherwise route keys
+        to ids that layout never had. ``keys_df`` must carry the table's
+        bucket-key columns; callers restrict rows further (semi join /
+        filters) as needed."""
+        man = self._manifest_at(version)
+        bkeys = man.get("bucket_keys") or list(self.bucket_keys)
+        hit = (
+            keys_df.select(bucket_of(man["n_buckets"], list(bkeys)).alias("_b"))
+            .distinct()
+            .collect()
+        )
+        return self.read_pruned([int(r["_b"]) for r in hit], version=version)
+
     def _zone_survivors(self, man: dict, since_seq: int) -> list[int]:
         """Buckets that can contain a live row with _seq >= since_seq, by the
         manifest zone maps (driver-side, no Spark job). A bucket whose

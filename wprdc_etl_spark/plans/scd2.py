@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wprdc_etl_spark.exceptions import SinkCommitError
-from wprdc_etl_spark.plans.lake import LineageCounts, ParquetSnapshotTable, bucket_of
+from wprdc_etl_spark.plans.lake import LineageCounts, ParquetSnapshotTable
 
 
 class Scd2Table:
@@ -91,16 +91,8 @@ class Scd2Table:
         """Current (valid_to_v IS NULL) interval rows of the given keys —
         read bucket-pruned: the history table buckets by the source's own
         bucket keys, so the changed keys name their buckets directly."""
-        man = self.table._require_manifest()
-        hit = (
-            keys_df.select(
-                bucket_of(man["n_buckets"], list(self.table.bucket_keys)).alias("_b")
-            )
-            .distinct()
-            .collect()
-        )
         return (
-            self.table.read_pruned([r["_b"] for r in hit])
+            self.table.read_pruned_for_keys(keys_df)
             .where(F.col("valid_to_v").isNull())
             .join(F.broadcast(keys_df), list(self.source.keys))
         )
@@ -148,14 +140,17 @@ class Scd2Table:
                 F.col("valid_from_v"),
                 F.lit(int(to_v)).cast("long").alias("valid_to_v"),
             )
-            opened = proj.join(
-                F.broadcast(
-                    changes.where(F.col("change_op") != "D").select(
-                        *self.source.keys
-                    )
-                ),
-                self.source.keys,
-            ).select("*", from_v, open_to)
+            opening_keys = changes.where(F.col("change_op") != "D").select(
+                *self.source.keys
+            )
+            # the opened images come from the source pruned to the changed
+            # keys' buckets — a trickle sync never scans the full source
+            opened = (
+                self.source.read_pruned_for_keys(opening_keys, version=to_v)
+                .select(*self.source.keys, *track)
+                .join(F.broadcast(opening_keys), self.source.keys)
+                .select("*", from_v, open_to)
+            )
             batch = closed.unionByName(opened)
 
         try:
