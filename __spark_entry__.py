@@ -2530,7 +2530,10 @@ WHERE epoch_ms(session_end) + 1800 * 1000
         ),
         "events_tumbling": """
 WITH w AS (
-  SELECT user_id, epoch_us(ts) - epoch_us(ts) % 3600000000 AS ws, value
+  -- floor-mod, not DuckDB's sign-preserving %: matches Spark's pre-epoch floor
+  SELECT user_id,
+         epoch_us(ts) - ((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000 AS ws,
+         value
   FROM events
 )
 SELECT user_id,

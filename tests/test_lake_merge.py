@@ -371,7 +371,9 @@ def test_time_travel_read_and_history(spark, tmp_path):
     assert [h["version"] for h in hist] == [0, 1, 2, 3]
     assert hist[-1]["is_current"] and all(h["readable"] for h in hist)
     assert hist[2]["committed"] == {"j": 1}
-    with pytest.raises(SinkCommitError, match="no history snapshot"):
+    # beyond-head versions are rejected outright (never served from an
+    # orphan pre-swap history snapshot a crashed commit may have left)
+    with pytest.raises(SinkCommitError, match="does not exist"):
         t.read(version=99)
 
 

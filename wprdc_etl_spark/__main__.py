@@ -42,9 +42,12 @@ def main() -> None:
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
-    ap.add_argument("--retain-history", type=int, default=0,
+    ap.add_argument("--retain-history", type=int, default=None,
                     help="keep the last K versions' data files for time "
-                         "travel / changelog reads (GC policy)")
+                         "travel / changelog reads (GC policy). Persisted "
+                         "as a table property at the next commit; omitted "
+                         "= honor the table's persisted value (so "
+                         "maintenance verbs never shrink the window)")
     ap.add_argument("--n-chunks", type=int, default=1, help="batch mode: replay chunks")
     ap.add_argument("--watermark-delay", default="48 hours")
     ap.add_argument("--lateness", default=None)

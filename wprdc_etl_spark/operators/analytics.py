@@ -563,8 +563,11 @@ def gapfill_sql(
     )
     val_agg = f", sum({value}) AS s" if value is not None else ""
     return (
+        # ((x % span) + span) % span == Spark's pmod: DuckDB's bare % is
+        # sign-preserving (truncates toward zero), which would bucket
+        # pre-epoch timestamps one window later than the engine's floor
         f"WITH agg AS (SELECT {key} AS k, "
-        f"epoch_us({ts}) - epoch_us({ts}) % {span} AS w, "
+        f"epoch_us({ts}) - ((epoch_us({ts}) % {span}) + {span}) % {span} AS w, "
         f"count(*) AS n{val_agg} FROM {relation} GROUP BY k, w), "
         f"bounds AS (SELECT k, min(w) AS lo, max(w) AS hi FROM agg GROUP BY k), "
         f"spine AS (SELECT k, unnest(generate_series(lo, hi, {span})) AS w "

@@ -297,13 +297,29 @@ class TrigramIndex:
         return self.table.last_committed_batch(self.job)
 
     def _delta(self, new_p: DataFrame, old_p: DataFrame) -> DataFrame:
-        """Posting delta as a merge batch: new-only → 'I', old-only → 'D'
-        (null payload — the merge tombstone contract). Unchanged postings
-        never enter the batch, so untouched gram buckets are not rewritten."""
+        """Posting delta as a merge batch: rows whose full (pk, payload)
+        image is absent from the old postings → 'I' — this covers both
+        brand-new postings AND payload-only refreshes (e.g. a doc's ``lang``
+        changes while its content doesn't: the pk survives, so the upsert
+        replaces the stale payload in place; diffing on pk alone would leave
+        it stale forever and payload-filtered grep would silently miss the
+        doc). pk-only-in-old → 'D' (null payload — the merge tombstone
+        contract). Unchanged postings never enter the batch, so untouched
+        gram buckets are not rewritten."""
         pay = [c for c in new_p.columns if c not in self._pk]
-        adds = new_p.join(old_p.select(self._pk), self._pk, "left_anti").withColumn(
-            "op", F.lit("I")
-        )
+        old_img = old_p
+        for c in pay:  # payload col newly added to the source mid-stream
+            if c not in old_img.columns:
+                old_img = old_img.withColumn(
+                    c, F.lit(None).cast(new_p.schema[c].dataType)
+                )
+        n, o = new_p.alias("n"), old_img.select(*self._pk, *pay).alias("o")
+        cond = F.lit(True)
+        for c in self._pk:
+            cond = cond & (F.col(f"n.{c}") == F.col(f"o.{c}"))
+        for c in pay:  # null-safe: a null payload value is an image, not a wildcard
+            cond = cond & F.col(f"n.{c}").eqNullSafe(F.col(f"o.{c}"))
+        adds = n.join(o, cond, "left_anti").withColumn("op", F.lit("I"))
         dels = (
             old_p.select(self._pk)
             .join(new_p.select(self._pk), self._pk, "left_anti")

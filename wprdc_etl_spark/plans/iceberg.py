@@ -794,7 +794,9 @@ class IcebergTable(LakeTable):
             "job": job,
             "batch_id": batch_id,
             "partition": -1,
-            "last_seq": int(stats["max_seq"] or 0),
+            # -1 sentinel for an empty/fully-quarantined batch — parity with
+            # ParquetSnapshotTable._write_lineage and lag_report's contract
+            "last_seq": -1 if stats["max_seq"] is None else int(stats["max_seq"]),
             "rows_upserted": int(stats["n"] - stats["n_del"]),
             "rows_deleted": int(stats["n_del"]),
             "rows_quarantined": counts.rows_quarantined,

@@ -374,7 +374,7 @@ class ParquetSnapshotTable(LakeTable):
         max_deltas: int = 8,
         mor_batch_fraction: float = 0.1,
         bucket_keys: list[str] | None = None,
-        retain_history: int = 0,
+        retain_history: int | None = None,
         cluster_within_buckets: list[str] | None = None,
     ) -> None:
         """``write_mode`` — the write-amplification control (LSM-style):
@@ -428,9 +428,15 @@ class ParquetSnapshotTable(LakeTable):
         # versions survive GC, so ``read(version=...)`` works for those.
         # 0 = today's behavior (history manifests are still written — they
         # are a metadata audit log — but their data files are not retained).
-        if retain_history < 0:
+        # Retention is a TABLE PROPERTY, not a handle flag (Iceberg stores
+        # it the same way): an explicit value here is persisted into the
+        # manifest at the handle's next commit, and a handle opened WITHOUT
+        # one (None) resolves the persisted value — so a maintenance verb
+        # (rebucket/compact/optimize) run from a fresh process can never
+        # silently GC the retention window the writer configured.
+        if retain_history is not None and retain_history < 0:
             raise SinkCommitError(f"retain_history must be >= 0, got {retain_history}")
-        self.retain_history = retain_history
+        self._retain_history = retain_history
         # Data-skipping layout knob (the Z-ORDER-lite / CLUSTER BY analog):
         # sort rows by these columns WITHIN each write task before the
         # parquet write (sortWithinPartitions — no extra shuffle). Clustered
@@ -442,6 +448,20 @@ class ParquetSnapshotTable(LakeTable):
         self.cluster_within_buckets = (
             list(cluster_within_buckets) if cluster_within_buckets else None
         )
+
+    @property
+    def retain_history(self) -> int:
+        """Effective retention: the handle's explicit value, else the
+        persisted table property (a driver-side JSON read), else 0."""
+        if self._retain_history is not None:
+            return self._retain_history
+        man = self._read_manifest()
+        if man:
+            try:
+                return int(man.get("properties", {}).get("retain_history", 0))
+            except (TypeError, ValueError):
+                return 0
+        return 0
 
     @staticmethod
     def _dirs_of(man: dict, b) -> list[str]:
@@ -530,13 +550,23 @@ class ParquetSnapshotTable(LakeTable):
         equals ``base`` another writer committed in between — losing that
         writer's bucket updates by last-write-wins would silently corrupt
         the table, so the late committer gets a clean ``SinkCommitError``
-        (retry = re-read + re-merge). After the swap, the same bytes are
-        snapshotted to an immutable ``history/manifest.v{N}.json`` (the
-        Iceberg metadata-file analog) so past versions stay addressable for
-        time travel / audit. The snapshot is post-commit and best-effort: a
-        crash between swap and snapshot loses only the history copy of the
-        newest version, which ``_manifest_at`` serves from manifest.json
-        anyway."""
+        (retry = re-read + re-merge). The same bytes are also snapshotted to
+        an immutable ``history/manifest.v{N}.json`` (the Iceberg
+        metadata-file analog) so past versions stay addressable for time
+        travel / audit — written BEFORE the swap, and a write failure fails
+        the commit: under write-audit-publish the published version is
+        resolved *through* this snapshot, so losing it silently would brick
+        every read() for the audit window. A crash between snapshot and swap
+        leaves only an orphan history file for a version that never
+        committed — inert (``_manifest_at`` rejects versions beyond the
+        head) and overwritten by the retried commit."""
+        if self._retain_history is not None:
+            # persist the explicitly-configured retention as a table
+            # property so later handles (maintenance verbs, other processes)
+            # opened without the flag honor the same window
+            manifest.setdefault("properties", {})["retain_history"] = (
+                self._retain_history
+            )
         manifest["committed_at_ms"] = int(time.time() * 1000)
         payload = json.dumps(manifest, indent=1, sort_keys=True)
         tmp = os.path.join(self.root, f"manifest.tmp.{uuid.uuid4().hex}")
@@ -566,21 +596,29 @@ class ParquetSnapshotTable(LakeTable):
                     f"deployment; this guard turns a silent lost-update into "
                     f"a clean failure)"
                 )
+            try:
+                hdir = os.path.join(self.root, "history")
+                os.makedirs(hdir, exist_ok=True)
+                htmp = os.path.join(hdir, f".tmp.{uuid.uuid4().hex}")
+                with open(htmp, "w", encoding="utf-8") as fh:
+                    fh.write(payload)
+                os.replace(
+                    htmp,
+                    os.path.join(hdir, f"manifest.v{manifest['version']}.json"),
+                )
+            except OSError as exc:
+                os.remove(tmp)
+                raise SinkCommitError(
+                    f"could not write history snapshot for version "
+                    f"{manifest['version']}: {exc} — failing the commit "
+                    f"(time travel / WAP publish resolve through it)"
+                ) from exc
             os.replace(tmp, self._manifest_path)
         finally:
             try:
                 os.remove(lock)
             except OSError:
                 pass
-        try:
-            hdir = os.path.join(self.root, "history")
-            os.makedirs(hdir, exist_ok=True)
-            htmp = os.path.join(hdir, f".tmp.{uuid.uuid4().hex}")
-            with open(htmp, "w", encoding="utf-8") as fh:
-                fh.write(payload)
-            os.replace(htmp, os.path.join(hdir, f"manifest.v{manifest['version']}.json"))
-        except OSError:
-            pass
 
     def _manifest_at(self, version: int | None) -> dict:
         """The committed manifest for ``version`` (None = current). Historical
@@ -597,6 +635,14 @@ class ParquetSnapshotTable(LakeTable):
             return man
         if version == man["version"]:
             return man
+        if version > man["version"]:
+            # never serve a history file beyond the head: a crash between
+            # the pre-swap history write and the manifest swap can leave an
+            # orphan snapshot for a version that never committed
+            raise SinkCommitError(
+                f"version {version} does not exist at {self.root} "
+                f"(head is {man['version']})"
+            )
         hpath = os.path.join(self.root, "history", f"manifest.v{version}.json")
         if not os.path.exists(hpath):
             raise SinkCommitError(
@@ -640,6 +686,10 @@ class ParquetSnapshotTable(LakeTable):
                 except (OSError, ValueError):
                     continue
         for m in candidates:
+            if int(m["version"]) > man["version"]:
+                # orphan pre-swap snapshot of a crashed commit — not a
+                # committed version (same guard as _manifest_at)
+                continue
             cts = int(m.get("committed_at_ms", -1))
             if cts <= int(ts_ms) and (cts, m["version"]) > (best_ts, best or -1):
                 best, best_ts = int(m["version"]), cts
@@ -667,6 +717,13 @@ class ParquetSnapshotTable(LakeTable):
         keep = self.retain_history if keep is None else keep
         if keep < 0:
             raise SinkCommitError(f"keep must be >= 0, got {keep}")
+        # keep < retain_history is an EXPLICIT shrink of the readable window
+        # (this is the destructive maintenance verb): the expired versions'
+        # manifests go first, so _live_dirs below no longer sees them and
+        # their uniquely-referenced data dirs are swept in the same pass.
+        # Reads into the shrunk window then raise the clean "no history
+        # snapshot" error (pinned by test_expire_snapshots); tagged and
+        # published versions are never expired regardless of the window.
         hdir = os.path.join(self.root, "history")
         removed = 0
         age_kept_oldest = man["version"]
@@ -753,11 +810,14 @@ class ParquetSnapshotTable(LakeTable):
         tagged = {int(v) for v in man.get("refs", {}).values()}
         if man.get("published_version") is not None:
             tagged.add(int(man["published_version"]))
+        # hoisted: the property getter re-reads manifest.json when the handle
+        # carries no explicit value — once per poll, not once per history file
+        retain = self.retain_history
         if os.path.isdir(hdir):
             for name in os.listdir(hdir):
                 if name.startswith("manifest.v"):
                     v = self._version_of(name[len("manifest."):-len(".json")])
-                    if v < man["version"] - self.retain_history and v not in tagged:
+                    if v < man["version"] - retain and v not in tagged:
                         expirable += 1
         return {
             "compact": max_chain >= threshold,
@@ -873,6 +933,9 @@ class ParquetSnapshotTable(LakeTable):
         man_new["version"] = man["version"] + 1
         man_new["published_version"] = man_new["version"]
         man_new["refs"] = dict(man.get("refs", {}))
+        # table properties (retention policy etc.) are table-level metadata,
+        # not snapshot content — restoring old data must not revert them
+        man_new["properties"] = dict(man.get("properties", {}))
         self._swap_manifest(man_new)
         self.n_buckets = int(man_new["n_buckets"])
         return int(man_new["version"])
@@ -944,8 +1007,12 @@ class ParquetSnapshotTable(LakeTable):
         man_new = dict(old)
         man_new["version"] = man["version"] + 1
         # tags are table-level refs, not snapshot content: they survive a
-        # rollback (Iceberg parity — rollback_to_snapshot keeps refs)
+        # rollback (Iceberg parity — rollback_to_snapshot keeps refs);
+        # likewise table properties (retention policy etc.) — a rollback
+        # must never silently revert retain_history and let the next commit
+        # GC the very window the rollback relies on
         man_new["refs"] = dict(man.get("refs", {}))
+        man_new["properties"] = dict(man.get("properties", {}))
         self._stamp_published(man_new, man)
         # layout fields travel with the restored snapshot (a rollback across
         # a rebucket restores the OLD bucket count — readers take n_buckets
@@ -969,6 +1036,8 @@ class ParquetSnapshotTable(LakeTable):
         for name in names:
             with open(os.path.join(hdir, name), "r", encoding="utf-8") as fh:
                 m = json.load(fh)
+            if int(m["version"]) > man["version"]:
+                continue  # orphan pre-swap snapshot of a crashed commit
             readable = all(
                 os.path.isdir(os.path.join(self.root, rel))
                 for b in m["buckets"]
@@ -1349,10 +1418,20 @@ class ParquetSnapshotTable(LakeTable):
             raise SinkCommitError(f"update_where on unknown columns {unknown}")
         seq = self._next_seq(man)
         matches = self.read_staged().where(predicate)  # head, as in delete_where
-        for name, expr in assignments.items():
-            matches = matches.withColumn(
-                name, F.expr(expr) if isinstance(expr, str) else expr
-            )
+        # SQL UPDATE semantics: every RHS is evaluated against the OLD row,
+        # exactly like IcebergTable.update_where's single MERGE SET list.
+        # One select — chained withColumn would feed earlier assignments
+        # into later ones and make the result depend on dict order.
+        assigned = {
+            name: (F.expr(expr) if isinstance(expr, str) else expr)
+            for name, expr in assignments.items()
+        }
+        matches = matches.select(
+            *[
+                assigned[c].alias(c) if c in assigned else F.col(c)
+                for c in matches.columns
+            ]
+        )
         batch = matches.withColumn("op", F.lit("U")).withColumn(
             "event_sequence", F.lit(seq).cast("long")
         )
@@ -1964,7 +2043,10 @@ class ParquetSnapshotTable(LakeTable):
                 "job": job,
                 "batch_id": batch_id,
                 "partition": -1,
-                "last_seq": int(max((r["max_seq"] for r in stats), default=0)),
+                # -1, not 0, when the batch carried no rows: lag_report's
+                # "never applied" sentinel is -1, and a seq-0-only log must
+                # not read as caught-up after an all-quarantined first batch
+                "last_seq": int(max((r["max_seq"] for r in stats), default=-1)),
                 "rows_upserted": int(sum(r["n"] - r["n_del"] for r in stats)),
                 "rows_deleted": int(sum(r["n_del"] for r in stats)),
                 "rows_quarantined": counts.rows_quarantined,

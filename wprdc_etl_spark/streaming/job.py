@@ -253,6 +253,18 @@ class IngestJob:
         ]
         if missing:
             raise IncompletePipelineError(f"pipeline incomplete, missing stages: {missing}")
+        if self.staged:
+            # WAP forwards merge(staged=True); fail at build time, not with a
+            # TypeError mid-batch, when the sink doesn't speak it (Iceberg's
+            # WAP analog is spark.wap.id session config, a different protocol)
+            import inspect
+
+            if "staged" not in inspect.signature(self._sink.merge).parameters:
+                raise IncompletePipelineError(
+                    f"staged=True (write-audit-publish) is not supported by "
+                    f"{type(self._sink).__name__}.merge — parquet-snapshot "
+                    f"sink only"
+                )
         self._built = True
         return self
 
@@ -298,7 +310,9 @@ class IngestJob:
             from wprdc_etl_spark.operators.txn import gate_complete_txns
 
             txn_col, total_col = self.txn_gate
-            prev = self._read_pending(batch_df.sparkSession, batch_id)
+            prev = self._read_pending(
+                batch_df.sparkSession, batch_id, schema=batch_df.schema
+            )
             batch_df, pending_out = gate_complete_txns(
                 batch_df, txn_col=txn_col, total_col=total_col, pending=prev
             )
@@ -419,25 +433,38 @@ class IngestJob:
                     continue
         return sorted(out)
 
-    def _read_pending(self, spark: SparkSession, batch_id: int) -> DataFrame | None:
+    def _read_pending(
+        self, spark: SparkSession, batch_id: int, *, schema=None
+    ) -> DataFrame | None:
         """The pending tail as of BEFORE ``batch_id``: the in-memory carry
         when this process produced it, else the newest persisted dir with a
-        smaller batch id (checkpoint-restart path)."""
+        smaller batch id (checkpoint-restart path). ``schema`` (the gated
+        batch's own schema) makes the restart read robust to a ZERO-row
+        pending dir, which parquet inference cannot read back."""
         if self._pending is not None and self._pending_bid < batch_id:
             return self._pending
         if self.txn_pending_dir is not None:
             older = [(b, d) for b, d in self._pending_dirs() if b < batch_id]
             if older:
-                return spark.read.parquet(older[-1][1])
+                reader = spark.read if schema is None else spark.read.schema(schema)
+                return reader.parquet(older[-1][1])
         return None
 
     def _write_pending(self, pending: DataFrame, batch_id: int) -> None:
-        self._pending, self._pending_bid = pending, batch_id
+        # The carry MUST be materialized, not kept as the lazy plan:
+        # pending_B = filter(union(pending_{B-1}, batch_B)) recurses over
+        # every earlier micro-batch, so the lazy chain re-scans the whole
+        # log prefix at every gate evaluation and grows without bound on a
+        # long-running stream. Persisted dir → re-read it (also what a
+        # restart reads); in-memory only → localCheckpoint truncates the
+        # lineage to the computed rows.
+        self._pending_bid = batch_id
         if self.txn_pending_dir is None:
+            self._pending = pending.localCheckpoint(eager=True)
             return
-        pending.write.mode("overwrite").parquet(
-            os.path.join(self.txn_pending_dir, f"b{batch_id}")
-        )
+        pdir = os.path.join(self.txn_pending_dir, f"b{batch_id}")
+        pending.write.mode("overwrite").parquet(pdir)
+        self._pending = pending.sparkSession.read.schema(pending.schema).parquet(pdir)
         # keep this batch and the previous one (the foreachBatch replay
         # window); GC everything older
         for b, d in self._pending_dirs():
@@ -511,12 +538,27 @@ class IngestJob:
                 n_bad = bad.count()
                 if self.compute_content_sha:
                     valid = with_content_sha(valid)
-                self._sink.merge(
+                rjob = f"{self.name}:requeue:g{gen}"
+                res = self._sink.merge(
                     valid,
-                    job=f"{self.name}:requeue:g{gen}",
+                    job=rjob,
                     batch_id=bid,
                     counts=LineageCounts(extra={"requeued": n_ok, "still_bad": n_bad}),
                 )
+                if not res.applied and self._sink.last_committed_batch(rjob) != bid:
+                    # guard skipped and NOT the designed crash-replay (which
+                    # commits exactly this bid): the batch-id namespace
+                    # regressed (fresh checkpoint, shared quarantine dir).
+                    # Deleting the dir here would silently discard rows the
+                    # sink never saw — leave it intact and surface the
+                    # conflict instead.
+                    out[bid] = {
+                        "requeued": 0,
+                        "still_bad": int(n_ok + n_bad),
+                        "skipped": "guard-conflict: sink already past "
+                        f"batch_id {bid} for {rjob}",
+                    }
+                    continue
                 if n_bad:
                     # never overwrite a dir Spark is lazily reading from:
                     # write aside, then swap under the NEXT generation's name
@@ -577,6 +619,12 @@ class IngestJob:
         covers the foreachBatch at-least-once gap (B8)."""
         self._require_built()
         self._sink.ensure(self.target_schema())  # type: ignore[union-attr]
+        if self.txn_gate is not None and self.txn_pending_dir is None:
+            # fault-tolerance: on the streaming path the pending carry must
+            # survive both driver restarts AND executor loss (the in-memory
+            # localCheckpoint carry dies with its executor's block store) —
+            # default it next to the stream's own checkpoint
+            self.txn_pending_dir = os.path.join(checkpoint, "txn_pending")
         paths = (
             self._source_path
             if isinstance(self._source_path, list)
