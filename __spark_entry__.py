@@ -221,6 +221,53 @@ def _q_cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_publish_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic multi-table publish (plans/txn_commit.py::MultiTablePublish —
+    2PC over WAP chains): the routed fan-out replays STAGED (prepare), so
+    every member table must read empty while the chains are open — the
+    query RAISES otherwise — then ONE coordinator decision publishes all
+    three members together (intent log + per-table metadata-only CAS
+    commits; a crash between them rolls forward via recover()). Oracle:
+    identical to cdc_route — atomicity changes visibility timing, never the
+    final state."""
+    from wprdc_etl_spark.plans.router import TableRouter
+    from wprdc_etl_spark.plans.txn_commit import MultiTablePublish
+
+    label = _sf_label(sf_dir)
+    names = ("mega", "orgs", "rest")
+    roots = {
+        n: os.path.join(FIXTURES, "_targets", f"{label}_atomic_{n}") for n in names
+    }
+    co_dir = os.path.join(FIXTURES, "_targets", f"{label}_atomic_co")
+    for p in list(roots.values()) + [co_dir]:
+        shutil.rmtree(p, ignore_errors=True)
+    tbl = {n: ParquetSnapshotTable(spark, p, n_buckets=8) for n, p in roots.items()}
+    router = TableRouter(
+        [("mega", _ROUTE_P1, tbl["mega"]), ("orgs", _ROUTE_P2, tbl["orgs"])],
+        default=tbl["rest"],
+    )
+    job = (
+        IngestJob(f"atomic-{label}", staged=True)
+        .source(_fixture_log(spark, sf_dir))
+        .schema(IngestJob.default_payload_schema())
+        .sink(router)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=2)
+    for n, t in tbl.items():
+        if t.read().count() != 0 or not t.staged_versions():
+            raise AssertionError(f"staged fan-out leaked on member {n!r}")
+    MultiTablePublish(co_dir).publish_all(tbl)
+    return router.read().select(
+        F.col("_route").alias("route"),
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content_sha",
+    )
+
+
 def _q_cdc_txn_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transaction-consistent apply (operators/txn.py::gate_complete_txns):
     the log is stamped with synthetic 7-event source transactions and
@@ -1601,6 +1648,42 @@ def _q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
+# Planted prefix for doc_normalize: decomposed e+combining-acute (NFC folds
+# it), a control char and whitespace runs — the synthetic corpus is pure
+# ASCII, so the query composes the un-normalized input it canonicalizes.
+_NORM_PREFIX = "Café \x01\t résumé  "
+_NORM_PREFIX_SQL = (
+    "'Cafe' || chr(769) || ' ' || chr(1) || chr(9) || "
+    "' re' || chr(769) || 'sume' || chr(769) || '  ' || text"
+)
+
+
+def _q_doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (functions/text.py::normalize_text): NFC +
+    control-char strip + ASCII-whitespace collapse, as an Arrow-batched
+    pandas UDF (Spark has no built-in NFC). Partition-preserving narrow map
+    — at 100 TB this is pure scan-side work, no exchange."""
+    from wprdc_etl_spark.functions.text import normalize_text
+
+    d = _docs(spark, sf_dir)
+    norm = normalize_text(F.concat(F.lit(_NORM_PREFIX), F.col("text")))
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
+def _q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality proxy
+    (functions/text.py::unigram_logprob): corpus unigram MLE via one
+    map-side-combined hash agg, broadcast dictionary join back to the token
+    stream, per-doc reduce. Two keyed exchanges total, no sort."""
+    from wprdc_etl_spark.functions.text import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wprdc_etl_spark.functions.dedup import ngram_jaccard_pairs
 
@@ -2100,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": _q_cdc_final_state,
         "cdc_multi_log": _q_cdc_multi_log,
         "cdc_route": _q_cdc_route,
+        "cdc_publish_atomic": _q_cdc_publish_atomic,
         "cdc_txn_apply": _q_cdc_txn_apply,
         "cdc_lag": _q_cdc_lag,
         "cdc_point_lookup": _q_cdc_point_lookup,
@@ -2157,6 +2241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_shards": _q_doc_pack_shards,
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
+        "doc_normalize": _q_doc_normalize,
+        "doc_unigram_logprob": _q_doc_unigram_logprob,
         "doc_sample": _q_doc_sample,
         "doc_weighted_sample": _q_doc_weighted_sample,
         "doc_mix": _q_doc_mix,
@@ -2740,6 +2826,15 @@ FROM documents
         ),
         "doc_quality": f"SELECT doc_id, {_text_sql.quality_score_sql('text')} AS quality FROM documents",
         "doc_lang_id": f"SELECT doc_id, {_text_sql.lang_id_sql('text')} AS lang_pred FROM documents",
+        # NFC canonicalization over the planted un-normalized prefix; the
+        # engine-side pandas UDF and nfc_normalize must agree byte-for-byte
+        "doc_normalize": (
+            f"SELECT doc_id, "
+            f"{_text_sql.normalize_text_sql(_NORM_PREFIX_SQL)} AS norm_text, "
+            f"length({_text_sql.normalize_text_sql(_NORM_PREFIX_SQL)}) AS n_chars_norm "
+            f"FROM documents"
+        ),
+        "doc_unigram_logprob": _text_sql.unigram_logprob_sql("documents"),
         # stratified sampling: membership = sha2-slot(doc_id) under the
         # per-language threshold (functions/sampling.py; CASE == the
         # engine's when-chain threshold)
@@ -2954,6 +3049,9 @@ SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <=
     )
     # a staged (WAP) replay, once published, equals the golden replay
     out["cdc_wap_publish"] = out["cdc_final_state"]
+    # the atomically-published staged fan-out equals the plain fan-out —
+    # the coordinator changes visibility timing, never the final state
+    out["cdc_publish_atomic"] = out["cdc_route"]
     # DML twins: the golden replay with the predicate applied relationally —
     # DELETE drops its rows, UPDATE CASE-maps the assigned column
     out["cdc_delete_where"] = out["cdc_final_state"].replace(

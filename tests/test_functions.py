@@ -901,3 +901,102 @@ def test_cross_corpus_pairs(spark, neardup_docs):
     assert (103, 2) in got and got[(103, 2)] == 1.0  # exact copy of ref doc 2
     assert all(a >= 100 and b < 100 for a, b in got)
     assert (102, 1) not in got and (102, 2) not in got
+
+
+def test_normalize_text_known_values(spark):
+    """NFC composition, control-char strip, whitespace collapse, edge trim;
+    nulls stay null."""
+    from wprdc_etl_spark.functions.text import normalize_text
+
+    rows = [
+        ("a", "Café"),            # decomposed -> composed
+        ("b", "  x \x01\t\n y  "),       # ctrl + ws runs
+        ("c", ""),
+        ("d", None),
+        ("e", "plain text"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {r.id: r.norm for r in df.select("id", normalize_text(F.col("text")).alias("norm")).collect()}
+    assert got["a"] == "Café"
+    assert got["b"] == "x y"
+    assert got["c"] == ""
+    assert got["d"] is None
+    assert got["e"] == "plain text"
+
+
+def test_normalize_text_sql_twin_matches(spark):
+    import duckdb
+
+    from wprdc_etl_spark.functions.text import normalize_text, normalize_text_sql
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").orderBy("doc_id").limit(50)
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.lit("résumé \x01  "), F.col("text")).alias("text"),
+    )
+    sp = sorted(
+        (r["doc_id"], r["norm"])
+        for r in planted.select(
+            "doc_id", normalize_text(F.col("text")).alias("norm")
+        ).collect()
+    )
+    con = duckdb.connect()
+    rel = (
+        "(SELECT doc_id, 're' || chr(769) || 'sume' || chr(769) || ' ' || chr(1) "
+        f"|| '  ' || text AS text FROM (SELECT * FROM '{SF}/documents.parquet' "
+        "ORDER BY doc_id LIMIT 50))"
+    )
+    dk = sorted(
+        con.execute(
+            f"SELECT doc_id, {normalize_text_sql('text')} AS norm FROM {rel}"
+        ).fetchall()
+    )
+    assert sp == dk
+
+
+def test_unigram_logprob_known_values(spark):
+    """Hand-computable corpus: p() is the corpus unigram MLE; score is the
+    average -ln p over the doc's tokens; empty docs drop out."""
+    import math
+
+    from wprdc_etl_spark.functions.text import unigram_logprob
+
+    rows = [
+        ("a", "x x y"),   # tokens: x,x,y
+        ("b", "Y"),       # lowercased -> y
+        ("c", "   "),     # empty after trim -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: (r.lm_score, r.n_tokens) for r in unigram_logprob(df).collect()}
+    # corpus: x:2, y:2, total 4 -> p = 0.5 for both tokens
+    exp = round(-math.log(0.5), 4)
+    assert got == {"a": (exp, 3), "b": (exp, 1)}
+
+
+def test_unigram_logprob_sql_twin_matches(spark):
+    import duckdb
+
+    from wprdc_etl_spark.functions.text import unigram_logprob, unigram_logprob_sql
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sp = sorted(
+        (r["doc_id"], r["lm_score"], r["n_tokens"])
+        for r in unigram_logprob(docs).collect()
+    )
+    con = duckdb.connect()
+    dk = sorted(
+        con.execute(
+            unigram_logprob_sql(f"(SELECT * FROM '{SF}/documents.parquet')")
+        ).fetchall()
+    )
+    assert sp == dk
+
+
+def test_unigram_logprob_broadcast_plan(spark):
+    """The dictionary join must be broadcast (no shuffle of the token stream
+    for the join) — the scale contract the docstring claims."""
+    from wprdc_etl_spark.functions.text import unigram_logprob
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = unigram_logprob(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

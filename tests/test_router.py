@@ -157,3 +157,39 @@ def test_last_committed_is_min_over_members(spark, tmp_path):
         batch_id=1,
     )
     assert r.last_committed_batch("j") == 0
+
+
+def test_staged_fanout_invisible_until_atomic_publish(spark, tmp_path):
+    """merge(staged=True) stages every member chain; MultiTablePublish
+    exposes all members with one decision (plans/txn_commit.py)."""
+    from wprdc_etl_spark.plans.txn_commit import MultiTablePublish
+
+    r, ta, tb, td = _router(spark, tmp_path)
+    r.merge(ev(spark, BATCH), job="j", batch_id=0, staged=True)
+    for t in (ta, tb, td):
+        assert t.read().count() == 0
+        assert t.staged_versions() != []
+    MultiTablePublish(str(tmp_path / "co")).publish_all(
+        {"mega": ta, "orgs": tb, "rest": td}
+    )
+    assert state(ta) == {("mega/monorepo", "a", "c1"): "m2"}
+    assert state(tb) == {("org1/repo1", "a", "c1"): "o1"}
+    assert state(td) == {("other/repo", "a", "c1"): "x1"}
+
+
+def test_staged_fanout_rejects_unstageable_member(spark, tmp_path):
+    """A member sink without staged merge fails the whole fan-out loudly —
+    a partly-staged transaction could never publish atomically."""
+    from wprdc_etl_spark.exceptions import SinkCommitError
+
+    class NoStage:
+        root = None
+
+        def merge(self, batch_df, *, job, batch_id, **kw):  # no `staged`
+            raise AssertionError("must not be reached")
+
+    ta = _t(spark, tmp_path, "a")
+    r = TableRouter([("a", "true", ta)], default=None)
+    r.routes.append(("b", "false", NoStage()))
+    with pytest.raises(SinkCommitError, match="staged"):
+        r.merge(ev(spark, BATCH), job="j", batch_id=0, staged=True)

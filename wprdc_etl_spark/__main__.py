@@ -38,7 +38,8 @@ def main() -> None:
                              "replicate", "tag", "drop-tag", "requeue",
                              "delete", "update", "publish", "abort-staged",
                              "profile", "lookup", "sql", "vacuum", "lag", "schema-diff",
-                             "index-sync", "grep", "scd2-sync"],
+                             "index-sync", "grep", "scd2-sync",
+                             "publish-all", "recover-txn", "abort-all"],
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
@@ -120,6 +121,12 @@ def main() -> None:
     ap.add_argument("--envelope", choices=["debezium", "maxwell", "canal"], default=None,
                     help="stream/batch modes: the source is JSONL connector "
                          "change records, decoded via sources/envelopes.py")
+    ap.add_argument("--tables", default=None, metavar="NAME=ROOT[,NAME=ROOT...]",
+                    help="publish-all/recover-txn/abort-all: the participant "
+                         "tables (parquet-snapshot roots)")
+    ap.add_argument("--coordinator", default=None,
+                    help="publish-all/recover-txn/abort-all: intent-log "
+                         "directory (atomic multi-table transaction stream)")
     ap.add_argument("--seq-field", default=None,
                     help="envelope modes: source field holding the total "
                          "order (debezium: lsn/pos/sequence; maxwell: xid/ts)")
@@ -350,6 +357,37 @@ def main() -> None:
                 if v is not None}
         for r in table.lookup(**keys).collect():
             print(r.asDict())
+        spark.stop()
+        return
+    if args.mode in ("publish-all", "recover-txn", "abort-all"):
+        # atomic multi-table publish (plans/txn_commit.py): 2PC over the
+        # participants' WAP chains — decide once in the coordinator's intent
+        # log, then one metadata-only publish per table; recover-txn rolls
+        # every decided-but-unfinished transaction forward after a crash
+        from wprdc_etl_spark.plans.txn_commit import MultiTablePublish
+
+        if args.sink == "iceberg":
+            ap.error(f"{args.mode} supports the parquet-snapshot sink only")
+        if not args.coordinator or not args.tables:
+            ap.error(f"--mode {args.mode} requires --coordinator and --tables")
+        tables = {}
+        for spec in args.tables.split(","):
+            name, _, root = spec.partition("=")
+            if not root:
+                ap.error(f"--tables entry {spec!r} is not NAME=ROOT")
+            tables[name] = ParquetSnapshotTable(spark, root)
+        co = MultiTablePublish(args.coordinator)
+        if args.mode == "publish-all":
+            out = co.publish_all(tables)
+            for name, v in out.items():
+                print(f"published {name} at version {v}")
+        elif args.mode == "recover-txn":
+            done = co.recover(tables)
+            print(f"recovered {len(done)} transaction(s): {done}")
+        else:
+            out = co.abort_all(tables)
+            for name, v in out.items():
+                print(f"aborted staged chain on {name}; restored as version {v}")
         spark.stop()
         return
     if args.mode in ("publish", "abort-staged"):

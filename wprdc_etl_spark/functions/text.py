@@ -812,3 +812,112 @@ def vocab_sql(
         f"SELECT unnest(regexp_extract_all(lower({text_expr}), '{pat}')) AS term "
         f"FROM {relation}) GROUP BY term HAVING count(*) >= {int(min_count)})) {cap}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode canonicalization + unigram-LM quality scoring
+# ---------------------------------------------------------------------------
+
+# ASCII whitespace only, deliberately: Java regex \s, Python re \s and
+# DuckDB/RE2 \s disagree on Unicode whitespace (NBSP etc.), so the engine and
+# the oracle share one explicit class instead.
+_ASCII_WS_RUN = r"[ \t\n\r\f\v]+"
+_CTRL_CLASS = r"[\x00-\x1f\x7f]"
+
+
+def _normalize_batch(texts: pd.Series) -> pd.Series:
+    """NFC-normalize + strip control chars + collapse ASCII whitespace,
+    fully pandas-vectorized (no per-row Python dispatch). Nulls stay null."""
+    mask = texts.isna()
+    s = texts.fillna("").astype(str).str.normalize("NFC")
+    s = s.str.replace(_CTRL_CLASS, " ", regex=True)
+    s = s.str.replace(_ASCII_WS_RUN, " ", regex=True)
+    s = s.str.strip(" ")
+    s[mask] = None
+    return s
+
+
+def normalize_text(col: Column) -> Column:
+    """Unicode text canonicalization for training corpora: NFC composition
+    (e + U+0301 -> é), control characters to spaces, ASCII-whitespace runs
+    collapsed, edges trimmed. Spark has no built-in NFC, so this is the
+    sanctioned Arrow-batched pandas-UDF escape hatch (same shape as
+    rolling_fingerprint); everything else in the pipeline stays JVM-side."""
+    from pyspark.sql.types import StringType
+
+    fn = pandas_udf(_normalize_batch, returnType=StringType())
+    return fn(col)
+
+
+def normalize_text_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of normalize_text (nfc_normalize is built in)."""
+    return (
+        f"trim(regexp_replace(regexp_replace(nfc_normalize({text_expr}), "
+        f"'{_CTRL_CLASS}', ' ', 'g'), '{_ASCII_WS_RUN}', ' ', 'g'), ' ')"
+    )
+
+
+def unigram_logprob(
+    df,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """CCNet-style LM quality proxy: score(doc) = avg over tokens of
+    -ln p(token), with p() the corpus unigram MLE. Low score = stereotypical
+    text, high = rare-token soup; training pipelines band on it.
+
+    100 TB shape: tokenize/explode is narrow map-side work; the unigram
+    count is ONE hash aggregate with map-side partial combine (vocab-sized
+    result — Zipf keeps real-corpus vocabs in the low millions, broadcast
+    range); scoring joins the broadcast dictionary back to the token stream
+    and reduces per doc in a second hash aggregate. No sort anywhere; the
+    only wide exchanges are the two keyed aggs. If a vocab ever outgrows the
+    broadcast threshold, drop the F.broadcast hint and Catalyst falls back
+    to a shuffle join on `tok` — same semantics.
+
+    Docs whose text trims to empty contribute no tokens and drop out of the
+    result, matching the SQL twin exactly.
+    """
+    toks = (
+        df.select(
+            id_col,
+            F.explode(F.split(F.trim(F.col(text_col)), _ASCII_WS_RUN)).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .select(id_col, F.lower(F.col("tok")).alias("tok"))
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    return (
+        toks.join(F.broadcast(counts), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 4).alias("lm_score"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
+def unigram_logprob_sql(
+    relation: str,
+    *,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB twin of unigram_logprob. Counts sum exactly (integer-valued
+    doubles < 2^53), ln differs from the JVM by <= 1 ulp, and the 4-dp round
+    absorbs the summation-order noise — same contract as the other
+    rounded-double twins."""
+    return (
+        f"WITH toks AS ("
+        f"  SELECT {id_expr} AS doc_id, lower(tok) AS tok FROM ("
+        f"    SELECT {id_expr}, unnest(string_split_regex(trim({text_expr}), "
+        f"'{_ASCII_WS_RUN}')) AS tok FROM {relation}) t WHERE tok <> ''"
+        f"), cnt AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY tok)"
+        f", tot AS (SELECT sum(c) AS t FROM cnt) "
+        f"SELECT doc_id, round(avg(-ln(c / t)), 4) AS lm_score, "
+        f"count(*) AS n_tokens "
+        f"FROM toks JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id"
+    )

@@ -905,17 +905,32 @@ class ParquetSnapshotTable(LakeTable):
         man = self._require_manifest()
         return self._resolved(man).where(F.col("_op") != "D").drop(*INTERNAL_COLS)
 
-    def publish(self) -> int:
+    def publish(self, to_version: int | None = None) -> int:
         """Fast-forward the published pointer to the staged head — ONE
         metadata-only commit making every staged batch visible atomically.
-        No-op (returns current version) when nothing is staged."""
+        No-op (returns current version) when nothing is staged.
+
+        ``to_version`` publishes only the chain prefix up to that version
+        (later staged commits stay staged — the chain remains open). This is
+        the idempotent replay primitive the multi-table coordinator
+        (plans/txn_commit.py) needs: re-publishing an already-published
+        version is a clean no-op, and commits staged AFTER a coordinator's
+        intent was recorded are never dragged into its transaction."""
         man = self._require_manifest()
-        pub = man.get("published_version", man["version"])
-        if pub == man["version"]:
-            return int(man["version"])
+        head = int(man["version"])
+        pub = int(man.get("published_version", head))
+        target = head if to_version is None else int(to_version)
+        if target > head:
+            raise SinkCommitError(
+                f"cannot publish to version {target}: head is {head}"
+            )
+        if target <= pub:
+            return head
         man_new = dict(man)
-        man_new["version"] = man["version"] + 1
-        man_new["published_version"] = man_new["version"]
+        man_new["version"] = head + 1
+        # a full publish makes the publish commit itself the published head;
+        # a prefix publish pins the pointer and leaves the chain open
+        man_new["published_version"] = head + 1 if target == head else target
         self._swap_manifest(man_new)
         return int(man_new["version"])
 

@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from wprdc_etl_spark.exceptions import SinkCommitError
 from wprdc_etl_spark.plans.lake import LakeTable, LineageCounts, MergeResult
 
 DEFAULT_ROUTE = "__default__"
@@ -155,8 +156,26 @@ class TableRouter(LakeTable):
         batch_id: int = 0,
         counts: LineageCounts | None = None,
         finalize: Optional[Callable] = None,
+        staged: bool = False,
         **kw,
     ) -> RouteResult:
+        # `staged` is explicit (not folded into **kw) so IngestJob's
+        # build-time WAP capability check sees the router supports it; a
+        # staged fan-out is the PREPARE phase of an atomic multi-table
+        # publish (plans/txn_commit.py::MultiTablePublish over the member
+        # tables) — without the coordinator the members' chains publish
+        # independently, per-table.
+        if staged:
+            import inspect
+
+            for name, table in self._all_routes():
+                if "staged" not in inspect.signature(table.merge).parameters:
+                    raise SinkCommitError(
+                        f"route {name!r}: {type(table).__name__}.merge does "
+                        f"not support staged=True — a partly-staged fan-out "
+                        f"would break the publish atomicity"
+                    )
+            kw["staged"] = True
         routed = batch_df.withColumn("_route", self._route_col())
         if self.persist_batch:
             routed = routed.persist()
