@@ -275,6 +275,16 @@ def main() -> None:
 
         top_terms_per_doc(docs, k=5, min_df=2).count()
 
+    def q_doc_normalize_lm():
+        # unicode NFC canonicalization (Arrow pandas UDF, one crossing) +
+        # unigram-LM scoring (two hash aggs + broadcast dictionary join)
+        from wprdc_etl_spark.functions.text import normalize_text, unigram_logprob
+
+        normed = docs.select(
+            "doc_id", normalize_text(F.col("text")).alias("text")
+        )
+        unigram_logprob(normed).select(F.sum("lm_score")).collect()
+
     plan = [
         ("dedup", q_dedup),
         ("latest_per_key", q_latest_per_key),
@@ -289,6 +299,7 @@ def main() -> None:
         ("doc_minhash_lsh", q_doc_minhash_lsh),
         ("doc_boilerplate", q_doc_boilerplate),
         ("doc_top_terms", q_doc_top_terms),
+        ("doc_normalize_lm", q_doc_normalize_lm),
         ("doc_quality_langid", q_doc_quality_langid),
         ("emb_near_dup", q_emb_near_dup),
         ("neardup_index_inc", q_neardup_index_inc),

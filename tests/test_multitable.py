@@ -164,3 +164,70 @@ def test_interrupted_intent_write_is_scrapped(spark, tmp_path, monkeypatch):
     assert ta.read().count() == 0
     co.abort_all({"a": ta})
     assert ta.staged_versions() == []
+
+
+def test_fault_sweep_every_crash_point_recovers_to_all(spark, tmp_path):
+    """Systematic sweep: inject a crash at EVERY per-table publish step of a
+    3-table transaction (before any, between each, after all). Whatever the
+    crash point, recover() converges to all-visible with each table at its
+    recorded head — the atomic-durability contract, exhaustively."""
+    for crash_at in range(4):  # fail before the (crash_at+1)-th publish; 3 = none
+        base = tmp_path / f"s{crash_at}"
+        base.mkdir()
+        tables = {}
+        for i, name in enumerate(("t0", "t1", "t2")):
+            t = mk(spark, base, name)
+            t.merge(
+                ev(spark, [(10 + i, "I", f"r{i}", f"f{i}.py", "c1", "py", f"v{i}")]),
+                job="j", batch_id=0, staged=True,
+            )
+            tables[name] = t
+        co = MultiTablePublish(str(base / "co"))
+
+        calls = {"n": 0}
+        reals = {n: t.publish for n, t in tables.items()}
+
+        def crashing(real):
+            def _pub(*a, **k):
+                if calls["n"] == crash_at:
+                    raise OSError(f"crash at step {crash_at}")
+                calls["n"] += 1
+                return real(*a, **k)
+            return _pub
+
+        for n, t in tables.items():
+            t.publish = crashing(reals[n])
+        if crash_at < 3:
+            with pytest.raises(OSError):
+                co.publish_all(tables)
+            assert len(co.pending()) == 1
+        else:
+            co.publish_all(tables)
+            assert co.pending() == []
+        for n, t in tables.items():
+            t.publish = reals[n]
+        co.recover(tables)
+        for i, (n, t) in enumerate(sorted(tables.items())):
+            rows_ = {r["path"] for r in t.read().collect()}
+            assert rows_ == {f"f{i}.py"}, (crash_at, n, rows_)
+            assert t.staged_versions() == []
+        assert co.pending() == []
+
+
+def test_torn_intent_claim_is_ignored_and_txid_not_reused(spark, tmp_path):
+    """A hard kill mid-decision leaves only a .tmp claim: recovery ignores
+    it (never decided ⇒ the transaction is abortable), and its txid is
+    never reused by the next coordinator."""
+    ta = mk(spark, tmp_path, "a")
+    ta.merge(ev(spark, B_A), job="j", batch_id=0, staged=True)
+    co = MultiTablePublish(str(tmp_path / "co"))
+    # simulate the torn claim: garbage bytes under the O_EXCL-claimed name
+    with open(os.path.join(co.dir, "commit-0.json.tmp"), "w") as f:
+        f.write('{"txid": 0, "tab')  # torn mid-write
+    assert co.pending() == []
+    assert co.recover({"a": ta}) == []
+    co.publish_all({"a": ta})
+    assert ta.read().count() == 1
+    # the completed txn took txid 1, not the torn claim's 0
+    assert os.path.exists(os.path.join(co.dir, "commit-1.done.json"))
+    assert not os.path.exists(os.path.join(co.dir, "commit-0.done.json"))

@@ -100,8 +100,12 @@ class MultiTablePublish:
         return out
 
     def _next_txid(self) -> int:
+        # scan EVERY commit-* name (live, done, and abandoned .tmp claims)
+        # so a txid is never reused across a crash
         mx = -1
-        for n in self._intents(include_done=True):
+        for n in os.listdir(self.dir):
+            if not n.startswith(_PREFIX):
+                continue
             stem = n[len(_PREFIX):].split(".")[0]
             if stem.isdigit():
                 mx = max(mx, int(stem))
@@ -140,19 +144,32 @@ class MultiTablePublish:
             if v is None:
                 raise SinkCommitError(f"table {name!r} does not exist yet")
             heads[name] = {"root": t.root, "to_version": int(v)}
+        # WAL discipline for the decision record: claim a .tmp name with
+        # O_EXCL (two coordinators racing the same dir cannot both claim a
+        # txid), write + fsync the FULL intent there, then one atomic rename
+        # to the live name — the rename IS the commit point. A hard kill
+        # mid-write leaves only a .tmp, which pending()/recover() ignore
+        # (never-decided ⇒ abortable) and whose txid is never reused.
         txid = self._next_txid()
         intent_path = os.path.join(self.dir, f"{_PREFIX}{txid}{_LIVE_SUFFIX}")
-        # O_EXCL: two coordinators racing the same dir cannot both decide
-        fd = os.open(intent_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        tmp_path = intent_path + ".tmp"
+        try:
+            fd = os.open(tmp_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError as e:
+            raise SinkCommitError(
+                f"concurrent coordinator activity on {self.dir} "
+                f"(txid {txid} already claimed)"
+            ) from e
         try:
             with os.fdopen(fd, "w") as f:
                 json.dump({"txid": txid, "tables": heads}, f, indent=1)
                 f.flush()
                 os.fsync(f.fileno())
+            os.replace(tmp_path, intent_path)
         except BaseException:
-            # decision never became durable-and-complete: scrap it
+            # decision never became durable-and-complete: scrap the claim
             try:
-                os.unlink(intent_path)
+                os.unlink(tmp_path)
             except OSError:
                 pass
             raise
