@@ -169,6 +169,41 @@ def _q_cdc_multi_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("repo", "path", "commit", "lang", "content_sha")
 
 
+def _q_cdc_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot bootstrap → log-tail handoff (streaming/job.py::IngestJob.
+    bootstrap_snapshot — Debezium snapshot.mode=initial analog; wprdc-etl's
+    full-refresh cron load reframed as the initial position of an
+    incremental tail). A consistent snapshot at position C (built
+    ENGINE-INDEPENDENTLY by a plain Spark SQL prefix replay of the golden
+    rule) seeds the target as one guarded commit; the tail then replays only
+    ``event_sequence > C`` (pushed down to the parquet scan). Must equal the
+    full-log golden replay — the oracle is cdc_final_state's."""
+    log = _fixture_log(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    cutoff = int(
+        spark.read.parquet(log).agg(F.max("event_sequence")).collect()[0][0]
+    ) // 2
+    view = f"_boot_prefix_{label.replace('.', '_')}"
+    spark.read.parquet(log).where(F.col("event_sequence") <= cutoff).createOrReplaceTempView(view)
+    snapshot = spark.sql(
+        golden_final_state_sql(view, select_expr="repo, path, commit, lang, content")
+    )
+    target = os.path.join(FIXTURES, "_targets", f"{label}_bootstrap")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16)
+    job = (
+        IngestJob(f"bootstrap-{label}")
+        .source(log, since_sequence=cutoff)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    job.bootstrap_snapshot(snapshot, as_of_seq=cutoff)
+    job.run_batch(spark, n_chunks=2)
+    spark.catalog.dropTempView(view)
+    return table.read().select("repo", "path", "commit", "lang", "content_sha")
+
+
 # Route predicates shared VERBATIM between the engine (F.expr) and the
 # DuckDB oracle — repo is a key column, so filtering commutes with dedup /
 # validation / LWW and each route's table is exactly an independent pipeline
@@ -2182,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_final_state": _q_cdc_final_state,
         "cdc_multi_log": _q_cdc_multi_log,
+        "cdc_bootstrap_handoff": _q_cdc_bootstrap_handoff,
         "cdc_route": _q_cdc_route,
         "cdc_publish_atomic": _q_cdc_publish_atomic,
         "cdc_txn_apply": _q_cdc_txn_apply,
@@ -3033,6 +3069,8 @@ SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <=
     out["emb_ann_topk"] = out["emb_cosine_topk"]
     # key-sharded logs unioned must replay to the single-log golden state
     out["cdc_multi_log"] = out["cdc_final_state"]
+    # snapshot bootstrap + cut tail reconverges to the identical final state
+    out["cdc_bootstrap_handoff"] = out["cdc_final_state"]
     # gated multi-batch apply converges to the identical final state
     out["cdc_txn_apply"] = out["cdc_final_state"]
     # routed fan-out: each member table is an independent golden pipeline

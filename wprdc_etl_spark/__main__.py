@@ -39,7 +39,8 @@ def main() -> None:
                              "delete", "update", "publish", "abort-staged",
                              "profile", "lookup", "sql", "vacuum", "lag", "schema-diff",
                              "index-sync", "grep", "scd2-sync",
-                             "publish-all", "recover-txn", "abort-all"],
+                             "publish-all", "recover-txn", "abort-all",
+                             "bootstrap"],
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
@@ -64,7 +65,14 @@ def main() -> None:
     ap.add_argument("--since-seq", type=int, default=None,
                     help="export mode: emit live rows whose winning version's "
                          "sequence is >= this cutoff (incremental export on "
-                         "the current snapshot; zone-map/manifest-stat pruned)")
+                         "the current snapshot; zone-map/manifest-stat pruned); "
+                         "stream/batch modes: tail the log from AFTER this "
+                         "position (the handoff half of a snapshot bootstrap)")
+    ap.add_argument("--as-of-seq", type=int, default=None,
+                    help="bootstrap mode: the log position the snapshot at "
+                         "--source is consistent with (Debezium "
+                         "snapshot.mode=initial; then tail with "
+                         "--mode stream/batch --since-seq of the same value)")
     ap.add_argument("--quarantine-dir", default=None,
                     help="stream/batch: persist invalid rows (with per-field "
                          "errors) here, one dir per batch; requeue mode: "
@@ -527,18 +535,28 @@ def main() -> None:
         spark.stop()
         return
     if not args.source:
-        ap.error("--source is required in stream/batch modes")
+        ap.error("--source is required in stream/batch/bootstrap modes")
     env_opts = {}
     if args.seq_field:
         key = "seq_field" if args.envelope == "debezium" else "seq_expr"
         env_opts[key] = args.seq_field
     job = (
-        job.source(args.source, envelope=args.envelope, envelope_options=env_opts)
+        job.source(args.source, envelope=args.envelope, envelope_options=env_opts,
+                   since_sequence=args.since_seq)
         .schema(IngestJob.default_payload_schema())
         .sink(table)
         .build()
     )
-    if args.mode == "batch":
+    if args.mode == "bootstrap":
+        if args.as_of_seq is None:
+            ap.error("--as-of-seq is required in bootstrap mode "
+                     "(--source is the consistent snapshot parquet dir)")
+        snap = spark.read.parquet(args.source)
+        job.bootstrap_snapshot(snap, as_of_seq=args.as_of_seq)
+        print(f"bootstrap complete: snapshot applied at log position "
+              f"{args.as_of_seq}; tail with --mode stream/batch "
+              f"--since-seq {args.as_of_seq}")
+    elif args.mode == "batch":
         last = job.run_batch(spark, n_chunks=args.n_chunks)
         print(f"batch replay complete, last batch_id={last}")
     else:

@@ -125,6 +125,7 @@ class IngestJob:
         self._pending_bid: int = -1
         self._source_path: str | None = None
         self._source_format: str = "parquet"
+        self.since_sequence: int | None = None
         self._envelope: str | None = None
         self._envelope_options: dict = {}
         self._event_schema: T.StructType = event_struct()
@@ -143,6 +144,7 @@ class IngestJob:
         event_schema: T.StructType | None = None,
         envelope: str | None = None,
         envelope_options: dict | None = None,
+        since_sequence: int | None = None,
     ) -> "IngestJob":
         """One log dir, or a LIST of dirs for a sharded change log (one
         binlog/WAL per source shard — the standard CDC deployment). Shards
@@ -168,8 +170,16 @@ class IngestJob:
         Malformed records and Kafka tombstones are dropped at decode
         (connector semantics); to count them into quarantine instead, parse
         with ``keep_invalid=True`` yourself and feed ``apply_batch``.
+
+        ``since_sequence=S`` tails the log from AFTER position S (events with
+        ``event_sequence > S``) — the handoff half of a snapshot bootstrap
+        (``bootstrap_snapshot``). On a native parquet log the predicate lands
+        directly above the scan and pushes down to the row-group stats; on an
+        envelope feed it applies post-decode (a text scan has no sequence
+        column to prune on).
         """
         self._source_path = path
+        self.since_sequence = int(since_sequence) if since_sequence is not None else None
         if envelope is not None:
             if envelope not in ("debezium", "maxwell", "canal"):
                 raise InvalidConfigException(f"unknown envelope {envelope!r}")
@@ -189,20 +199,24 @@ class IngestJob:
         return T.StructType([T.StructField("value", T.StringType())])
 
     def _decode(self, df: DataFrame) -> DataFrame:
-        """Envelope decode (no-op for native event logs)."""
-        if self._envelope is None:
-            return df
-        from wprdc_etl_spark.sources.envelopes import (
-            parse_canal,
-            parse_debezium,
-            parse_maxwell,
-        )
+        """Envelope decode (no-op for native event logs) + handoff cut."""
+        if self._envelope is not None:
+            from wprdc_etl_spark.sources.envelopes import (
+                parse_canal,
+                parse_debezium,
+                parse_maxwell,
+            )
 
-        assert self._payload_schema is not None
-        row_schema = self._payload_schema.to_struct_type()
-        fn = {"debezium": parse_debezium, "maxwell": parse_maxwell,
-              "canal": parse_canal}[self._envelope]
-        return fn(df, row_schema, **self._envelope_options)
+            assert self._payload_schema is not None
+            row_schema = self._payload_schema.to_struct_type()
+            fn = {"debezium": parse_debezium, "maxwell": parse_maxwell,
+                  "canal": parse_canal}[self._envelope]
+            df = fn(df, row_schema, **self._envelope_options)
+        if self.since_sequence is not None:
+            # snapshot handoff: the snapshot already reflects every event at
+            # or before the watermark — pushed down on native parquet logs
+            df = df.where(F.col("event_sequence") > F.lit(self.since_sequence))
+        return df
 
     def schema(self, payload_schema: BaseSchema) -> "IngestJob":
         self._payload_schema = payload_schema
@@ -579,6 +593,73 @@ class IngestJob:
 
     # ---- batch replay (B13 replay windows) ---------------------------------
 
+    def bootstrap_snapshot(
+        self,
+        snapshot_df: DataFrame,
+        *,
+        as_of_seq: int,
+        batch_id: int = -1,
+    ) -> None:
+        """Debezium-``snapshot.mode=initial`` analog: seed the target from a
+        CONSISTENT snapshot of the upstream table taken at log position
+        ``as_of_seq``, then hand off to the incremental tail
+        (``source(..., since_sequence=as_of_seq)`` / ``run_batch``).
+
+        Each snapshot row becomes a synthetic ``'I'`` event stamped
+        ``event_sequence = as_of_seq`` and flows through the ordinary
+        validated merge as ONE guarded commit — so the bootstrap inherits
+        validation/quarantine, content_sha, lineage, and exactly-once replay
+        for free, and at 100 TB it is the same bucketed bulk merge as any
+        other batch (no special initial-load path to scale separately).
+
+        The handoff is overlap-safe WITHOUT coordination: a re-delivered
+        event with ``seq < as_of_seq`` loses the metadata LWW to the
+        snapshot image (which already reflects it); ``seq > as_of_seq``
+        outranks the snapshot; ``seq == as_of_seq`` carries the identical
+        image by the snapshot's own consistency (and 'U' outranks the
+        synthetic 'I' on the op tiebreak, converging to the same content).
+        A key deleted at or before ``as_of_seq`` is simply absent from the
+        snapshot — no tombstone manufacturing needed.
+
+        Parity: wprdc-etl has no incremental mode — every cron run re-loads
+        the full extract (``pipeline/pipeline.py::Pipeline.run``, SURVEY
+        §4.1); this reframes that full load as the initial position of an
+        incremental tail.
+
+        ``batch_id`` defaults to **-1**: the guard position strictly before
+        any tail batch, so both ``run_batch`` (ids from 0) and a streaming
+        tail (micro-batch ids from 0) compose without colliding with the
+        bootstrap's exactly-once guard — while a crash-replay of the
+        bootstrap itself (same id) is still skipped.
+        """
+        self._require_built()
+        assert self._sink is not None
+        cols = set(snapshot_df.columns)
+        missing = [k for k in ("repo", "path", "commit") if k not in cols]
+        if missing:
+            raise InvalidConfigException(
+                f"snapshot is missing key column(s) {missing}; a consistent "
+                f"snapshot must carry the full merge key (repo, path, commit)"
+            )
+        payload = [
+            f
+            for f in self._event_schema.fields
+            if f.name not in ("event_sequence", "event_ts", "op")
+        ]
+        ev = snapshot_df.select(
+            F.lit(int(as_of_seq)).cast("long").alias("event_sequence"),
+            F.lit(None).cast("timestamp").alias("event_ts"),
+            F.lit("I").alias("op"),
+            *[
+                (F.col(f.name) if f.name in cols else F.lit(None).cast(f.dataType)).alias(
+                    f.name
+                )
+                for f in payload
+            ],
+        )
+        self._sink.ensure(self.target_schema())
+        self.apply_batch(ev, batch_id)
+
     def run_batch(
         self,
         spark: SparkSession,
@@ -600,10 +681,14 @@ class IngestJob:
         if max_sequence_exclusive is None:
             max_sequence_exclusive = (df.agg(F.max("event_sequence")).collect()[0][0] or 0) + 1
         self._sink.ensure(self.target_schema())  # type: ignore[union-attr]
-        step = max(1, (max_sequence_exclusive + n_chunks - 1) // n_chunks)
+        # after a snapshot bootstrap the tail starts past the watermark —
+        # chunk the REMAINING range, not [0, max)
+        base = 0 if self.since_sequence is None else self.since_sequence + 1
+        span = max(0, max_sequence_exclusive - base)
+        step = max(1, (span + n_chunks - 1) // n_chunks)
         last_id = start_batch_id - 1
         for idx in range(n_chunks):
-            lo, hi = idx * step, min((idx + 1) * step, max_sequence_exclusive)
+            lo, hi = base + idx * step, min(base + (idx + 1) * step, max_sequence_exclusive)
             if lo >= max_sequence_exclusive:
                 break
             chunk = df.where((F.col("event_sequence") >= lo) & (F.col("event_sequence") < hi))
