@@ -36,6 +36,7 @@ from wprdc_etl_spark.functions import multimodal as _media_sql  # noqa: E402
 from wprdc_etl_spark.functions import similarity as _sim_sql  # noqa: E402
 from wprdc_etl_spark.functions import packing as _packing  # noqa: E402
 from wprdc_etl_spark.functions import sampling as _sampling  # noqa: E402
+from wprdc_etl_spark.functions import spans as _spans_sql  # noqa: E402
 from wprdc_etl_spark.functions import text as _text_sql  # noqa: E402
 from wprdc_etl_spark.operators import analytics as _analytics_sql  # noqa: E402
 from wprdc_etl_spark.testgen import LANGS, gen_change_events, golden_final_state_sql, write_event_log  # noqa: E402
@@ -1646,6 +1647,36 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+_SPAN_W = 30  # repeated-span window (chars); fixture probe: 67 docs hit
+
+
+def _q_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring repeated-span detection (functions/spans.py — Lee et
+    al. 2021 dedup family): every maximal span whose 30-char windows occur
+    >=2 times anywhere in the corpus. Engine path: O(len) rolling-hash
+    pandas UDF -> narrow (id,pos,hash) shuffle -> text-verified (collision-
+    proof) -> gaps-and-islands merge. Oracle is hash-free (windows grouped
+    by their text)."""
+    from wprdc_etl_spark.functions.spans import repeated_spans
+
+    return repeated_spans(_docs(spark, sf_dir), window=_SPAN_W).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_len").cast("long").alias("span_len"),
+    )
+
+
+def _q_doc_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal transform: documents with every duplicated >=30-char
+    span cut out, rebuilt in-row by one F.aggregate over the span gaps (no
+    char explosion). Docs without spans pass through byte-identical."""
+    from wprdc_etl_spark.functions.spans import remove_repeated_spans
+
+    return remove_repeated_spans(_docs(spark, sf_dir), window=_SPAN_W).select(
+        "doc_id", "text"
+    )
+
+
 def _q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wprdc_etl_spark.functions.text import bpe_ish_token_count, token_count
 
@@ -2288,6 +2319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_doc_repetition,
         "doc_boilerplate": _q_doc_boilerplate,
         "doc_paragraph_dedup": _q_doc_paragraph_dedup,
+        "doc_repeated_spans": _q_doc_repeated_spans,
+        "doc_remove_spans": _q_doc_remove_spans,
         "doc_markup_strip": _q_doc_markup_strip,
         "doc_top_terms": _q_doc_top_terms,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
@@ -2986,6 +3019,15 @@ FROM documents
                 min_docs=3,
             )
             + ")"
+        ),
+        "doc_repeated_spans": (
+            "SELECT doc_id, CAST(span_start AS BIGINT) AS span_start, "
+            "CAST(span_len AS BIGINT) AS span_len FROM ("
+            + _spans_sql.repeated_spans_sql("documents", window=30)
+            + ")"
+        ),
+        "doc_remove_spans": _spans_sql.remove_repeated_spans_sql(
+            "documents", window=30
         ),
         "doc_paragraph_dedup": (
             "SELECT doc_id, sha256(clean_text) AS clean_sha, n_removed FROM ("

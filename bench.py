@@ -275,6 +275,13 @@ def main() -> None:
 
         top_terms_per_doc(docs, k=5, min_df=2).count()
 
+    def q_doc_repeated_spans():
+        # exact-substring repeated-span dedup: O(len) rolling-hash UDF →
+        # narrow (id,pos,h) shuffle → text-verified → island merge
+        from wprdc_etl_spark.functions.spans import repeated_spans
+
+        repeated_spans(docs, window=30).select(F.sum("span_len")).collect()
+
     def q_doc_normalize_lm():
         # unicode NFC canonicalization (Arrow pandas UDF, one crossing) +
         # unigram-LM scoring (two hash aggs + broadcast dictionary join)
@@ -299,6 +306,7 @@ def main() -> None:
         ("doc_minhash_lsh", q_doc_minhash_lsh),
         ("doc_boilerplate", q_doc_boilerplate),
         ("doc_top_terms", q_doc_top_terms),
+        ("doc_repeated_spans", q_doc_repeated_spans),
         ("doc_normalize_lm", q_doc_normalize_lm),
         ("doc_quality_langid", q_doc_quality_langid),
         ("emb_near_dup", q_emb_near_dup),
