@@ -37,6 +37,7 @@ from wprdc_etl_spark.functions import similarity as _sim_sql  # noqa: E402
 from wprdc_etl_spark.functions import packing as _packing  # noqa: E402
 from wprdc_etl_spark.functions import sampling as _sampling  # noqa: E402
 from wprdc_etl_spark.functions import spans as _spans_sql  # noqa: E402
+from wprdc_etl_spark.operators import kmv as _kmv  # noqa: E402
 from wprdc_etl_spark.functions import text as _text_sql  # noqa: E402
 from wprdc_etl_spark.operators import analytics as _analytics_sql  # noqa: E402
 from wprdc_etl_spark.testgen import LANGS, gen_change_events, golden_final_state_sql, write_event_log  # noqa: E402
@@ -1507,6 +1508,21 @@ def _q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_count(ev, group=["event_type"], value="user_id")
 
 
+def _q_events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch (operators/kmv.py): the k=64 smallest distinct
+    user-id hashes per event type, exploded to (grp, rank, h) rows. Unlike
+    the HLL path this sketch persists as a plain column, merges
+    associatively across batches (law tested in tests/test_kmv.py), and —
+    on the sha2 leaf — reproduces bit-identically in DuckDB."""
+    from wprdc_etl_spark.operators.kmv import kmv_sketch
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=64, hash_fn="sha2")
+    return sk.select(
+        F.col("event_type").alias("grp"), F.posexplode("sketch").alias("pos", "h")
+    ).select("grp", (F.col("pos") + 1).cast("long").alias("rank"), "h")
+
+
 def _q_documents_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END near-dedup pipeline a training-data run executes:
     MinHash signatures → LSH banded candidates → exact n-gram-Jaccard
@@ -2295,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_per_type": _q_events_topk_per_type,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_distinct_users": _q_events_distinct_users,
+        "events_kmv_users": _q_events_kmv_users,
         "events_interval_join": _q_events_interval_join,
         "events_pivot": _q_events_pivot,
         "sales_rollup": _q_sales_rollup,
@@ -2734,6 +2751,9 @@ SELECT event_type,
        round(quantile_cont(value, 0.99), 4) AS p99
 FROM events GROUP BY event_type
 """,
+        "events_kmv_users": _kmv.kmv_sketch_sql(
+            "events", "event_type", "CAST(user_id AS VARCHAR)", k=64
+        ),
         "events_distinct_users": """
 SELECT event_type, count(DISTINCT user_id) AS n_distinct
 FROM events GROUP BY event_type
