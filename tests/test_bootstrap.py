@@ -156,3 +156,25 @@ def test_bootstrap_missing_key_column_raises(spark, tmp_path, log_dir):
     bad = spark.createDataFrame([("r", "f.py")], "repo string, path string")
     with pytest.raises(InvalidConfigException, match="commit"):
         job.bootstrap_snapshot(bad, as_of_seq=10)
+
+
+def test_bootstrap_bypasses_txn_gate_and_patch(spark, tmp_path):
+    """A txn-gated, patch-mode job can still take an initial snapshot: the
+    snapshot batch is complete full-image state, so gating (no txn columns
+    on snapshot rows) and patch normalization (snapshot NULLs are true
+    NULLs) are bypassed for that ONE batch and restored for the tail."""
+    table = ParquetSnapshotTable(spark, str(tmp_path / "tbl"), n_buckets=4)
+    job = (
+        IngestJob("boot-gated", txn_gate=("txn_id", "txn_total"), patch=True)
+        .source(str(tmp_path / "nolog"), since_sequence=5)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    snap = spark.createDataFrame(
+        [("r1", "a.py", "c1", "py", "x = 1"), ("r2", "b.go", "c2", "go", "y")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    job.bootstrap_snapshot(snap, as_of_seq=5)
+    assert table.read().count() == 2
+    assert job.txn_gate == ("txn_id", "txn_total") and job.patch is True

@@ -631,6 +631,13 @@ class IngestJob:
         tail (micro-batch ids from 0) compose without colliding with the
         bootstrap's exactly-once guard — while a crash-replay of the
         bootstrap itself (same id) is still skipped.
+
+        A consistent snapshot is COMPLETE full-image state by definition, so
+        the two event-stream-shaped stages are bypassed for this one batch:
+        transaction gating (snapshot rows carry no txn columns and are not
+        part of any in-flight transaction) and patch normalization (a NULL
+        in a snapshot is a true NULL, not 'unchanged'). The tail that
+        follows gates/patches normally.
         """
         self._require_built()
         assert self._sink is not None
@@ -658,7 +665,12 @@ class IngestJob:
             ],
         )
         self._sink.ensure(self.target_schema())
-        self.apply_batch(ev, batch_id)
+        gate, patch = self.txn_gate, self.patch
+        self.txn_gate, self.patch = None, False
+        try:
+            self.apply_batch(ev, batch_id)
+        finally:
+            self.txn_gate, self.patch = gate, patch
 
     def run_batch(
         self,
