@@ -127,3 +127,141 @@ WITH hs AS (
 )
 SELECT grp, rank, h FROM rk WHERE rank <= {k}
 """.strip()
+
+
+class KmvRollup:
+    """Changelog-fed distinct-count sketch table — the sketch analog of the
+    engine's other followers (trigram index, SCD2 history, rollup views):
+    per group, the KMV sketch of every value EVER COMMITTED LIVE to the
+    source table, maintained incrementally per source version.
+
+    Sketch semantics are insert-only (the standard streaming-sketch
+    contract: KMV/HLL cannot retract): a deleted row's values stay counted
+    — the sketch answers "distinct values ever observed", not "distinct in
+    the current state". A bootstrap sync (fresh rollup) seeds from the
+    LIVE state at the cursor version, so images that lived and died before
+    the rollup existed are not counted; from then on every sync folds in
+    exactly the I/U images of ``changes_between(cursor, to_v)``.
+
+    Engine contracts reused wholesale:
+
+    - storage is an ordinary engine table keyed and BUCKETED by the group
+      columns — time travel / changelog / maintenance / CAS inherited;
+    - cursor = the rollup table's own committed batch id (B8 guard):
+      exactly-once per source version, replayed syncs are no-ops;
+    - a sync shuffles O(|changed images| + |touched groups|) narrow rows:
+      the stored sketches are read BUCKET-PRUNED to the groups the batch
+      touches, never the whole rollup;
+    - rides ``IngestJob.follow(rollup)`` — synced after every committed
+      (micro-)batch like any changelog follower.
+
+    A cursor expired under source retention raises (the ever-seen set
+    cannot be reconstructed from states alone); sync at least once per
+    source retention window — same rule as Scd2Table.
+    """
+
+    def __init__(
+        self,
+        spark,
+        root: str,
+        source,
+        *,
+        group_cols: list[str],
+        value_col: str,
+        k: int = 64,
+        hash_fn: str = "xxhash64",
+        job: str = "kmv",
+        n_buckets: int = 8,
+        retain_history: int = 1,
+    ) -> None:
+        from wprdc_etl_spark.plans.lake import ParquetSnapshotTable
+
+        self.spark = spark
+        self.source = source
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.k = int(k)
+        self.hash_fn = hash_fn
+        self.job = job
+        self.table = ParquetSnapshotTable(
+            spark,
+            root,
+            keys=list(group_cols),
+            bucket_keys=list(group_cols),
+            n_buckets=n_buckets,
+            retain_history=retain_history,
+        )
+
+    def cursor(self) -> int | None:
+        if not self.table.exists():
+            return None
+        return self.table.last_committed_batch(self.job)
+
+    def sync(self, to_version: int | None = None) -> dict:
+        from wprdc_etl_spark.exceptions import SinkCommitError
+        from wprdc_etl_spark.plans.lake import LineageCounts
+
+        src_v = self.source.published_version()
+        if src_v is None:
+            raise SinkCommitError(
+                f"source table at {self.source.root} does not exist"
+            )
+        to_v = src_v if to_version is None else to_version
+        last = self.cursor()
+        if last is not None and to_v <= last:
+            return {"mode": "noop", "applied": False, "cursor": last,
+                    "to_version": to_v}
+        if last is None:
+            mode = "bootstrap"
+            vals = self.source.read(version=to_v)
+            batch = kmv_sketch(
+                vals, self.group_cols, self.value_col, k=self.k,
+                hash_fn=self.hash_fn,
+            )
+        else:
+            mode = "incremental"
+            new_imgs = self.source.changes_between(last, to_v).where(
+                F.col("change_op") != "D"
+            )
+            fresh = kmv_sketch(
+                new_imgs, self.group_cols, self.value_col, k=self.k,
+                hash_fn=self.hash_fn,
+            )
+            touched = fresh.select(*self.group_cols)
+            stored = (
+                self.table.read_pruned_for_keys(touched)
+                .join(F.broadcast(touched), self.group_cols)
+                .select(*self.group_cols, "sketch")
+            )
+            batch = kmv_merge(
+                fresh.unionByName(stored), self.group_cols, k=self.k
+            )
+        batch = batch.withColumn("op", F.lit("I")).withColumn(
+            "event_sequence", F.lit(int(to_v)).cast("long")
+        )
+        self.table.ensure(batch.drop("op", "event_sequence").schema)
+        res = self.table.merge(
+            batch,
+            job=self.job,
+            batch_id=to_v,
+            counts=LineageCounts(extra={"mode": mode, "source_version": to_v}),
+        )
+        return {
+            "mode": mode,
+            "applied": res.applied,
+            "cursor": to_v if res.applied else last,
+            "to_version": to_v,
+            "rows_upserted": res.rows_upserted,
+        }
+
+    def read(self) -> DataFrame:
+        return self.table.read().select(*self.group_cols, "sketch")
+
+    def estimates(self) -> DataFrame:
+        """(group..., estimate) — exact below k, (k-1)/U(k) at capacity."""
+        return self.read().select(
+            *self.group_cols,
+            kmv_estimate(F.col("sketch"), k=self.k, hash_fn=self.hash_fn).alias(
+                "estimate"
+            ),
+        )
