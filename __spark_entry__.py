@@ -1220,6 +1220,70 @@ def _q_cdc_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.read()
 
 
+def _q_cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN view (plans/joinview.py::JoinView — the
+    IVM analog completing the MV family: RollupView aggregates, Table-
+    Replicator copies, JoinView joins): materialize fact ⟕ dim with the dim
+    keyed by lang, BOOTSTRAPPED after chunk 1, then ONE incremental sync
+    that carries BOTH fact-side deltas (chunk 2 of the replay) and dim-side
+    deltas (an UPDATE fan-out over long lang names and a DELETE of 'md'
+    that flips its rows back to NULL). The query raises unless the second
+    sync really took the incremental path; the result must equal the golden
+    final state joined to the dim's final definition (derived inline in the
+    oracle — the dim attributes are pure functions of lang)."""
+    from wprdc_etl_spark.plans.joinview import JoinView
+
+    log = _fixture_log(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    target = os.path.join(FIXTURES, "_targets", f"{label}_jv_fact")
+    dim_path = os.path.join(FIXTURES, "_targets", f"{label}_jv_dim")
+    view_path = os.path.join(FIXTURES, "_targets", f"{label}_jv_view")
+    for p in (target, dim_path, view_path):
+        shutil.rmtree(p, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16, retain_history=8)
+    job = (
+        IngestJob(f"jv-{label}")
+        .source(log)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    dim = ParquetSnapshotTable(
+        spark, dim_path, keys=["lang"], bucket_keys=["lang"], n_buckets=2,
+        retain_history=8,
+    )
+    dim_schema = T.StructType([
+        T.StructField("lang", T.StringType()),
+        T.StructField("family", T.StringType()),
+        T.StructField("tier", T.LongType()),
+    ])
+    dim.ensure(dim_schema)
+    dim.merge(
+        spark.createDataFrame(
+            [(i, "I", lg, lg.upper(), len(lg)) for i, lg in enumerate(LANGS)],
+            "event_sequence long, op string, lang string, family string, tier long",
+        ),
+        job="dim", batch_id=0,
+    )
+    ev = spark.read.parquet(log)
+    max_seq_excl = (ev.agg(F.max("event_sequence")).collect()[0][0] or 0) + 1
+    cut = (max_seq_excl + 1) // 2
+    view = JoinView(
+        spark, view_path, table, dim, on={"lang": "lang"}, n_buckets=8,
+    )
+    job.run_batch(spark, n_chunks=1, max_sequence_exclusive=cut)
+    r1 = view.sync()
+    job.apply_batch(ev.where(F.col("event_sequence") >= cut), 1)
+    dim.update_where(F.expr("length(lang) > 2"), {"tier": F.col("tier") + F.lit(10)})
+    dim.delete_where(F.col("lang") == "md")
+    r2 = view.sync()
+    if r1["mode"] != "bootstrap" or r2["mode"] != "incremental":
+        raise AssertionError(f"join-view sync modes: {r1}, {r2}")
+    return view.read().select(
+        "repo", "path", "commit", "lang", "content_sha", "family", "tier"
+    )
+
+
 def _q_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table→table incremental replication (plans/replicate.py::
     TableReplicator — CDC out composed with CDC in): replay the log into a
@@ -2292,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2": _q_cdc_scd2,
         "cdc_scd2_table": _q_cdc_scd2_table,
         "cdc_rollup_incremental": _q_cdc_rollup_incremental,
+        "cdc_join_view": _q_cdc_join_view,
         "cdc_replicate": _q_cdc_replicate,
         "cdc_grep": _q_cdc_grep,
         "cdc_grep_regex": _q_cdc_grep_regex,
@@ -3201,6 +3266,17 @@ FROM latest WHERE op <> 'D'
     # bootstrap + incremental changelog replication must land the replica on
     # the source's golden final state (exactly-once per source version)
     out["cdc_replicate"] = out["cdc_final_state"]
+    # incrementally-maintained fact⟕dim view == golden final state joined to
+    # the dim's FINAL definition, derived inline: the dim's attributes are
+    # pure functions of lang (family = upper, tier = length, +10 for names
+    # longer than 2 after the update fan-out, NULL after 'md' is deleted)
+    out["cdc_join_view"] = f"""
+SELECT g.repo, g.path, g.commit, g.lang, g.content_sha,
+       CASE WHEN g.lang <> 'md' THEN upper(g.lang) END AS family,
+       CASE WHEN g.lang <> 'md' THEN length(g.lang)
+            + CASE WHEN length(g.lang) > 2 THEN 10 ELSE 0 END END AS tier
+FROM ({golden_final_state_sql(log, select_expr="repo, path, commit, lang, sha256(content) AS content_sha")}) g
+""".strip()
     # the SCD2 interval reconstruction of the chunk-2 state must equal the
     # same truncated golden replay the snapshot time-travel read equals —
     # two unrelated mechanisms, one oracle

@@ -447,3 +447,48 @@ def test_staged_on_incapable_sink_fails_at_build(spark, tmp_path):
     )
     with pytest.raises(IncompletePipelineError, match="staged"):
         job.build()
+
+
+# ---- merge keys are a persisted table property, not a handle flag ------------
+
+
+def test_keys_resolve_from_manifest_on_default_handle(spark, tmp_path):
+    """A handle opened WITHOUT explicit keys on a custom-keyed table must
+    adopt the persisted keys (found live: CLI `--mode update` on a lang-keyed
+    dim table raised "merge batch missing key column 'repo'" — and any verb
+    that got further would have run LWW/bucket routing on the wrong key)."""
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "dimtbl")
+    t = ParquetSnapshotTable(
+        spark, root, keys=["lang"], bucket_keys=["lang"], n_buckets=2
+    )
+    t.ensure(T.StructType([
+        T.StructField("lang", T.StringType()),
+        T.StructField("family", T.StringType()),
+    ]))
+    t.merge(
+        spark.createDataFrame(
+            [(0, "I", "py", "script"), (1, "I", "go", "compiled")],
+            "event_sequence long, op string, lang string, family string",
+        ),
+        job="dim", batch_id=0,
+    )
+    # fresh default handle (the CLI shape): keys resolve from the manifest
+    h = ParquetSnapshotTable(spark, root)
+    h.update_where(F.col("lang") == "py", {"family": F.lit("SCRIPT")})
+    h2 = ParquetSnapshotTable(spark, root)
+    h2.delete_where(F.col("lang") == "go")
+    rows = {r["lang"]: r["family"] for r in ParquetSnapshotTable(spark, root).read().collect()}
+    assert rows == {"py": "SCRIPT"}
+    # and a later merge through the default handle keeps LWW keyed by lang
+    h3 = ParquetSnapshotTable(spark, root)
+    h3.merge(
+        spark.createDataFrame(
+            [(100, "U", "py", "scripting")],
+            "event_sequence long, op string, lang string, family string",
+        ),
+        job="dim", batch_id=1,
+    )
+    rows = {r["lang"]: r["family"] for r in h3.read().collect()}
+    assert rows == {"py": "scripting"}

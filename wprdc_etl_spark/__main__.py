@@ -38,7 +38,7 @@ def main() -> None:
                              "replicate", "tag", "drop-tag", "requeue",
                              "delete", "update", "publish", "abort-staged",
                              "profile", "lookup", "sql", "vacuum", "lag", "schema-diff",
-                             "index-sync", "grep", "scd2-sync",
+                             "index-sync", "grep", "scd2-sync", "joinview-sync",
                              "publish-all", "recover-txn", "abort-all",
                              "bootstrap"],
                     default="stream")
@@ -80,6 +80,13 @@ def main() -> None:
     ap.add_argument("--tag-name", default=None,
                     help="tag/drop-tag modes: the ref name (tagged versions "
                          "are exempt from snapshot expiration until dropped)")
+    ap.add_argument("--dim", default=None,
+                    help="joinview-sync mode: dim TABLE root")
+    ap.add_argument("--dim-keys", default="lang",
+                    help="joinview-sync mode: comma-separated dim merge keys")
+    ap.add_argument("--on", default=None, metavar="FACT=DIM[,FACT=DIM...]",
+                    help="joinview-sync mode: join column mapping "
+                         "(default: identity over --dim-keys)")
     ap.add_argument("--group-cols", default="repo",
                     help="rollup mode: comma-separated grouping columns")
     ap.add_argument("--target-rows-per-bucket", type=int, default=4_000_000,
@@ -268,6 +275,37 @@ def main() -> None:
         print(
             f"scd2-sync {r['mode']}: cursor at source version {r['cursor']} "
             f"(+{r.get('rows_upserted', 0)} interval rows)"
+        )
+        spark.stop()
+        return
+    if args.mode == "joinview-sync":
+        # maintain a fact⟕dim materialized join view in --target from the
+        # changelogs of --source (fact table) and --dim: cron next to the
+        # ingest job; cursor = the (fact_version, dim_version) pair in the
+        # view table's manifest, exactly-once per version pair
+        from wprdc_etl_spark.plans.joinview import JoinView
+
+        if args.sink == "iceberg":
+            ap.error("joinview-sync mode currently supports the parquet-snapshot sink only")
+        if not args.source or not args.dim:
+            ap.error("--source (fact TABLE root) and --dim (dim TABLE root) "
+                     "are required in joinview-sync mode")
+        dim_keys = args.dim_keys.split(",")
+        fact = ParquetSnapshotTable(spark, args.source)
+        dim = ParquetSnapshotTable(spark, args.dim, keys=dim_keys,
+                                   bucket_keys=dim_keys)
+        if args.on:
+            on = dict(pair.split("=", 1) for pair in args.on.split(","))
+        else:
+            on = {k: k for k in dim_keys}
+        cols = args.columns.split(",") if args.columns else None
+        v = JoinView(spark, args.target, fact, dim, on=on, dim_cols=cols,
+                     n_buckets=args.n_buckets)
+        r = v.sync()
+        print(
+            f"joinview-sync {r['mode']}: cursor at (fact v{r['fact_version']}"
+            f", dim v{r['dim_version']}) (+{r.get('rows_upserted', 0)} rows, "
+            f"-{r.get('rows_deleted', 0)})"
         )
         spark.stop()
         return

@@ -1124,7 +1124,12 @@ class ParquetSnapshotTable(LakeTable):
         if man is None:
             raise SinkCommitError(f"table does not exist at {self.root} (call ensure() first)")
         # the on-disk layout is authoritative: a handle constructed with
-        # different bucket keys must still hash rows where the files are
+        # different bucket keys must still hash rows where the files are —
+        # and the MERGE KEYS equally so (a CLI/maintenance handle opened
+        # without explicit keys gets the engine defaults, which silently
+        # corrupt LWW and key-presence checks on a custom-keyed table)
+        if man.get("keys"):
+            self.keys = list(man["keys"])
         if man.get("bucket_keys"):
             self.bucket_keys = list(man["bucket_keys"])
         return man
