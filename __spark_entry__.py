@@ -1220,6 +1220,57 @@ def _q_cdc_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.read()
 
 
+def _q_cdc_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints (plans/lake.py constraints section — the Delta
+    ``ALTER TABLE ADD CONSTRAINT`` analog, persisted as a table property and
+    enforced by EVERY handle's merge via an assert embedded in the batch's
+    event_sequence expression — zero extra scans): the full replay runs
+    under two constraints every batch must satisfy; the query then PROVES
+    enforcement by attempting a violating merge (must fail cleanly with
+    nothing committed) and adding a constraint the existing rows violate
+    (must be rejected by the add-time scan). Final state must equal the
+    same golden replay as cdc_final_state."""
+    from wprdc_etl_spark.exceptions import SinkCommitError
+
+    log = _fixture_log(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    target = os.path.join(FIXTURES, "_targets", f"{label}_cons")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16)
+    job = (
+        IngestJob(f"cons-{label}")
+        .source(log)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    table.ensure(job.target_schema())
+    table.add_constraint("commit_hex", "commit rlike '^[0-9a-f]{40}$'")
+    table.add_constraint("key_nonempty", "length(repo) > 0 AND length(path) > 0")
+    job.run_batch(spark, n_chunks=2)
+    v = table.current_version()
+    try:
+        table.merge(
+            spark.createDataFrame(
+                [(10**9, "I", "r", "p", "NOT-HEX", "py", "x")],
+                "event_sequence long, op string, repo string, path string, "
+                "commit string, lang string, content string",
+            ),
+            job="adhoc", batch_id=0,
+        )
+        raise AssertionError("violating merge was not rejected")
+    except SinkCommitError:
+        pass
+    if table.current_version() != v:
+        raise AssertionError("rejected merge must commit nothing")
+    try:
+        table.add_constraint("impossible", "length(content) > 100000000")
+        raise AssertionError("add_constraint over violating rows was not rejected")
+    except SinkCommitError:
+        pass
+    return table.read().select("repo", "path", "commit", "lang", "content_sha")
+
+
 def _q_cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained JOIN view (plans/joinview.py::JoinView — the
     IVM analog completing the MV family: RollupView aggregates, Table-
@@ -2356,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2": _q_cdc_scd2,
         "cdc_scd2_table": _q_cdc_scd2_table,
         "cdc_rollup_incremental": _q_cdc_rollup_incremental,
+        "cdc_constraints": _q_cdc_constraints,
         "cdc_join_view": _q_cdc_join_view,
         "cdc_replicate": _q_cdc_replicate,
         "cdc_grep": _q_cdc_grep,
@@ -3266,6 +3318,10 @@ FROM latest WHERE op <> 'D'
     # bootstrap + incremental changelog replication must land the replica on
     # the source's golden final state (exactly-once per source version)
     out["cdc_replicate"] = out["cdc_final_state"]
+    # a replay under table CHECK constraints every batch satisfies (plus an
+    # in-query proof that violations are rejected atomically) lands on the
+    # same golden final state
+    out["cdc_constraints"] = out["cdc_final_state"]
     # incrementally-maintained fact⟕dim view == golden final state joined to
     # the dim's FINAL definition, derived inline: the dim's attributes are
     # pure functions of lang (family = upper, tier = length, +10 for names

@@ -40,7 +40,7 @@ def main() -> None:
                              "profile", "lookup", "sql", "vacuum", "lag", "schema-diff",
                              "index-sync", "grep", "scd2-sync", "joinview-sync",
                              "publish-all", "recover-txn", "abort-all",
-                             "bootstrap"],
+                             "bootstrap", "add-constraint", "drop-constraint"],
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
@@ -80,6 +80,13 @@ def main() -> None:
     ap.add_argument("--tag-name", default=None,
                     help="tag/drop-tag modes: the ref name (tagged versions "
                          "are exempt from snapshot expiration until dropped)")
+    ap.add_argument("--constraint-name", default=None,
+                    help="add-constraint/drop-constraint modes: constraint name")
+    ap.add_argument("--check", default=None,
+                    help="add-constraint mode: the CHECK expression (SQL); "
+                         "existing rows are validated before the property "
+                         "commits, and every later merge through any handle "
+                         "enforces it")
     ap.add_argument("--dim", default=None,
                     help="joinview-sync mode: dim TABLE root")
     ap.add_argument("--dim-keys", default="lang",
@@ -276,6 +283,25 @@ def main() -> None:
             f"scd2-sync {r['mode']}: cursor at source version {r['cursor']} "
             f"(+{r.get('rows_upserted', 0)} interval rows)"
         )
+        spark.stop()
+        return
+    if args.mode in ("add-constraint", "drop-constraint"):
+        # CHECK constraints are a persisted table property (Delta ADD
+        # CONSTRAINT analog): add validates existing rows in one scan, then
+        # every merge through ANY handle enforces the check with zero extra
+        # scans (embedded assert rides the merge's first action)
+        if args.sink == "iceberg":
+            ap.error("constraint modes currently support the parquet-snapshot sink only")
+        if not args.constraint_name:
+            ap.error("--constraint-name is required in constraint modes")
+        if args.mode == "add-constraint":
+            if not args.check:
+                ap.error("--check (the CHECK expression) is required in add-constraint mode")
+            table.add_constraint(args.constraint_name, args.check)
+            print(f"constraint {args.constraint_name!r} added: CHECK ({args.check})")
+        else:
+            table.drop_constraint(args.constraint_name)
+            print(f"constraint {args.constraint_name!r} dropped")
         spark.stop()
         return
     if args.mode == "joinview-sync":

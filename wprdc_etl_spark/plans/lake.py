@@ -1485,9 +1485,144 @@ class ParquetSnapshotTable(LakeTable):
         man = self._read_manifest()
         return None if man is None else man["version"]
 
+    # ---- CHECK constraints (Delta ADD CONSTRAINT / Iceberg data-quality
+    # gate analog) -------------------------------------------------------------
+    #
+    # Constraints are a persisted TABLE PROPERTY (like retain_history): any
+    # handle — CLI, follower, DML verb — enforces them, not just the job that
+    # added them. Enforcement is embedded into the merge batch's
+    # event_sequence expression via assert_true, so it rides the merge's
+    # FIRST action with zero extra scans and cannot be column-pruned away
+    # (event_sequence is the LWW ordering — always read). A violation fails
+    # the job before the atomic manifest swap, so nothing commits. SQL CHECK
+    # semantics: NULL satisfies (unknown is not false); 'D' tombstones are
+    # exempt (they carry null payloads by contract); a constraint whose
+    # columns are absent from a batch is skipped for that batch — additive
+    # evolution null-fills new rows (NULL passes) and survivors keep values
+    # that passed at their own write time.
+
+    _CHECK_MARK = "CHECK-CONSTRAINT-VIOLATION"
+
+    def constraints(self) -> dict[str, str]:
+        return dict(
+            self._require_manifest().get("properties", {}).get("constraints", {})
+        )
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)``: validates the
+        CURRENT state in one scan (Delta parity — a constraint the existing
+        rows violate is rejected), then commits the property metadata-only."""
+        man = self._require_manifest()
+        cons = dict(man["properties"].get("constraints", {}))
+        if name in cons:
+            raise SinkCommitError(
+                f"constraint {name!r} already exists: CHECK ({cons[name]})"
+            )
+        try:
+            bad = (
+                self.read()
+                .where(~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)))
+                .count()
+            )
+        except Exception as e:  # AnalysisException and friends
+            raise SinkCommitError(
+                f"constraint expression {expr!r} does not analyze against "
+                f"the table schema: {e}"
+            ) from e
+        if bad:
+            raise SinkCommitError(
+                f"cannot add constraint {name!r}: {bad} existing row(s) "
+                f"violate CHECK ({expr})"
+            )
+        cons[name] = expr
+        man_new = dict(man)
+        man_new["version"] = man["version"] + 1
+        man_new["properties"] = {**man["properties"], "constraints": cons}
+        self._stamp_published(man_new, man)
+        self._swap_manifest(man_new)
+
+    def drop_constraint(self, name: str) -> None:
+        man = self._require_manifest()
+        cons = dict(man["properties"].get("constraints", {}))
+        if name not in cons:
+            raise SinkCommitError(f"constraint {name!r} does not exist")
+        del cons[name]
+        man_new = dict(man)
+        man_new["version"] = man["version"] + 1
+        man_new["properties"] = {**man["properties"], "constraints": cons}
+        self._stamp_published(man_new, man)
+        self._swap_manifest(man_new)
+
+    def _with_constraint_checks(
+        self, batch: DataFrame, cons: dict[str, str]
+    ) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
+        seq = F.col("event_sequence").cast("long")
+        wrapped = False
+        for name in sorted(cons):
+            ok = F.coalesce(F.expr(cons[name]).cast("boolean"), F.lit(True))
+            try:
+                batch.select(ok)  # eager analysis: resolvable against batch?
+            except AnalysisException:
+                continue  # column absent from this batch: skipped (see note)
+            cond = (F.col("op") == "D") | ok
+            msg = (
+                f"{self._CHECK_MARK}: constraint {name!r} "
+                f"CHECK ({cons[name]}) violated by a merge batch row"
+            )
+            # assert_true is NULL when cond holds, raises otherwise; the
+            # when() keeps seq's value while forcing the assert to evaluate
+            seq = F.when(F.assert_true(cond, F.lit(msg)).isNull(), seq)
+            wrapped = True
+        if not wrapped:
+            return batch
+        return batch.withColumn("event_sequence", seq.cast("long"))
+
     # ---- the MERGE (B7) -----------------------------------------------------
 
     def merge(
+        self,
+        batch_df: DataFrame,
+        *,
+        job: str = "default",
+        batch_id: int = 0,
+        counts: LineageCounts | None = None,
+        job_state: dict | None = None,
+        properties: dict | None = None,
+        finalize: Optional[Callable[[], tuple["LineageCounts", dict | None]]] = None,
+        staged: bool = False,
+    ) -> MergeResult:
+        """Apply one batch, exactly once, enforcing the table's persisted
+        CHECK constraints (see the constraints section above); the full
+        merge contract is documented on ``_merge_impl``."""
+        man = self._read_manifest()
+        cons = (man or {}).get("properties", {}).get("constraints", {})
+        if cons:
+            batch_df = self._with_constraint_checks(batch_df, cons)
+        try:
+            return self._merge_impl(
+                batch_df, job=job, batch_id=batch_id, counts=counts,
+                job_state=job_state, properties=properties,
+                finalize=finalize, staged=staged,
+            )
+        except (SinkCommitError, DuplicateBatchException):
+            raise
+        except Exception as e:
+            if self._CHECK_MARK in str(e):
+                import re as _re
+
+                m = _re.search(
+                    rf"{self._CHECK_MARK}: (constraint .*? violated by a "
+                    rf"merge batch row)", str(e), _re.S,
+                )
+                detail = m.group(1).replace("\n", " ") if m else "constraint violated"
+                raise SinkCommitError(
+                    f"merge rejected: {detail} — nothing was committed"
+                ) from e
+            raise
+
+    def _merge_impl(
         self,
         batch_df: DataFrame,
         *,
