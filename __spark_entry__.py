@@ -758,6 +758,44 @@ def _q_cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("repo", "path", "commit", "lang", "content_sha")
 
 
+def _q_cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic multi-clause MERGE INTO (plans/lake.py::merge_into) — the
+    Delta/Iceberg ``WHEN MATCHED UPDATE/DELETE + WHEN NOT MATCHED INSERT``
+    verb, compiled onto the guarded CDC merge (exactly-once, CHECK
+    constraints, bucket pruning all inherited). Replay the log, then merge a
+    deterministic source built FROM the golden state itself: every go/py row
+    rides as a matched probe (delete claims go, update rewrites py's lang)
+    and key-shifted copies of the py rows (repo || '~x') insert as new keys.
+    Oracle: the golden replay with the same three clauses applied
+    relationally."""
+    label = _sf_label(sf_dir)
+    target = os.path.join(FIXTURES, "_targets", f"{label}_mergeinto")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16)
+    job = (
+        IngestJob(f"mergeinto-{label}")
+        .source(_fixture_log(spark, sf_dir))
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=1)
+    final = table.read()
+    source = final.where(F.col("lang").isin("go", "py")).unionByName(
+        final.where(F.col("lang") == "py")
+        .withColumn("repo", F.concat(F.col("repo"), F.lit("~x")))
+        .withColumn("lang", F.lit("py-copy"))
+    )
+    table.merge_into(
+        source,
+        when_matched_delete=True,
+        delete_condition="t.lang = 'go'",
+        when_matched_update={"lang": F.lit("python")},
+        when_not_matched_insert="all",
+    )
+    return table.read().select("repo", "path", "commit", "lang", "content_sha")
+
+
 def _q_cdc_patch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-image CDC merge (operators/patch.py::normalize_patches) — the
     Debezium-column-filter / Maxwell-changed-columns-only feed: ~2/3 of U
@@ -2395,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_wap_publish": _q_cdc_wap_publish,
         "cdc_delete_where": _q_cdc_delete_where,
         "cdc_update_where": _q_cdc_update_where,
+        "cdc_merge_into": _q_cdc_merge_into,
         "cdc_patch_merge": _q_cdc_patch_merge,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_type_widening": _q_cdc_type_widening,
@@ -3283,6 +3322,19 @@ SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <=
     )
     assert out["cdc_delete_where"] != out["cdc_final_state"]  # replace() anchored
     assert out["cdc_update_where"] != out["cdc_final_state"]
+    # generic MERGE INTO twin: the golden state with the three clauses
+    # applied relationally — delete claims go, update maps py -> python,
+    # the key-shifted py copies (repo || '~x') insert as brand-new keys
+    out["cdc_merge_into"] = f"""
+WITH golden AS ({out["cdc_final_state"]})
+SELECT repo, path, commit,
+       CASE WHEN lang = 'py' THEN 'python' ELSE lang END AS lang,
+       content_sha
+FROM golden WHERE lang <> 'go'
+UNION ALL
+SELECT repo || '~x' AS repo, path, commit, 'py-copy' AS lang, content_sha
+FROM golden WHERE lang = 'py'
+"""
     # partial-image merge: global carry-forward replay of the patch log.
     # Per column, a row "sets" the value iff it is I/D (D sets NULL — delete
     # resets the patch base) or a non-null U; the effective image at each

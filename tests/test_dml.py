@@ -180,3 +180,186 @@ def test_iceberg_dml_sql_builders():
     assert next_seq_sql("cat.db.t") == (
         "SELECT coalesce(max(_seq), -1) + 1 AS next_seq FROM cat.db.t"
     )
+
+
+# ---- merge_into (generic multi-clause MERGE; Delta/Iceberg MERGE INTO) ----
+
+SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def src(spark, rows, schema=SRC_SCHEMA):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_merge_into_upsert_all(spark, tmp_path):
+    """update='all' + insert='all': matched rows take source values,
+    unmatched source rows insert, untouched table rows survive."""
+    t = seeded(spark, tmp_path)
+    res = t.merge_into(
+        src(
+            spark,
+            [
+                ("r1", "a.py", "c1", "py3", "AA"),   # matched -> update
+                ("r9", "new.rs", "c9", "rs", "nn"),  # unmatched -> insert
+            ],
+        ),
+        when_matched_update="all",
+        when_not_matched_insert="all",
+    )
+    assert res.applied
+    s = state(t)
+    assert s[("r1", "a.py", "c1")] == ("py3", "AA")
+    assert s[("r9", "new.rs", "c9")] == ("rs", "nn")
+    assert s[("r1", "b.go", "c1")] == ("go", "bb")  # untouched
+    assert len(s) == 5
+
+
+def test_merge_into_delete_claims_before_update(spark, tmp_path):
+    """Fixed clause order: a matched row satisfying the delete condition is
+    tombstoned and never seen by the update clause."""
+    t = seeded(spark, tmp_path)
+    t.merge_into(
+        src(spark, [("r1", "b.go", "c1", None, None), ("r2", "c.go", "c1", None, None)]),
+        when_matched_delete=True,
+        delete_condition="t.path = 'b.go'",
+        when_matched_update={"content": "upper(t.content)"},
+    )
+    s = state(t)
+    assert ("r1", "b.go", "c1") not in s          # deleted
+    assert s[("r2", "c.go", "c1")] == ("go", "CC")  # updated, not deleted
+    assert len(s) == 3
+
+
+def test_merge_into_conditions_and_mixed_sides(spark, tmp_path):
+    """update/insert conditions filter their clause; update exprs see both
+    sides (s. and t.)."""
+    t = seeded(spark, tmp_path)
+    t.merge_into(
+        src(
+            spark,
+            [
+                ("r1", "a.py", "c1", "PY", "xx"),    # matched, lang!=go -> no update
+                ("r1", "b.go", "c1", "GO", "yy"),    # matched, go -> update
+                ("r8", "skip.c", "c8", "c", "zz"),   # unmatched, lang='c' -> filtered out
+                ("r8", "keep.h", "c8", "h", "hh"),   # unmatched -> inserted
+            ],
+        ),
+        when_matched_update={"content": "concat(t.content, '+', s.content)"},
+        update_condition="t.lang = 'go'",
+        when_not_matched_insert="all",
+        insert_condition="s.lang <> 'c'",
+    )
+    s = state(t)
+    assert s[("r1", "a.py", "c1")] == ("py", "aa")       # condition false
+    assert s[("r1", "b.go", "c1")] == ("go", "bb+yy")    # both sides in expr
+    assert ("r8", "skip.c", "c8") not in s
+    assert s[("r8", "keep.h", "c8")] == ("h", "hh")      # 'all' takes lang from s
+    assert len(s) == 5
+
+
+def test_merge_into_insert_only_ignores_matches(spark, tmp_path):
+    t = seeded(spark, tmp_path)
+    t.merge_into(
+        src(spark, [("r1", "a.py", "c1", "XX", "XX"), ("r7", "n.py", "c7", "py", "nn")]),
+        when_not_matched_insert="all",
+    )
+    s = state(t)
+    assert s[("r1", "a.py", "c1")] == ("py", "aa")  # matched row untouched
+    assert s[("r7", "n.py", "c7")] == ("py", "nn")
+
+
+def test_merge_into_update_all_carries_absent_columns(spark, tmp_path):
+    """'all' with a source missing a table column: that column keeps the
+    TARGET value on update (and null-fills on insert)."""
+    t = seeded(spark, tmp_path)
+    narrow = T.StructType([T.StructField(c, T.StringType()) for c in
+                           ["repo", "path", "commit", "content"]])
+    t.merge_into(
+        src(spark, [("r1", "a.py", "c1", "NEW"), ("r6", "f.py", "c6", "ff")], narrow),
+        when_matched_update="all",
+        when_not_matched_insert="all",
+    )
+    s = state(t)
+    assert s[("r1", "a.py", "c1")] == ("py", "NEW")   # lang carried from target
+    assert s[("r6", "f.py", "c6")] == (None, "ff")    # lang null on insert
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, tmp_path):
+    t = seeded(spark, tmp_path)
+    pre = t.current_version()
+    with pytest.raises(SinkCommitError, match="multiple rows"):
+        t.merge_into(
+            src(spark, [("r7", "x.py", "c7", "py", "v1"), ("r7", "x.py", "c7", "py", "v2")]),
+            when_not_matched_insert="all",
+        )
+    assert t.current_version() == pre  # nothing committed
+    assert len(state(t)) == 4
+
+
+def test_merge_into_validation_errors(spark, tmp_path):
+    t = seeded(spark, tmp_path)
+    with pytest.raises(SinkCommitError, match="at least one clause"):
+        t.merge_into(src(spark, []))
+    with pytest.raises(SinkCommitError, match="without its clause"):
+        t.merge_into(src(spark, []), when_matched_update="all",
+                     insert_condition="true")
+    with pytest.raises(SinkCommitError, match="key/bucket"):
+        t.merge_into(src(spark, []), when_matched_update={"path": "s.path"})
+    with pytest.raises(SinkCommitError, match="unknown columns"):
+        t.merge_into(src(spark, []), when_matched_update={"nope": "s.path"})
+    with pytest.raises(SinkCommitError, match="missing key columns"):
+        t.merge_into(
+            spark.createDataFrame([("r1",)], "repo string"),
+            when_matched_update="all",
+        )
+
+
+def test_merge_into_lww_vs_log_straggler(spark, tmp_path):
+    """merge_into rows enter the log's total order one past the committed
+    max — a lower-sequence log straggler must not override them."""
+    t = seeded(spark, tmp_path)
+    t.merge_into(
+        src(spark, [("r1", "a.py", "c1", "py", "merged")]),
+        when_matched_update="all",
+    )
+    t.merge(ev(spark, [(12, "U", "r1", "a.py", "c1", "py", "late")]),
+            job="seed", batch_id=1)
+    assert state(t)[("r1", "a.py", "c1")] == ("py", "merged")
+    t.merge(ev(spark, [(99, "U", "r1", "a.py", "c1", "py", "newer")]),
+            job="seed", batch_id=2)
+    assert state(t)[("r1", "a.py", "c1")] == ("py", "newer")
+
+
+def test_merge_into_respects_check_constraints(spark, tmp_path):
+    """The generic merge compiles onto the guarded CDC merge, so persisted
+    CHECK constraints veto a violating update atomically."""
+    t = seeded(spark, tmp_path)
+    t.add_constraint("content_nonempty", "length(content) > 0")
+    with pytest.raises(SinkCommitError, match="content_nonempty"):
+        t.merge_into(
+            src(spark, [("r1", "a.py", "c1", "py", "")]),
+            when_matched_update="all",
+        )
+    assert state(t)[("r1", "a.py", "c1")] == ("py", "aa")
+
+
+def test_merge_into_on_mor_table_and_time_travel(spark, tmp_path):
+    t = seeded(spark, tmp_path, write_mode="mor")
+    pre = t.current_version()
+    t.merge_into(
+        src(spark, [("r1", "b.go", "c1", None, None), ("r5", "e.py", "c5", "py", "ee")]),
+        when_matched_delete=True,
+        when_not_matched_insert="all",
+    )
+    s = state(t)
+    assert ("r1", "b.go", "c1") not in s
+    assert s[("r5", "e.py", "c5")] == ("py", "ee")
+    assert t.read(version=pre).count() == 4

@@ -5,6 +5,8 @@ schema-evolved winners, and the guard riding the MERGE snapshot itself."""
 
 import inspect
 
+import pytest
+
 from pyspark.sql import types as T
 
 from wprdc_etl_spark.plans import iceberg as ice
@@ -179,3 +181,80 @@ def test_wap_branch_sql_builders():
         "CALL cat.system.fast_forward(table => 'db.t', "
         "branch => 'main', to => 'audit')"
     )
+
+
+def test_merge_into_sql_full_three_clause():
+    sql = ice.merge_into_sql(
+        "cat.db.t",
+        ["repo", "path"],
+        ["repo", "path", "lang", "content", "_seq", "_op"],
+        42,
+        update_assignments={"lang": "upper(s.lang)"},
+        update_condition="t.lang = 'go'",
+        when_matched_delete=True,
+        delete_condition="s.content IS NULL",
+        insert_assignments={"lang": "s.lang", "content": "s.content"},
+        insert_condition="s.lang <> 'c'",
+    )
+    assert sql.startswith(
+        "MERGE INTO cat.db.t t USING _merge_src s ON t.repo = s.repo AND t.path = s.path "
+    )
+    # ordered arms: delete first (claims its rows), update second — the
+    # lake verb's fixed clause order; every matched arm skips tombstones
+    d = sql.index("WHEN MATCHED AND t._op <> 'D' AND (s.content IS NULL) THEN UPDATE SET "
+                  "t._op = 'D', t._seq = 42, t.lang = NULL, t.content = NULL")
+    u = sql.index("WHEN MATCHED AND t._op <> 'D' AND (t.lang = 'go') THEN UPDATE SET "
+                  "t.lang = upper(s.lang), t._seq = 42, t._op = 'U'")
+    # resurrect arm: a tombstoned key is "not matched" in lake terms, so the
+    # insert clause lands as an UPDATE to the insert image over the tombstone
+    r = sql.index("WHEN MATCHED AND t._op = 'D' AND (s.lang <> 'c') THEN UPDATE SET "
+                  "t.lang = s.lang, t.content = s.content, t._seq = 42, t._op = 'I'")
+    i = sql.index("WHEN NOT MATCHED AND (s.lang <> 'c') THEN INSERT "
+                  "(repo, path, lang, content, _seq, _op) "
+                  "VALUES (s.repo, s.path, s.lang, s.content, 42, 'I')")
+    assert d < u < r < i
+
+
+def test_merge_into_sql_insert_fills_unassigned_with_null():
+    sql = ice.merge_into_sql(
+        "cat.db.t",
+        ["repo"],
+        ["repo", "lang", "content", "_seq", "_op"],
+        7,
+        insert_assignments={"content": "s.content"},
+    )
+    assert "VALUES (s.repo, NULL, s.content, 7, 'I')" in sql
+    # unconditional insert clause: resurrect arm matches ANY tombstone
+    assert "WHEN MATCHED AND t._op = 'D' THEN UPDATE SET" in sql
+    assert "WHEN NOT MATCHED THEN INSERT" in sql
+
+
+def test_merge_into_sql_update_only_touches_assigned_columns():
+    """Partial SET is precisely UPDATE semantics — unassigned columns keep
+    the target value because MERGE UPDATE only sets listed columns (unlike
+    merge_sql's full-image replace)."""
+    sql = ice.merge_into_sql(
+        "cat.db.t",
+        ["repo"],
+        ["repo", "lang", "content", "_seq", "_op"],
+        9,
+        update_assignments={"lang": "'golang'"},
+    )
+    assert ("THEN UPDATE SET t.lang = 'golang', t._seq = 9, t._op = 'U'") in sql
+    assert "t.content" not in sql  # untouched column never appears
+
+
+def test_merge_into_sql_validation():
+    cols = ["repo", "lang", "_seq", "_op"]
+    with pytest.raises(ValueError, match="at least one clause"):
+        ice.merge_into_sql("cat.db.t", ["repo"], cols, 1)
+    with pytest.raises(ValueError, match="key column"):
+        ice.merge_into_sql("cat.db.t", ["repo"], cols, 1,
+                           update_assignments={"repo": "s.repo"})
+    with pytest.raises(ValueError, match="unknown column"):
+        ice.merge_into_sql("cat.db.t", ["repo"], cols, 1,
+                           insert_assignments={"nope": "1"})
+    with pytest.raises(ValueError, match="unknown column"):
+        # internal columns are engine-managed, not assignable
+        ice.merge_into_sql("cat.db.t", ["repo"], cols, 1,
+                           update_assignments={"_seq": "0"})

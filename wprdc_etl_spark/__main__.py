@@ -40,7 +40,8 @@ def main() -> None:
                              "profile", "lookup", "sql", "vacuum", "lag", "schema-diff",
                              "index-sync", "grep", "scd2-sync", "joinview-sync",
                              "publish-all", "recover-txn", "abort-all",
-                             "bootstrap", "add-constraint", "drop-constraint"],
+                             "bootstrap", "add-constraint", "drop-constraint",
+                             "merge-into"],
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
@@ -118,8 +119,25 @@ def main() -> None:
                     help="delete/update modes: SQL predicate over the table "
                          "columns (e.g. \"repo = 'org/forgotten'\")")
     ap.add_argument("--set", action="append", default=None, metavar="COL=EXPR",
-                    help="update mode: column assignment as a SQL expression "
-                         "(repeatable); key/bucket columns are rejected")
+                    help="update/merge-into modes: column assignment as a SQL "
+                         "expression (repeatable); key/bucket columns are "
+                         "rejected; in merge-into the expression sees both "
+                         "sides as s.<col> / t.<col>")
+    ap.add_argument("--update-all", action="store_true",
+                    help="merge-into: WHEN MATCHED UPDATE every non-key table "
+                         "column present in the source (instead of --set)")
+    ap.add_argument("--update-where", default=None,
+                    help="merge-into: condition on the update clause (s./t.)")
+    ap.add_argument("--merge-delete", action="store_true",
+                    help="merge-into: WHEN MATCHED DELETE (claims its rows "
+                         "before the update clause sees them)")
+    ap.add_argument("--delete-where", default=None,
+                    help="merge-into: condition on the delete clause (s./t.)")
+    ap.add_argument("--insert-all", action="store_true",
+                    help="merge-into: WHEN NOT MATCHED INSERT the source "
+                         "columns by name (absent table columns null-fill)")
+    ap.add_argument("--insert-where", default=None,
+                    help="merge-into: condition on the insert clause (s.)")
     ap.add_argument("--regex", action="store_true",
                     help="grep mode: treat --query as a regex (trigram query "
                          "planning over its provably-required literals)")
@@ -506,6 +524,40 @@ def main() -> None:
         else:
             r = table.update_where(args.where, sets)
             print(f"update committed version {r.version}")
+        spark.stop()
+        return
+    if args.mode == "merge-into":
+        # generic multi-clause MERGE INTO (Delta/Iceberg parity): the source
+        # is an arbitrary parquet dir carrying the key columns; clauses map
+        # 1:1 onto ParquetSnapshotTable.merge_into / IcebergTable.merge_into
+        if not args.source:
+            ap.error("--source (the merge source parquet dir) is required "
+                     "in merge-into mode")
+        upd = None
+        if args.update_all:
+            upd = "all"
+        elif args.set:
+            upd = {}
+            for s in args.set:
+                if "=" not in s:
+                    ap.error(f"--set expects COL=EXPR, got {s!r}")
+                c, e = s.split("=", 1)
+                upd[c.strip()] = e.strip()
+        ins = "all" if args.insert_all else None
+        src = spark.read.parquet(args.source)
+        r = table.merge_into(
+            src,
+            when_matched_update=upd,
+            update_condition=args.update_where,
+            when_matched_delete=args.merge_delete,
+            delete_condition=args.delete_where,
+            when_not_matched_insert=ins,
+            insert_condition=args.insert_where,
+        )
+        if r is not None:
+            print(f"merge-into committed version {r.version}")
+        else:
+            print("merge-into applied")
         spark.stop()
         return
     if args.mode == "sql":

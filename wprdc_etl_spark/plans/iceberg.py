@@ -312,6 +312,77 @@ def update_where_sql(table: str, assignments: dict, predicate: str, seq: int) ->
     )
 
 
+def merge_into_sql(
+    table: str,
+    keys: list[str],
+    table_cols: list[str],
+    seq: int,
+    *,
+    update_assignments: dict | None = None,
+    update_condition: str | None = None,
+    when_matched_delete: bool = False,
+    delete_condition: str | None = None,
+    insert_assignments: dict | None = None,
+    insert_condition: str | None = None,
+) -> str:
+    """Generic multi-clause MERGE (the Iceberg twin of
+    ``ParquetSnapshotTable.merge_into``): ordered WHEN arms, first match
+    wins per row — delete, then update, exactly the lake verb's fixed
+    clause order. Assignments are SQL exprs over ``s.``/``t.`` (update) or
+    ``s.`` (insert); ``table_cols`` includes the internal ``_seq``/``_op``.
+
+    Two sink-model translations:
+
+    - the lake matches against LIVE rows; here a deleted key physically
+      exists as a tombstone, so every matched arm requires ``t._op <> 'D'``
+      and the insert clause gains a RESURRECT arm (matched tombstone →
+      UPDATE to the insert image at the new sequence) so a source row for a
+      deleted key inserts on both sinks.
+    - duplicate source key groups: Iceberg's MERGE itself raises on
+      multiple source rows matching one target row (the lake guard's
+      native equivalent); INSERT-side duplicates must be pre-asserted by
+      the caller (``IcebergTable.merge_into`` does).
+    """
+    if update_assignments is None and not when_matched_delete \
+            and insert_assignments is None:
+        raise ValueError("merge_into needs at least one clause")
+    data_cols = [c for c in table_cols if not c.startswith("_")]
+    for which, assigned in (("update", update_assignments), ("insert", insert_assignments)):
+        for c in (assigned or {}):
+            if c in keys:
+                raise ValueError(f"merge_into {which} cannot assign key column {c!r}")
+            if c not in data_cols:
+                raise ValueError(f"merge_into {which} targets unknown column {c!r}")
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    arms: list[str] = []
+    live = "t._op <> 'D'"
+    if when_matched_delete:
+        cond = f"{live} AND ({delete_condition})" if delete_condition else live
+        nulls = ", ".join(f"t.{c} = NULL" for c in data_cols if c not in keys)
+        sets = f"t._op = 'D', t._seq = {int(seq)}" + (f", {nulls}" if nulls else "")
+        arms.append(f"WHEN MATCHED AND {cond} THEN UPDATE SET {sets}")
+    if update_assignments is not None:
+        cond = f"{live} AND ({update_condition})" if update_condition else live
+        sets = ", ".join(f"t.{c} = {e}" for c, e in update_assignments.items())
+        sets = (f"{sets}, " if sets else "") + f"t._seq = {int(seq)}, t._op = 'U'"
+        arms.append(f"WHEN MATCHED AND {cond} THEN UPDATE SET {sets}")
+    if insert_assignments is not None:
+        image = {
+            c: (f"s.{c}" if c in keys else insert_assignments.get(c, "NULL"))
+            for c in data_cols
+        }
+        # resurrect arm: a tombstoned key is "not matched" in lake terms
+        rcond = "t._op = 'D'" + (f" AND ({insert_condition})" if insert_condition else "")
+        rsets = ", ".join(f"t.{c} = {e}" for c, e in image.items() if c not in keys)
+        rsets = (f"{rsets}, " if rsets else "") + f"t._seq = {int(seq)}, t._op = 'I'"
+        arms.append(f"WHEN MATCHED AND {rcond} THEN UPDATE SET {rsets}")
+        icond = f" AND ({insert_condition})" if insert_condition else ""
+        cols = ", ".join([*image, "_seq", "_op"])
+        vals = ", ".join([*image.values(), str(int(seq)), "'I'"])
+        arms.append(f"WHEN NOT MATCHED{icond} THEN INSERT ({cols}) VALUES ({vals})")
+    return f"MERGE INTO {table} t USING _merge_src s ON {on} " + " ".join(arms)
+
+
 def next_seq_sql(table: str) -> str:
     """Driver-side next-sequence probe for the DML verbs (parquet-stats-
     backed max aggregate; no shuffle)."""
@@ -580,6 +651,60 @@ class IcebergTable(LakeTable):
         self.spark.sql(
             update_where_sql(self.table, assignments, predicate, self._next_seq())
         )
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        *,
+        when_matched_update: dict | str | None = None,
+        update_condition: str | None = None,
+        when_matched_delete: bool = False,
+        delete_condition: str | None = None,
+        when_not_matched_insert: dict | str | None = None,
+        insert_condition: str | None = None,
+    ) -> None:
+        """``ParquetSnapshotTable.merge_into`` drop-in over the native
+        MERGE (``merge_into_sql``). ``'all'`` normalizes exactly like the
+        lake verb: source columns present in the table, by name. Duplicate
+        source key groups are pre-asserted (Iceberg's MERGE only catches
+        matched-side duplicates natively; insert-side dupes would land
+        twice) — rejected BEFORE the MERGE runs, so nothing commits."""
+        table_cols = [f.name for f in self.spark.table(self.table).schema.fields]
+        data_cols = [c for c in table_cols if not c.startswith("_")]
+
+        def _norm(clause):
+            if clause == "all":
+                return {
+                    c: f"s.{c}" for c in data_cols
+                    if c not in self.keys and c in source.columns
+                }
+            return dict(clause)
+
+        update = _norm(when_matched_update) if when_matched_update is not None else None
+        insert = _norm(when_not_matched_insert) if when_not_matched_insert is not None else None
+        missing = [k for k in self.keys if k not in source.columns]
+        if missing:
+            raise SinkCommitError(f"merge_into source missing key columns {missing}")
+        try:
+            sql = merge_into_sql(
+                self.table, self.keys, table_cols, self._next_seq(),
+                update_assignments=update, update_condition=update_condition,
+                when_matched_delete=when_matched_delete,
+                delete_condition=delete_condition,
+                insert_assignments=insert, insert_condition=insert_condition,
+            )
+        except ValueError as e:
+            raise SinkCommitError(str(e)) from e
+        dup = (
+            source.groupBy(*self.keys).count().where(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise SinkCommitError(
+                "merge_into rejected: the source has multiple rows for one "
+                "key group (ambiguous merge) — nothing was committed"
+            )
+        source.createOrReplaceTempView("_merge_src")
+        self.spark.sql(sql)
 
     def rebucket(self, old_n_buckets: int, new_n_buckets: int) -> None:
         """Partition-spec evolution: new writes use the new bucket count;

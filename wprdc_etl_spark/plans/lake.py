@@ -1458,6 +1458,169 @@ class ParquetSnapshotTable(LakeTable):
         last = self.last_committed_batch(job)
         return self.merge(batch, job=job, batch_id=0 if last is None else last + 1)
 
+    _DUP_SRC_MARK = "MERGE-INTO-DUPLICATE-SOURCE-KEY"
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        *,
+        when_matched_update: dict | str | None = None,
+        update_condition: Column | str | None = None,
+        when_matched_delete: bool = False,
+        delete_condition: Column | str | None = None,
+        when_not_matched_insert: dict | str | None = None,
+        insert_condition: Column | str | None = None,
+        job: str = "__dml__",
+    ) -> MergeResult:
+        """Generic ``MERGE INTO table t USING source s ON <table keys>`` —
+        the Delta/Iceberg multi-clause merge, compiled onto the guarded CDC
+        merge (so CHECK constraints, WAP staging, exactly-once and bucket
+        pruning all apply unchanged). The ON condition is fixed to key
+        equality: the table's LWW identity IS its merge identity — an
+        arbitrary ON would produce rows the engine cannot address.
+
+        Clauses (each optional, at least one required):
+
+        - ``when_matched_delete`` (+ ``delete_condition``): matched rows
+          (satisfying the condition) become 'D' tombstones. Evaluated FIRST
+          — a row claimed by delete is not seen by update (fixed clause
+          order; Delta's ordered WHEN list collapsed to delete-then-update).
+        - ``when_matched_update``: ``{col: expr}`` or ``"all"``. Exprs (SQL
+          strings or Columns) see BOTH sides as ``s.<col>`` / ``t.<col>``;
+          unassigned table columns carry the old value. ``"all"`` assigns
+          every non-key table column present in the source from ``s``.
+        - ``when_not_matched_insert``: ``{col: expr}`` (over ``s`` only) or
+          ``"all"`` (source columns by name, absent table columns null).
+
+        Assignments cannot target key/bucket columns (update_where's rule)
+        and must target existing table columns — schema evolution stays on
+        the ingest path. Duplicate source rows for one key whose actions
+        survive their clause conditions are rejected (Delta's multiple-
+        source-rows-match error): two same-key rows in one batch would tie
+        on the LWW order key and resolve arbitrarily. The guard rides the
+        batch's event_sequence expression (same zero-extra-scan idiom as
+        CHECK constraints), so it costs one window over the source-sized
+        batch, not an extra action.
+        """
+        man = self._require_manifest()
+        if when_matched_update is None and not when_matched_delete \
+                and when_not_matched_insert is None:
+            raise SinkCommitError("merge_into needs at least one clause")
+        for cond, clause_on, name in (
+            (update_condition, when_matched_update is not None, "update_condition"),
+            (delete_condition, when_matched_delete, "delete_condition"),
+            (insert_condition, when_not_matched_insert is not None, "insert_condition"),
+        ):
+            if cond is not None and not clause_on:
+                raise SinkCommitError(f"merge_into: {name} given without its clause")
+        table_schema = T.StructType.fromJson(man["schema"])
+        table_cols = table_schema.fieldNames()
+        keyish = set(self.keys) | set(man.get("bucket_keys", self.bucket_keys))
+        missing = [k for k in self.keys if k not in source.columns]
+        if missing:
+            raise SinkCommitError(f"merge_into source missing key columns {missing}")
+
+        def _norm_assign(clause, which: str) -> dict:
+            if clause == "all":
+                # source columns by name; a table column absent from the
+                # source keeps the target value (update) / null-fills (insert)
+                # via _image's fallbacks
+                clause = {
+                    c: F.col(f"s.{c}")
+                    for c in table_cols
+                    if c not in self.keys and c in source.columns
+                }
+            bad = sorted(set(clause) & keyish)
+            if bad:
+                raise SinkCommitError(
+                    f"merge_into {which} cannot assign key/bucket columns {bad}"
+                )
+            unknown = sorted(set(clause) - set(table_cols))
+            if unknown:
+                raise SinkCommitError(
+                    f"merge_into {which} targets unknown columns {unknown}"
+                )
+            return {
+                c: (F.expr(v) if isinstance(v, str) else v)
+                for c, v in clause.items()
+            }
+
+        def _cond(c) -> Column:
+            if c is None:
+                return F.lit(True)
+            return F.expr(c) if isinstance(c, str) else c
+
+        # match against the staged head (same scope as update/delete_where)
+        tgt = self.read_staged().alias("t")
+        src = source.alias("s")
+        on = [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in self.keys]
+        branches: list[DataFrame] = []
+
+        def _image(df: DataFrame, assigned: dict, op: str, side: str) -> DataFrame:
+            cols = []
+            for f in table_schema.fields:
+                if f.name in self.keys:
+                    cols.append(F.col(f"s.{f.name}").cast(f.dataType).alias(f.name))
+                elif op == "D":
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                elif f.name in assigned:
+                    cols.append(assigned[f.name].cast(f.dataType).alias(f.name))
+                elif side == "t":
+                    cols.append(F.col(f"t.{f.name}").cast(f.dataType).alias(f.name))
+                else:  # insert of a column the clause didn't set
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            return df.select(*cols, F.lit(op).alias("op"))
+
+        if when_matched_delete or when_matched_update is not None:
+            matched = src.join(tgt, on, "inner")
+            claimed = F.lit(False)
+            if when_matched_delete:
+                dcond = _cond(delete_condition)
+                branches.append(_image(matched.where(dcond), {}, "D", "t"))
+                claimed = F.coalesce(dcond, F.lit(False))
+            if when_matched_update is not None:
+                assigned = _norm_assign(when_matched_update, "update")
+                ucond = _cond(update_condition) & ~claimed
+                branches.append(_image(matched.where(ucond), assigned, "U", "t"))
+        if when_not_matched_insert is not None:
+            assigned = _norm_assign(when_not_matched_insert, "insert")
+            unmatched = src.join(tgt, on, "left_anti").alias("s")
+            branches.append(
+                _image(unmatched.where(_cond(insert_condition)), assigned, "I", "s")
+            )
+
+        batch = branches[0]
+        for b in branches[1:]:
+            batch = batch.unionByName(b)
+        seq = self._next_seq(man)
+        # duplicate-source-key guard: branches are key-disjoint by
+        # construction, so >1 row per key in the final batch ⟺ duplicate
+        # keys in the source. assert_true rides event_sequence (prune-proof).
+        from pyspark.sql.window import Window as _W
+
+        n_per_key = F.count(F.lit(1)).over(_W.partitionBy(*self.keys))
+        guard = F.assert_true(
+            n_per_key == 1,
+            F.lit(f"{self._DUP_SRC_MARK}: merge_into source has multiple rows "
+                  f"for one key group — the merge would be ambiguous"),
+        )
+        batch = batch.withColumn(
+            "event_sequence",
+            F.when(guard.isNull(), F.lit(seq)).cast("long"),
+        )
+        last = self.last_committed_batch(job)
+        try:
+            return self.merge(batch, job=job, batch_id=0 if last is None else last + 1)
+        except SinkCommitError:
+            raise
+        except Exception as e:
+            if self._DUP_SRC_MARK in str(e):
+                raise SinkCommitError(
+                    "merge_into rejected: the source has multiple rows for one "
+                    "key group (ambiguous merge) — nothing was committed"
+                ) from e
+            raise
+
     def read_lineage(self) -> DataFrame:
         man = self._require_manifest()
         dirs = [os.path.join(self.root, rel) for rel in man["lineage"]]
