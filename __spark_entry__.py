@@ -258,6 +258,102 @@ def _q_cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns (plans/lake.py generated-columns section — Delta
+    ``GENERATED ALWAYS AS`` analog): ``content_len = length(content)`` is
+    declared BEFORE ingest as a persisted table property, so every merge
+    batch of the replay computes it at merge time (the CDC feed never
+    carries it) under the same zero-extra-action guard idiom as CHECK
+    constraints. Oracle: the golden replay with the same expression applied
+    relationally."""
+    label = _sf_label(sf_dir)
+    target = os.path.join(FIXTURES, "_targets", f"{label}_gencol")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16)
+    job = (
+        IngestJob(f"gencol-{label}")
+        .source(_fixture_log(spark, sf_dir))
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    table.ensure(job.target_schema())
+    table.add_generated_column("content_len", "length(content)")
+    job.run_batch(spark, n_chunks=2)
+    return table.read().select(
+        "repo", "path", "commit", "lang", "content_sha", "content_len"
+    )
+
+
+def _q_cdc_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic multi-writer commit (plans/lake.py::_rebase_commit —
+    Iceberg's commit-retry, re-expressed over bucket entries): the log's
+    first half seeds the table; the second half splits by BUCKET PARITY
+    (the table's own routing hash) across two independent jobs whose
+    commits interleave — writer B's merge derives from the manifest writer
+    A's commit obsoletes (its handle is pinned to the pre-A manifest,
+    reproducing exactly the stale-read window of a true race), so B can
+    land ONLY via the rebase path. The query RAISES unless the rebase
+    actually fired and produced head+1; the final state must equal the
+    single-writer golden replay — concurrency changes commit mechanics,
+    never content."""
+    import json as _json
+
+    label = _sf_label(sf_dir)
+    base_dir = os.path.join(FIXTURES, "_targets", f"{label}_ccw")
+    shutil.rmtree(base_dir, ignore_errors=True)
+    target = os.path.join(base_dir, "tbl")
+    nb = 16
+    ev = _events(spark, sf_dir)
+    cut = ev.agg(F.max("event_sequence")).collect()[0][0] // 2
+    half = F.pmod(F.xxhash64("repo", "path"), F.lit(nb)) < nb // 2
+    logs = {
+        "seed": ev.where(F.col("event_sequence") <= cut),
+        "a": ev.where((F.col("event_sequence") > cut) & half),
+        "b": ev.where((F.col("event_sequence") > cut) & ~half),
+    }
+    for name, df in logs.items():
+        df.write.parquet(os.path.join(base_dir, f"log_{name}"))
+
+    def job(name: str, table: ParquetSnapshotTable):
+        return (
+            IngestJob(f"ccw{name}-{label}")
+            .source(os.path.join(base_dir, f"log_{name}"))
+            .schema(IngestJob.default_payload_schema())
+            .sink(table)
+            .build()
+        )
+
+    ta = ParquetSnapshotTable(spark, target, n_buckets=nb, retain_history=4)
+    job("seed", ta).run_batch(spark, n_chunks=1)
+    base_man = _json.load(open(ta._manifest_path))
+
+    # writer B reads its base BEFORE A commits (the stale-read window) …
+    tb = ParquetSnapshotTable(spark, target, n_buckets=nb, retain_history=4)
+    tb._require_manifest = lambda: _json.loads(_json.dumps(base_man))
+    rebase_fired = {}
+    orig = tb._rebase_commit
+
+    def spy(*a, **kw):
+        out = orig(*a, **kw)
+        rebase_fired["ok"] = out is not None
+        return out
+
+    tb._rebase_commit = spy
+
+    # … then A commits, then B commits from the stale base
+    job("a", ta).run_batch(spark, n_chunks=1)
+    va = ta.current_version()
+    job("b", tb).run_batch(spark, n_chunks=1)
+
+    if not rebase_fired.get("ok"):
+        raise AssertionError("writer B did not land via the rebase path")
+    fresh = ParquetSnapshotTable(spark, target, n_buckets=nb)
+    if fresh.current_version() != va + 1:
+        raise AssertionError("rebased commit must be exactly head+1")
+    return fresh.read().select("repo", "path", "commit", "lang", "content_sha")
+
+
 def _q_cdc_publish_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Atomic multi-table publish (plans/txn_commit.py::MultiTablePublish —
     2PC over WAP chains): the routed fan-out replays STAGED (prepare), so
@@ -2420,6 +2516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_bootstrap_handoff": _q_cdc_bootstrap_handoff,
         "cdc_route": _q_cdc_route,
         "cdc_publish_atomic": _q_cdc_publish_atomic,
+        "cdc_concurrent_writers": _q_cdc_concurrent_writers,
+        "cdc_generated_columns": _q_cdc_generated_columns,
         "cdc_txn_apply": _q_cdc_txn_apply,
         "cdc_lag": _q_cdc_lag,
         "cdc_point_lookup": _q_cdc_point_lookup,
@@ -3305,6 +3403,15 @@ SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <=
     )
     # a staged (WAP) replay, once published, equals the golden replay
     out["cdc_wap_publish"] = out["cdc_final_state"]
+    # two interleaved writers over a bucket-parity split of the log: the
+    # rebase changes commit mechanics, never content — golden replay again
+    out["cdc_concurrent_writers"] = out["cdc_final_state"]
+    # generated column: the golden replay extended by the same expression
+    out["cdc_generated_columns"] = golden_final_state_sql(
+        _oracle_log(),
+        select_expr="repo, path, commit, lang, sha256(content) AS content_sha, "
+                    "length(content) AS content_len",
+    )
     # the atomically-published staged fan-out equals the plain fan-out —
     # the coordinator changes visibility timing, never the final state
     out["cdc_publish_atomic"] = out["cdc_route"]

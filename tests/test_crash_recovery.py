@@ -25,10 +25,10 @@ def crash_table(spark, root, crash_at: str):
     if crash_at == "manifest":
         orig = t._swap_manifest
 
-        def boom(man):
+        def boom(man, **kw):
             if man["version"] > 0:  # let ensure() through
                 raise CrashBefore("crash before manifest swap")
-            orig(man)
+            return orig(man, **kw)
 
         t._swap_manifest = boom
     elif crash_at == "lineage":
@@ -75,8 +75,9 @@ def test_orphan_dirs_gced_after_crash(spark, tmp_path):
     bad = crash_table(spark, root, "manifest")
     with pytest.raises(CrashBefore):
         bad.merge(ev(spark, [(1, "U", "r", "p", "c", "py", "y")]), job="j", batch_id=1)
-    orphans = set(os.listdir(os.path.join(root, "data")))
-    assert "v2" in orphans  # crashed attempt left files
+    orphans = {n for n in os.listdir(os.path.join(root, "data")) if not n.startswith(".")}
+    # crashed attempt left files (attempt dirs are token-suffixed: v2_w<tok>)
+    assert any(n.startswith("v2") for n in orphans)
 
     fresh = ParquetSnapshotTable(spark, root, n_buckets=4)
     fresh.merge(ev(spark, [(1, "U", "r", "p", "c", "py", "y")]), job="j", batch_id=1)

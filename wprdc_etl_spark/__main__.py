@@ -41,7 +41,7 @@ def main() -> None:
                              "index-sync", "grep", "scd2-sync", "joinview-sync",
                              "publish-all", "recover-txn", "abort-all",
                              "bootstrap", "add-constraint", "drop-constraint",
-                             "merge-into"],
+                             "merge-into", "add-generated", "drop-generated"],
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
@@ -88,6 +88,14 @@ def main() -> None:
                          "existing rows are validated before the property "
                          "commits, and every later merge through any handle "
                          "enforces it")
+    ap.add_argument("--column", default=None,
+                    help="add-generated/drop-generated modes: the generated "
+                         "column name")
+    ap.add_argument("--expr", default=None,
+                    help="add-generated mode: the GENERATED ALWAYS AS "
+                         "expression (SQL over the table columns); merges "
+                         "compute it when the batch lacks the column and "
+                         "equality-assert it when a producer carries it")
     ap.add_argument("--dim", default=None,
                     help="joinview-sync mode: dim TABLE root")
     ap.add_argument("--dim-keys", default="lang",
@@ -320,6 +328,23 @@ def main() -> None:
         else:
             table.drop_constraint(args.constraint_name)
             print(f"constraint {args.constraint_name!r} dropped")
+        spark.stop()
+        return
+    if args.mode in ("add-generated", "drop-generated"):
+        if args.sink == "iceberg":
+            ap.error("generated columns are a parquet-snapshot sink feature "
+                     "(the Iceberg spec has no generated columns)")
+        if not args.column:
+            ap.error("--column is required in add-generated/drop-generated modes")
+        if args.mode == "add-generated":
+            if not args.expr:
+                ap.error("--expr is required in add-generated mode")
+            table.add_generated_column(args.column, args.expr)
+            print(f"generated column {args.column!r} added: ({args.expr})")
+        else:
+            table.drop_generated_column(args.column)
+            print(f"generated column {args.column!r} dropped (values kept as "
+                  f"ordinary data)")
         spark.stop()
         return
     if args.mode == "joinview-sync":

@@ -73,6 +73,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -100,6 +101,7 @@ class MergeResult:
     n_affected_buckets: int = 0
     strategy: str = ""
     skipped_reason: str = ""
+    rebased: bool = False  # commit landed via optimistic rebase onto a newer head
 
 
 @dataclass
@@ -376,6 +378,7 @@ class ParquetSnapshotTable(LakeTable):
         bucket_keys: list[str] | None = None,
         retain_history: int | None = None,
         cluster_within_buckets: list[str] | None = None,
+        optimistic_rebase: bool = True,
     ) -> None:
         """``write_mode`` — the write-amplification control (LSM-style):
 
@@ -437,6 +440,7 @@ class ParquetSnapshotTable(LakeTable):
         if retain_history is not None and retain_history < 0:
             raise SinkCommitError(f"retain_history must be >= 0, got {retain_history}")
         self._retain_history = retain_history
+        self.optimistic_rebase = optimistic_rebase
         # Data-skipping layout knob (the Z-ORDER-lite / CLUSTER BY analog):
         # sort rows by these columns WITHIN each write task before the
         # parquet write (sortWithinPartitions — no extra shuffle). Clustered
@@ -485,6 +489,69 @@ class ParquetSnapshotTable(LakeTable):
 
     _LOCK_TIMEOUT_S = 10.0   # how long a committer waits for the lock
     _LOCK_STALE_S = 60.0     # a lock older than this is a crashed writer's
+    _INFLIGHT_STALE_S = 3600.0  # an in-flight write marker older than this
+    #                             is a crashed writer's (vacuum-grace scale:
+    #                             markers outlive any sane write duration)
+
+    def _begin_attempt(self) -> str:
+        """Register an in-flight commit attempt: a token that uniquifies the
+        attempt's data/lineage dir names AND a ``data/.inflight.<token>``
+        marker protecting those dirs from a CONCURRENT writer's in-commit
+        orphan GC (without it, writer A committing version N+1 could sweep
+        writer B's still-being-written attempt dirs — B's version embeds the
+        shared base+1, which is already < A's head). The marker is removed
+        on any non-crash exit (``_end_attempt`` in the merge's finally); a
+        hard crash leaves it, and GC honors it only until
+        ``_INFLIGHT_STALE_S`` — after that the dir is an ordinary orphan."""
+        token = uuid.uuid4().hex[:12]
+        d = os.path.join(self.root, "data")
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, f".inflight.{token}")
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write(f"{os.getpid()}\n")
+        self._attempt_marker = marker
+        return token
+
+    def _end_attempt(self) -> None:
+        marker = getattr(self, "_attempt_marker", None)
+        if marker:
+            try:
+                os.remove(marker)
+            except OSError:
+                pass
+            self._attempt_marker = None
+
+    def _inflight_tokens(self) -> set[str]:
+        """Tokens of live (non-stale) in-flight attempt markers; stale
+        markers are swept as a side effect."""
+        d = os.path.join(self.root, "data")
+        out: set[str] = set()
+        if not os.path.isdir(d):
+            return out
+        now = time.time()
+        for name in os.listdir(d):
+            if not name.startswith(".inflight."):
+                continue
+            path = os.path.join(d, name)
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                continue
+            if age <= self._INFLIGHT_STALE_S:
+                out.add(name[len(".inflight."):])
+            else:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+        return out
+
+    @staticmethod
+    def _attempt_token_of(dirname: str) -> str | None:
+        """The attempt token embedded in a dir name (``v{N}_w{token}`` /
+        ``l{N}_w{token}``), or None for legacy/rewrite names."""
+        m = re.search(r"_w([0-9a-f]{12})", dirname)
+        return m.group(1) if m else None
 
     def _acquire_commit_lock(self) -> str:
         """Exclusive short-lived commit lock (O_CREAT|O_EXCL — atomic on
@@ -542,33 +609,47 @@ class ParquetSnapshotTable(LakeTable):
                     )
                 time.sleep(0.05)
 
-    def _swap_manifest(self, manifest: dict) -> None:
+    def _swap_manifest(
+        self,
+        manifest: dict,
+        rebase: Optional[Callable[[dict], dict | None]] = None,
+    ) -> dict:
         """The commit point: compare-and-swap under a short exclusive lock,
         then write-then-rename (atomic on POSIX). The CAS closes the
         concurrent-writer race: every committer derives ``version = base+1``
         from the manifest it read, so if the on-disk version no longer
         equals ``base`` another writer committed in between — losing that
         writer's bucket updates by last-write-wins would silently corrupt
-        the table, so the late committer gets a clean ``SinkCommitError``
-        (retry = re-read + re-merge). The same bytes are also snapshotted to
-        an immutable ``history/manifest.v{N}.json`` (the Iceberg
-        metadata-file analog) so past versions stay addressable for time
-        travel / audit — written BEFORE the swap, and a write failure fails
-        the commit: under write-audit-publish the published version is
-        resolved *through* this snapshot, so losing it silently would brick
-        every read() for the audit window. A crash between snapshot and swap
-        leaves only an orphan history file for a version that never
-        committed — inert (``_manifest_at`` rejects versions beyond the
-        head) and overwritten by the retried commit."""
-        if self._retain_history is not None:
-            # persist the explicitly-configured retention as a table
-            # property so later handles (maintenance verbs, other processes)
-            # opened without the flag honor the same window
-            manifest.setdefault("properties", {})["retain_history"] = (
-                self._retain_history
-            )
-        manifest["committed_at_ms"] = int(time.time() * 1000)
-        payload = json.dumps(manifest, indent=1, sort_keys=True)
+        the table. ``rebase`` (Iceberg's optimistic-concurrency retry,
+        decided HERE, under the lock, race-free): given the CURRENT head it
+        may return a rebased manifest at ``head+1`` re-applying this
+        commit's deltas on top — see ``_rebase_commit`` for when that is
+        provably safe — or None, in which case the late committer gets a
+        clean ``SinkCommitError`` (retry = re-read + re-merge). The
+        committed bytes are also snapshotted to an immutable
+        ``history/manifest.v{N}.json`` (the Iceberg metadata-file analog)
+        so past versions stay addressable for time travel / audit — written
+        BEFORE the swap, and a write failure fails the commit: under
+        write-audit-publish the published version is resolved *through*
+        this snapshot, so losing it silently would brick every read() for
+        the audit window. A crash between snapshot and swap leaves only an
+        orphan history file for a version that never committed — inert
+        (``_manifest_at`` rejects versions beyond the head) and overwritten
+        by the retried commit. Returns the manifest that actually committed
+        (== input, or the rebased one)."""
+
+        def _finalize(man: dict) -> str:
+            if self._retain_history is not None:
+                # persist the explicitly-configured retention as a table
+                # property so later handles (maintenance verbs, other
+                # processes) opened without the flag honor the same window
+                man.setdefault("properties", {})["retain_history"] = (
+                    self._retain_history
+                )
+            man["committed_at_ms"] = int(time.time() * 1000)
+            return json.dumps(man, indent=1, sort_keys=True)
+
+        payload = _finalize(manifest)
         tmp = os.path.join(self.root, f"manifest.tmp.{uuid.uuid4().hex}")
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(payload)
@@ -587,15 +668,29 @@ class ParquetSnapshotTable(LakeTable):
                         f"(version {cur_v})"
                     )
             elif cur_v != expected_prior:
-                os.remove(tmp)
-                raise SinkCommitError(
-                    f"concurrent writer: table at {self.root} is at version "
-                    f"{cur_v}, expected {expected_prior} — another commit "
-                    f"landed since this batch read the manifest; re-read and "
-                    f"re-apply (single-writer-per-table is the supported "
-                    f"deployment; this guard turns a silent lost-update into "
-                    f"a clean failure)"
+                rebased = (
+                    rebase(current)
+                    if rebase is not None and current is not None
+                    else None
                 )
+                if rebased is None:
+                    os.remove(tmp)
+                    raise SinkCommitError(
+                        f"concurrent writer: table at {self.root} is at version "
+                        f"{cur_v}, expected {expected_prior} — another commit "
+                        f"landed since this batch read the manifest and the "
+                        f"changes cannot be rebased safely (overlapping "
+                        f"buckets, schema/property divergence, or a staged "
+                        f"chain); re-read and re-apply (this guard turns a "
+                        f"silent lost-update into a clean failure)"
+                    )
+                assert rebased["version"] == cur_v + 1
+                manifest = rebased
+                payload = _finalize(manifest)
+                with open(tmp, "w", encoding="utf-8") as fh:
+                    fh.write(payload)
+                    fh.flush()
+                    os.fsync(fh.fileno())
             try:
                 hdir = os.path.join(self.root, "history")
                 os.makedirs(hdir, exist_ok=True)
@@ -619,6 +714,115 @@ class ParquetSnapshotTable(LakeTable):
                 os.remove(lock)
             except OSError:
                 pass
+        return manifest
+
+    def _rebase_commit(
+        self,
+        base: dict,
+        man_new: dict,
+        current: dict,
+        touched: list[int],
+        job: str,
+        batch_id: int,
+        staged: bool = False,
+    ) -> dict | None:
+        """Iceberg-style optimistic concurrency: decide, under the commit
+        lock, whether THIS commit (derived from ``base``, intended as
+        ``man_new``) can re-apply on top of ``current`` (another writer's
+        head). Safe exactly when the two commits are INDEPENDENT:
+
+        - every bucket this commit rewrote is bit-identical between base
+          and current (the other writer touched a disjoint bucket set), so
+          our rewrite — computed against base's bucket contents — is equally
+          valid against current's;
+        - schema, table properties (constraints!), key/bucket layout are
+          unchanged (a concurrent evolution would invalidate our aligned
+          write or un-checked constraints);
+        - the other writer is a DIFFERENT job and the guard map only grew
+          (a same-job concurrent commit is an ordering hazard; a shrunk or
+          rewound guard means truncate/rollback landed — semantic conflict);
+        - no write-audit-publish chain is open on either side and this
+          commit is not itself staged (publish resolution must stay linear).
+
+        On success returns the rebased manifest at ``current.version + 1``:
+        current's state plus our touched buckets, guard entry, job state and
+        lineage. Data files need no rework — attempt dirs are uniquely named
+        (``v{N}_w{token}``) so both writers' files coexist, and the rebased
+        manifest simply references ours. Anything else returns None (clean
+        conflict error upstream). Reference: Iceberg's commit path
+        (SnapshotProducer retry with conflict detection by partition/file
+        overlap), re-expressed over bucket entries.
+
+        Deployment note: a concurrent writer reads its BASE snapshot's data
+        dirs while other commits advance the head, so multi-writer tables
+        must run with ``retain_history`` covering the longest in-flight
+        merge (≥1 version per concurrent writer) — otherwise the stale
+        reader's scan can hit GC'd dirs mid-merge (exactly Iceberg's
+        expire-snapshots-vs-long-running-reader contract)."""
+        if not self.optimistic_rebase or staged:
+            return None
+        if base.get("published_version") not in (None, base["version"]):
+            return None
+        if current.get("published_version") not in (None, current["version"]):
+            return None
+        if current["version"] <= base["version"]:
+            return None  # head moved backwards: manual surgery — bail
+        if current.get("n_buckets") != base.get("n_buckets"):
+            return None
+        if current.get("bucket_keys") != base.get("bucket_keys"):
+            return None
+        if current.get("keys") != base.get("keys"):
+            return None
+        if current["schema"] != base["schema"]:
+            return None
+        if current.get("properties", {}) != base.get("properties", {}):
+            return None
+        if current["committed"].get(job) != base["committed"].get(job):
+            return None
+        # guard map must have only GROWN — every job base knew is still
+        # present at the same-or-later batch id (truncate empties it,
+        # rollback rewinds it: both are semantic conflicts, never rebased)
+        for j, b in base["committed"].items():
+            cur_b = current["committed"].get(j)
+            if cur_b is None or int(cur_b) < int(b):
+                return None
+        czones = current.get("bucket_zones", {})
+        bzones = base.get("bucket_zones", {})
+        crows = current.get("bucket_rows", {})
+        brows_ = base.get("bucket_rows", {})
+        for b in touched:
+            bs = str(b)
+            if current["buckets"].get(bs) != base["buckets"].get(bs):
+                return None
+            if czones.get(bs) != bzones.get(bs) or crows.get(bs) != brows_.get(bs):
+                return None
+        reb = dict(current)
+        reb["version"] = current["version"] + 1
+        reb["schema"] = man_new["schema"] if "schema" in man_new else current["schema"]
+        for field in ("buckets", "bucket_rows", "bucket_zones"):
+            merged = dict(current.get(field, {}))
+            ours = man_new.get(field, {})
+            for b in touched:
+                bs = str(b)
+                if bs in ours:
+                    merged[bs] = ours[bs]
+            reb[field] = merged
+        reb["committed"] = {**current["committed"], job: batch_id}
+        if job in man_new.get("state", {}):
+            reb["state"] = {**current.get("state", {}), job: man_new["state"][job]}
+        # our commit may ADD properties (merge(properties=...)); base and
+        # current properties are equal (checked), so overlaying ours is safe
+        if man_new.get("properties", {}) != base.get("properties", {}):
+            reb["properties"] = {
+                **current.get("properties", {}),
+                **man_new.get("properties", {}),
+            }
+        base_lineage = set(base.get("lineage", []))
+        reb["lineage"] = list(current.get("lineage", [])) + [
+            rel for rel in man_new.get("lineage", []) if rel not in base_lineage
+        ]
+        self._stamp_published(reb, current, staged=False)
+        return reb
 
     def _manifest_at(self, version: int | None) -> dict:
         """The committed manifest for ``version`` (None = current). Historical
@@ -1436,6 +1640,13 @@ class ParquetSnapshotTable(LakeTable):
         unknown = [c for c in assignments if c not in table_cols]
         if unknown:
             raise SinkCommitError(f"update_where on unknown columns {unknown}")
+        gens = man.get("properties", {}).get("generated", {})
+        genbad = sorted(set(assignments) & set(gens))
+        if genbad:
+            raise SinkCommitError(
+                f"update_where cannot assign generated columns {genbad}: "
+                f"they are recomputed from their expression at merge time"
+            )
         seq = self._next_seq(man)
         matches = self.read_staged().where(predicate)  # head, as in delete_where
         # SQL UPDATE semantics: every RHS is evaluated against the OLD row,
@@ -1455,6 +1666,12 @@ class ParquetSnapshotTable(LakeTable):
         batch = matches.withColumn("op", F.lit("U")).withColumn(
             "event_sequence", F.lit(seq).cast("long")
         )
+        # generated columns ride OUT of the batch: the carried value is the
+        # OLD image's and would go stale when an assigned source column
+        # changes — merge() recomputes from the new image instead
+        drop_gens = [g for g in gens if g in batch.columns]
+        if drop_gens:
+            batch = batch.drop(*drop_gens)
         last = self.last_committed_batch(job)
         return self.merge(batch, job=job, batch_id=0 if last is None else last + 1)
 
@@ -1516,6 +1733,7 @@ class ParquetSnapshotTable(LakeTable):
         table_schema = T.StructType.fromJson(man["schema"])
         table_cols = table_schema.fieldNames()
         keyish = set(self.keys) | set(man.get("bucket_keys", self.bucket_keys))
+        gens = man.get("properties", {}).get("generated", {})
         missing = [k for k in self.keys if k not in source.columns]
         if missing:
             raise SinkCommitError(f"merge_into source missing key columns {missing}")
@@ -1524,12 +1742,19 @@ class ParquetSnapshotTable(LakeTable):
             if clause == "all":
                 # source columns by name; a table column absent from the
                 # source keeps the target value (update) / null-fills (insert)
-                # via _image's fallbacks
+                # via _image's fallbacks; generated columns excluded — the
+                # merge recomputes them from the new image
                 clause = {
                     c: F.col(f"s.{c}")
                     for c in table_cols
-                    if c not in self.keys and c in source.columns
+                    if c not in self.keys and c not in gens and c in source.columns
                 }
+            genbad = sorted(set(clause) & set(gens))
+            if genbad:
+                raise SinkCommitError(
+                    f"merge_into {which} cannot assign generated columns "
+                    f"{genbad}: they are recomputed from their expression"
+                )
             bad = sorted(set(clause) & keyish)
             if bad:
                 raise SinkCommitError(
@@ -1559,6 +1784,8 @@ class ParquetSnapshotTable(LakeTable):
         def _image(df: DataFrame, assigned: dict, op: str, side: str) -> DataFrame:
             cols = []
             for f in table_schema.fields:
+                if f.name in gens:
+                    continue  # recomputed by merge() from the new image
                 if f.name in self.keys:
                     cols.append(F.col(f"s.{f.name}").cast(f.dataType).alias(f.name))
                 elif op == "D":
@@ -1665,6 +1892,118 @@ class ParquetSnapshotTable(LakeTable):
     # that passed at their own write time.
 
     _CHECK_MARK = "CHECK-CONSTRAINT-VIOLATION"
+    _GEN_MARK = "GENERATED-COLUMN-VIOLATION"
+
+    # ---- generated columns (Delta GENERATED ALWAYS AS analog) ---------------
+
+    def generated_columns(self) -> dict[str, str]:
+        return dict(
+            self._require_manifest().get("properties", {}).get("generated", {})
+        )
+
+    def add_generated_column(self, name: str, expr: str) -> None:
+        """``ALTER TABLE ADD COLUMN name GENERATED ALWAYS AS (expr)`` —
+        Delta's generated columns, generalized: the column may be added to a
+        NON-EMPTY table, in which case existing rows are backfilled in the
+        SAME commit via the compact machinery (property + schema + data in
+        one atomic swap — a crash can't leave the property without the
+        backfill). Enforcement lives in merge(): a batch NOT carrying the
+        column computes it at merge time (the normal CDC feed), a batch
+        carrying it (an external producer materializing the column) is
+        equality-asserted and rejected atomically on mismatch (Delta's
+        write-time check), and a batch lacking the expression's source
+        columns falls back to the ordinary null-fill contract. Internal
+        rewriting verbs (update_where / merge_into) DROP the column from
+        their batches so it is recomputed from the new row image."""
+        man = self._require_manifest()
+        gens = dict(man["properties"].get("generated", {}))
+        if name in gens:
+            raise SinkCommitError(
+                f"generated column {name!r} already declared: ({gens[name]})"
+            )
+        keyish = set(self.keys) | set(man.get("bucket_keys", self.bucket_keys))
+        if name in keyish:
+            raise SinkCommitError(
+                f"generated column cannot be a key/bucket column: {name!r}"
+            )
+        schema = T.StructType.fromJson(man["schema"])
+        if name in schema.fieldNames():
+            raise SinkCommitError(
+                f"{name!r} is already a table column; generated columns must "
+                f"be new (converting data columns would overwrite stored values)"
+            )
+        try:
+            probe = self.read().select(F.expr(expr).alias(name))
+        except Exception as e:  # AnalysisException and friends
+            raise SinkCommitError(
+                f"generated expression {expr!r} does not analyze against "
+                f"the table schema: {e}"
+            ) from e
+        man2 = dict(man)
+        man2["properties"] = {**man["properties"], "generated": {**gens, name: expr}}
+        if man["buckets"]:
+            df = self._resolved(man).withColumn(
+                name, F.when(F.col("_op") != "D", F.expr(expr))
+            )
+            man2["schema"] = T.StructType(
+                list(schema.fields)
+                + [T.StructField(name, probe.schema[0].dataType, True)]
+            ).jsonValue()
+            self._rewrite_all(man2, df, man["n_buckets"])
+        else:
+            # empty table: property-only commit; the column enters the
+            # schema via ordinary additive evolution at the first merge
+            man2["version"] = man["version"] + 1
+            self._stamp_published(man2, man)
+            self._swap_manifest(man2)
+
+    def drop_generated_column(self, name: str) -> None:
+        """Stop generating; stored values stay as ordinary data (Delta
+        parity — dropping the expression, not the column)."""
+        man = self._require_manifest()
+        gens = dict(man["properties"].get("generated", {}))
+        if name not in gens:
+            raise SinkCommitError(f"generated column {name!r} does not exist")
+        del gens[name]
+        man_new = dict(man)
+        man_new["version"] = man["version"] + 1
+        man_new["properties"] = {**man["properties"], "generated": gens}
+        self._stamp_published(man_new, man)
+        self._swap_manifest(man_new)
+
+    def _with_generated(self, batch: DataFrame, gens: dict[str, str]) -> DataFrame:
+        """Compute / verify generated columns on a merge batch. Same
+        zero-extra-action idiom as CHECK constraints: the verify assert
+        rides the batch's event_sequence expression. 'D' tombstones are
+        exempt both ways (their payload is null by the merge contract)."""
+        from pyspark.errors import AnalysisException
+
+        for name in sorted(gens):
+            expr = F.expr(gens[name])
+            try:
+                batch.select(expr)  # eager analysis: source columns present?
+            except AnalysisException:
+                continue  # absent → ordinary null-fill contract
+            if name not in batch.columns:
+                batch = batch.withColumn(
+                    name, F.when(F.col("op") != "D", expr)
+                )
+            else:
+                ok = (F.col("op") == "D") | F.col(name).eqNullSafe(expr)
+                msg = (
+                    f"{self._GEN_MARK}: generated column {name!r} = "
+                    f"({gens[name]}) violated by a merge batch row"
+                )
+                batch = batch.withColumn(
+                    "event_sequence",
+                    F.when(
+                        F.assert_true(ok, F.lit(msg)).isNull(),
+                        F.col("event_sequence"),
+                    ).cast("long"),
+                )
+        return batch
+
+    # ---- CHECK constraints --------------------------------------------------
 
     def constraints(self) -> dict[str, str]:
         return dict(
@@ -1760,6 +2099,10 @@ class ParquetSnapshotTable(LakeTable):
         CHECK constraints (see the constraints section above); the full
         merge contract is documented on ``_merge_impl``."""
         man = self._read_manifest()
+        gens = (man or {}).get("properties", {}).get("generated", {})
+        if gens:
+            # before constraints: a CHECK may reference a generated column
+            batch_df = self._with_generated(batch_df, gens)
         cons = (man or {}).get("properties", {}).get("constraints", {})
         if cons:
             batch_df = self._with_constraint_checks(batch_df, cons)
@@ -1780,6 +2123,17 @@ class ParquetSnapshotTable(LakeTable):
                     rf"merge batch row)", str(e), _re.S,
                 )
                 detail = m.group(1).replace("\n", " ") if m else "constraint violated"
+                raise SinkCommitError(
+                    f"merge rejected: {detail} — nothing was committed"
+                ) from e
+            if self._GEN_MARK in str(e):
+                import re as _re
+
+                m = _re.search(
+                    rf"{self._GEN_MARK}: (generated column .*? violated by a "
+                    rf"merge batch row)", str(e), _re.S,
+                )
+                detail = m.group(1).replace("\n", " ") if m else "generated column violated"
                 raise SinkCommitError(
                     f"merge rejected: {detail} — nothing was committed"
                 ) from e
@@ -2083,7 +2437,12 @@ class ParquetSnapshotTable(LakeTable):
             strategy = f"{strategy_base}-{strategy}"
 
             version = man["version"] + 1
-            data_rel = f"data/v{version}"
+            # attempt dirs are token-unique: two optimistic writers sharing a
+            # base version must never write the same path — a name collision
+            # would let the LOSER's mode("overwrite") clobber the WINNER's
+            # already-committed files even though its manifest CAS fails
+            token = self._begin_attempt()
+            data_rel = f"data/v{version}_w{token}"
             approx_rows = int(batch_rows) + current_rows
             self._write_bucketed(
                 merged, os.path.join(self.root, data_rel), man["n_buckets"],
@@ -2091,7 +2450,7 @@ class ParquetSnapshotTable(LakeTable):
             )
             _mark(f"write({strategy})")
 
-            lineage_rel = f"lineage/l{version}"
+            lineage_rel = f"lineage/l{version}_w{token}"
             self._write_lineage(man, stats, job, batch_id, counts, os.path.join(self.root, lineage_rel))
 
             new_buckets = dict(man["buckets"])
@@ -2122,20 +2481,27 @@ class ParquetSnapshotTable(LakeTable):
                 man_new["properties"] = {**man["properties"], **properties}
             man_new["lineage"] = list(man["lineage"]) + [lineage_rel]
             self._stamp_published(man_new, man, staged)
-            self._swap_manifest(man_new)
-            self._gc_orphans(man_new)
+            committed = self._swap_manifest(
+                man_new,
+                rebase=lambda cur: self._rebase_commit(
+                    man, man_new, cur, affected, job, batch_id, staged
+                ),
+            )
+            self._gc_orphans(committed)
             return MergeResult(
                 applied=True,
-                version=version,
+                version=committed["version"],
                 rows_upserted=int(batch_rows - sum(r["n_del"] for r in stats)),
                 rows_deleted=int(sum(r["n_del"] for r in stats)),
                 n_affected_buckets=len(affected),
                 strategy=strategy,
+                rebased=committed is not man_new,
             )
         finally:
             bwin.unpersist()
             for df in extra_persists:
                 df.unpersist()
+            self._end_attempt()
 
     def _commit_mor(
         self,
@@ -2164,7 +2530,8 @@ class ParquetSnapshotTable(LakeTable):
         O(affected buckets) per batch.
         """
         version = man["version"] + 1
-        data_rel = f"data/v{version}"
+        token = self._begin_attempt()  # see the COW path: collision-proof dirs
+        data_rel = f"data/v{version}_w{token}"
         merged = brows.join(F.broadcast(bwin.select("_rid")), "_rid").drop("_rid")
         self._write_bucketed(merged, os.path.join(self.root, data_rel), man["n_buckets"], batch_rows)
         mark("write(mor-delta)")
@@ -2184,7 +2551,7 @@ class ParquetSnapshotTable(LakeTable):
             dirs = [os.path.join(self.root, rel) for b in overfull for rel in new_buckets[b]]
             est = sum(int(old_rows.get(b, 0)) for b in overfull) + batch_rows
             resolved = self._latemat_lww(dirs, full, est)
-            comp_rel = f"data/v{version}_compact"
+            comp_rel = f"data/v{version}_w{token}_compact"
             self._write_bucketed(resolved, os.path.join(self.root, comp_rel), man["n_buckets"], est)
             cwritten = self._list_bucket_dirs(os.path.join(self.root, comp_rel))
             for b in overfull:
@@ -2192,7 +2559,7 @@ class ParquetSnapshotTable(LakeTable):
                     new_buckets[b] = [f"{comp_rel}/_bucket_dir={b}"]
             mark(f"inline-compact({len(overfull)} buckets)")
 
-        lineage_rel = f"lineage/l{version}"
+        lineage_rel = f"lineage/l{version}_w{token}"
         self._write_lineage(man, stats, job, batch_id, counts, os.path.join(self.root, lineage_rel))
 
         new_bucket_rows = dict(old_rows)
@@ -2214,15 +2581,21 @@ class ParquetSnapshotTable(LakeTable):
             man_new["properties"] = {**man["properties"], **properties}
         man_new["lineage"] = list(man["lineage"]) + [lineage_rel]
         self._stamp_published(man_new, man, staged)
-        self._swap_manifest(man_new)
-        self._gc_orphans(man_new)
+        committed = self._swap_manifest(
+            man_new,
+            rebase=lambda cur: self._rebase_commit(
+                man, man_new, cur, affected, job, batch_id, staged
+            ),
+        )
+        self._gc_orphans(committed)
         return MergeResult(
             applied=True,
-            version=version,
+            version=committed["version"],
             rows_upserted=int(batch_rows - sum(r["n_del"] for r in stats)),
             rows_deleted=int(sum(r["n_del"] for r in stats)),
             n_affected_buckets=len(affected),
             strategy=f"mor-delta+compact{len(overfull)}" if overfull else "mor-delta",
+            rebased=committed is not man_new,
         )
 
     # ---- merge internals ----------------------------------------------------
@@ -2408,7 +2781,8 @@ class ParquetSnapshotTable(LakeTable):
         """An empty (or fully-quarantined) batch still advances the guard —
         otherwise a restart would re-run it forever."""
         version = man["version"] + 1
-        lineage_rel = f"lineage/l{version}"
+        token = self._begin_attempt()
+        lineage_rel = f"lineage/l{version}_w{token}"
         self._write_lineage(man, [], job, batch_id, counts, os.path.join(self.root, lineage_rel))
         man_new = dict(man)
         man_new["version"] = version
@@ -2419,8 +2793,16 @@ class ParquetSnapshotTable(LakeTable):
             man_new["properties"] = {**man["properties"], **properties}
         man_new["lineage"] = list(man["lineage"]) + [lineage_rel]
         self._stamp_published(man_new, man, staged)
-        self._swap_manifest(man_new)
-        return MergeResult(applied=True, version=version)
+        committed = self._swap_manifest(
+            man_new,
+            rebase=lambda cur: self._rebase_commit(
+                man, man_new, cur, [], job, batch_id, staged
+            ),
+        )
+        return MergeResult(
+            applied=True, version=committed["version"],
+            rebased=committed is not man_new,
+        )
 
     # ---- maintenance ----------------------------------------------------------
 
@@ -2469,6 +2851,7 @@ class ParquetSnapshotTable(LakeTable):
         3 days). Metadata-only driver-side listing; no Spark job."""
         man = self._require_manifest()
         live_data, live_lineage = self._live_dirs(man)
+        inflight = self._inflight_tokens()
         now = time.time()
         removed: list[str] = []
         kept_grace: list[str] = []
@@ -2477,7 +2860,10 @@ class ParquetSnapshotTable(LakeTable):
             if not os.path.isdir(root):
                 continue
             for name in os.listdir(root):
-                if name in live:
+                if name in live or name.startswith("."):
+                    continue
+                if self._attempt_token_of(name) in inflight:
+                    kept_grace.append(f"{sub}/{name}")  # writer mid-commit
                     continue
                 path = os.path.join(root, name)
                 try:
@@ -2497,16 +2883,24 @@ class ParquetSnapshotTable(LakeTable):
         version snapshots (default ``retain_history``; time-travel
         retention). Best-effort; never fails a commit."""
         live_data, live_lineage = self._live_dirs(man, retain)
+        # a CONCURRENT writer's attempt dirs embed base+1 ≤ our committed
+        # version, so the version test alone would sweep a write in flight —
+        # its .inflight marker (begin_attempt) exempts it until stale
+        inflight = self._inflight_tokens()
         try:
             data_root = os.path.join(self.root, "data")
             if os.path.isdir(data_root):
                 for name in os.listdir(data_root):
-                    if name not in live_data and self._version_of(name) < man["version"]:
+                    if (name not in live_data and not name.startswith(".")
+                            and self._attempt_token_of(name) not in inflight
+                            and self._version_of(name) < man["version"]):
                         shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
             lin_root = os.path.join(self.root, "lineage")
             if os.path.isdir(lin_root):
                 for name in os.listdir(lin_root):
-                    if name not in live_lineage and self._version_of(name, "l") < man["version"]:
+                    if (name not in live_lineage and not name.startswith(".")
+                            and self._attempt_token_of(name) not in inflight
+                            and self._version_of(name, "l") < man["version"]):
                         shutil.rmtree(os.path.join(lin_root, name), ignore_errors=True)
         except OSError:
             pass
@@ -2548,9 +2942,22 @@ class ParquetSnapshotTable(LakeTable):
 
     def _rewrite_all(self, man: dict, df: DataFrame, n_buckets: int) -> int:
         """Shared tail of compact()/rebucket(): write ``df`` fully bucketed
-        by ``n_buckets`` and commit it as the table's only data."""
+        by ``n_buckets`` and commit it as the table's only data. Full-table
+        rewrites never rebase (they touch every bucket by definition), but
+        their attempt dirs are token-unique all the same — two concurrent
+        full rewrites must not clobber each other's files — and the marker
+        shields the write from a concurrent committer's orphan GC."""
         version = man["version"] + 1
-        data_rel = f"data/v{version}"
+        token = self._begin_attempt()
+        try:
+            return self._rewrite_all_inner(man, df, n_buckets, version, token)
+        finally:
+            self._end_attempt()
+
+    def _rewrite_all_inner(
+        self, man: dict, df: DataFrame, n_buckets: int, version: int, token: str
+    ) -> int:
+        data_rel = f"data/v{version}_w{token}"
         df = df.persist()
         per_bucket = df.groupBy(
             bucket_of(n_buckets, man.get("bucket_keys", self.bucket_keys)).alias("_b")
