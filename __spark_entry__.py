@@ -2449,6 +2449,39 @@ def _q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, n_bands=8, est_threshold=0.3)
 
 
+def _q_doc_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication PageRank (functions/graph.py::pagerank —
+    the corpus-curation centrality): near-dup pairs from the oracled
+    MinHash-LSH chain map to their sources; sources sharing duplicated
+    text get symmetric weighted edges (weight = cross-source pair count);
+    8 power iterations rank them — a high rank marks mirror/content-farm
+    sources whose text mass duplicates others'. Fixed iteration count is
+    what makes the unrolled-CTE DuckDB twin an exact oracle (ranks rounded
+    to 6 dp; float drift between engines is ~1e-13)."""
+    from wprdc_etl_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures
+    from wprdc_etl_spark.functions.graph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, n_hashes=32, shingle_k=5, hash_fn="sha2")
+    pairs = lsh_candidate_pairs(sigs, n_bands=8, est_threshold=0.3)
+    src = docs.select("doc_id", "source")
+    epairs = (
+        pairs.join(
+            src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "sa"),
+            "id_a",
+        )
+        .join(
+            src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "sb"),
+            "id_b",
+        )
+        .where(F.col("sa") != F.col("sb"))
+        .select("sa", "sb")
+    )
+    edges = epairs.unionByName(epairs.select(F.col("sb").alias("sa"), F.col("sa").alias("sb")))
+    pr = pagerank(edges, "sa", "sb", n_iter=8)
+    return pr.select(F.col("node").alias("source"), F.round("rank", 6).alias("rank"))
+
+
 def _q_doc_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dup (functions/neardup_index.py::NearDupIndex — the
     CDC × dedup synthesis): the corpus arrives in two batches; each add()
@@ -2607,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _q_emb_near_dup,
         "emb_dedup_clusters": _q_emb_dedup_clusters,
         "doc_minhash_pairs": _q_doc_minhash_pairs,
+        "doc_source_pagerank": _q_doc_source_pagerank,
         "doc_incremental_near_dup": _q_doc_incremental_near_dup,
         "doc_simhash": _q_doc_simhash,
         "doc_rolling_fp": _q_doc_rolling_fp,
@@ -3472,6 +3506,40 @@ FROM latest WHERE op <> 'D'
 """.strip()
     # incremental-index pairs must equal the batch LSH pair set exactly
     out["doc_incremental_near_dup"] = out["doc_minhash_pairs"]
+    # cross-source duplication PageRank: the SAME pair chain as the twin
+    # above feeds a fixed-8-iteration power method, unrolled as a CTE chain
+    # (r0..r8); no dangling nodes exist (edges are symmetrized), so both
+    # engines iterate the identical linear map — ranks rounded to 6 dp
+    _pr_iters = "".join(
+        f""", r{i + 1} AS (
+  SELECT n.node, 0.15 + 0.85 * coalesce(s.inr, 0) AS rank
+  FROM prnodes n LEFT JOIN (
+    SELECT e.v AS node, sum(r{i}.rank * e.frac) AS inr
+    FROM pre e JOIN r{i} ON r{i}.node = e.u GROUP BY e.v
+  ) s ON s.node = n.node
+)"""
+        for i in range(8)
+    )
+    out["doc_source_pagerank"] = f"""
+WITH prpairs AS ({out["doc_minhash_pairs"]}),
+prsrc AS (SELECT doc_id, source FROM documents),
+prep AS (
+  SELECT da.source AS sa, db.source AS sb
+  FROM prpairs JOIN prsrc da ON da.doc_id = prpairs.id_a
+               JOIN prsrc db ON db.doc_id = prpairs.id_b
+  WHERE da.source <> db.source
+),
+predges AS (
+  SELECT sa AS u, sb AS v, count(*)::DOUBLE AS w
+  FROM (SELECT sa, sb FROM prep UNION ALL SELECT sb AS sa, sa AS sb FROM prep)
+  GROUP BY sa, sb
+),
+prout AS (SELECT u, sum(w) AS ow FROM predges GROUP BY u),
+pre AS (SELECT predges.u, predges.v, w / ow AS frac FROM predges JOIN prout ON prout.u = predges.u),
+prnodes AS (SELECT DISTINCT node FROM (SELECT u AS node FROM pre UNION ALL SELECT v AS node FROM pre)),
+r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM prnodes){_pr_iters}
+SELECT node AS source, round(rank, 6) AS rank FROM r8
+"""
     # the availableNow stream-stream join equals the batch interval join
     out["events_stream_join"] = out["events_interval_join"]
     # bootstrap + incremental changelog replication must land the replica on

@@ -1000,3 +1000,85 @@ def test_unigram_logprob_broadcast_plan(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = unigram_logprob(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---- pagerank (corpus-curation centrality) ---------------------------------
+
+
+def _pr_numpy(edges, damping=0.85, n_iter=8, weight=None):
+    """Independent dense power-iteration twin."""
+    import numpy as np
+
+    nodes = sorted({u for u, *_ in edges} | {v for _, v, *_ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for e in edges:
+        u, v = e[0], e[1]
+        w = float(e[2]) if weight else 1.0
+        W[idx[u], idx[v]] += w
+    outw = W.sum(axis=1, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        P = np.where(outw > 0, W / outw, 0.0)
+    r = np.ones(n)
+    for _ in range(n_iter):
+        r = (1 - damping) + damping * (P.T @ r)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_matches_dense_reference(spark):
+    from wprdc_etl_spark.functions.graph import pagerank
+
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=8).collect()}
+    want = _pr_numpy(edges)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_pagerank_weighted_and_parallel_edges_fold(spark):
+    from wprdc_etl_spark.functions.graph import pagerank
+
+    # two unit parallel edges a->b must equal one weight-2 edge
+    df1 = spark.createDataFrame(
+        [("a", "b", 1), ("a", "b", 1), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, w int",
+    )
+    df2 = spark.createDataFrame(
+        [("a", "b", 2), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, w int",
+    )
+    g1 = {r["node"]: r["rank"] for r in pagerank(df1, weight="w").collect()}
+    g2 = {r["node"]: r["rank"] for r in pagerank(df2, weight="w").collect()}
+    for k in g1:
+        assert abs(g1[k] - g2[k]) < 1e-12
+    want = _pr_numpy(
+        [("a", "b", 2), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)], weight=True
+    )
+    for k in want:
+        assert abs(g1[k] - want[k]) < 1e-9
+
+
+def test_pagerank_mass_conserved_on_symmetric_graph(spark):
+    """Symmetrized edges → no dangling nodes → total mass == n exactly at
+    every iteration (the property the op's docstring claims)."""
+    from wprdc_etl_spark.functions.graph import pagerank
+
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
+    sym = und + [(v, u) for u, v in und]
+    df = spark.createDataFrame(sym, "src string, dst string")
+    ranks = pagerank(df, n_iter=6).collect()
+    assert abs(sum(r["rank"] for r in ranks) - 4.0) < 1e-9
+
+
+def test_pagerank_partition_invariant(spark):
+    from wprdc_etl_spark.functions.graph import pagerank
+
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(120)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = {r["node"]: r["rank"] for r in pagerank(df, n_iter=5).collect()}
+    b = {r["node"]: r["rank"] for r in pagerank(df.repartition(13), n_iter=5).collect()}
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-9

@@ -221,3 +221,69 @@ def dedup_clusters(
             (comp == F.col(id_col)).alias("is_canonical"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    *,
+    damping: float = 0.85,
+    n_iter: int = 8,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """Weighted PageRank by power iteration — the corpus-curation
+    centrality (CommonCrawl/fineweb-style source ranking; here typically
+    over the cross-source duplication graph, where a high rank marks
+    mirror/content-farm sources whose text mass duplicates others').
+
+    Brin & Page's original formulation: ``r_{t+1}(v) = (1-d) + d *
+    Σ_{u→v} r_t(u) · w(u,v)/outw(u)``; dangling nodes leak mass (no
+    redistribution), matching the classic definition — on a symmetrized
+    (bidirectional) edge list there are no dangling nodes and total mass
+    stays exactly ``n`` every iteration.
+
+    Scale shape: the edge list stays distributed (never collected);
+    parallel edges fold into weights up front; out-weight normalization is
+    one hash agg + one keyed join, cached once; each iteration is ONE
+    keyed shuffle (contributions groupBy dst) + a broadcast-sized join
+    back to the node set; ranks are ``localCheckpoint``-ed per iteration
+    so the iterative plan stays flat (same idiom as
+    ``connected_components``). Iterations are fixed-count, which is what
+    makes the DuckDB twin (unrolled CTE chain) an exact oracle.
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"), w.alias("_w"))
+        .groupBy("_u", "_v")
+        .agg(F.sum("_w").alias("_w"))
+    )
+    outw = e.groupBy("_u").agg(F.sum("_w").alias("_outw"))
+    e = e.join(outw, "_u").select(
+        "_u", "_v", (F.col("_w") / F.col("_outw")).alias("_frac")
+    )
+    e = _ckpt(e, use_local_checkpoint)
+    nodes = (
+        e.select(F.col("_u").alias("node"))
+        .unionByName(e.select(F.col("_v").alias("node")))
+        .distinct()
+    )
+    nodes = _ckpt(nodes, use_local_checkpoint)
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(n_iter):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "_u"), "_u")
+            .groupBy("_v")
+            .agg(F.sum(F.col("rank") * F.col("_frac")).alias("_in"))
+            .withColumnRenamed("_v", "node")
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        ranks = _ckpt(ranks, use_local_checkpoint)
+    return ranks
