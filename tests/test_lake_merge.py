@@ -1008,3 +1008,28 @@ def test_plan_schema_changes_classification():
     b3 = T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.IntegerType())])
     r3 = {r["column"]: r for r in plan_schema_changes(t3, b3, keys=["k"])}
     assert r3["v"]["kind"] == "batch_narrower" and not r3["v"]["blocking"]
+
+
+def test_bloom_filter_keys_written_and_lookup_unchanged(spark, tmp_path):
+    """bloom_filter_keys=True threads parquet bloom options into every
+    bucketed write: same data, bloom-enabled files strictly larger (the
+    footer carries one bloom per key column per file — pyarrow 16 can't
+    surface the offsets, so the size delta is the observable), and
+    lookup()/read() results are identical (blooms only SKIP row groups
+    that provably lack the key)."""
+    import glob
+    import os as _os
+
+    rows = [(i, "I", f"r{i % 31}", f"p{i}", f"c{i}", "py", f"v{i}") for i in range(3000)]
+    sizes = {}
+    for flag in (False, True):
+        t = mk_table(spark, tmp_path / f"b{flag}", n_buckets=4, bloom_filter_keys=flag)
+        t.merge(ev(spark, rows), job="j", batch_id=0)
+        sizes[flag] = sum(
+            _os.path.getsize(f)
+            for f in glob.glob(str(tmp_path / f"b{flag}" / "tbl" / "data" / "**" / "*.parquet"), recursive=True)
+        )
+        hit = t.lookup("r3", "p3")
+        assert [r["content"] for r in hit.collect()] == ["v3"]
+        assert t.lookup("r99", "nope").count() == 0
+    assert sizes[True] > sizes[False], sizes

@@ -88,6 +88,10 @@ def main() -> None:
                          "existing rows are validated before the property "
                          "commits, and every later merge through any handle "
                          "enforces it")
+    ap.add_argument("--bloom-keys", action="store_true",
+                    help="write parquet bloom filters on the key columns "
+                         "(~1.2 bytes/key per file): point lookups skip "
+                         "row groups inside the routed bucket")
     ap.add_argument("--column", default=None,
                     help="add-generated/drop-generated modes: the generated "
                          "column name")
@@ -189,6 +193,7 @@ def main() -> None:
         table = ParquetSnapshotTable(
             spark, args.target, n_buckets=args.n_buckets,
             retain_history=args.retain_history,
+            bloom_filter_keys=args.bloom_keys,
         )
 
     job = (

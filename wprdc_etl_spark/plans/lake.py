@@ -379,6 +379,7 @@ class ParquetSnapshotTable(LakeTable):
         retain_history: int | None = None,
         cluster_within_buckets: list[str] | None = None,
         optimistic_rebase: bool = True,
+        bloom_filter_keys: bool = False,
     ) -> None:
         """``write_mode`` — the write-amplification control (LSM-style):
 
@@ -441,6 +442,14 @@ class ParquetSnapshotTable(LakeTable):
             raise SinkCommitError(f"retain_history must be >= 0, got {retain_history}")
         self._retain_history = retain_history
         self.optimistic_rebase = optimistic_rebase
+        # opt-in parquet bloom filters on the key columns: row-group-level
+        # point-lookup skipping INSIDE the bucket the manifest already
+        # routed to (bucket pruning bounds the scan to one dir; the bloom
+        # lets the parquet reader skip row groups that provably lack the
+        # key — the 10^10-row lookup path). Costs ~1.2 bytes/key per file;
+        # off by default because append-heavy tables that are never point-
+        # queried would pay it for nothing.
+        self.bloom_filter_keys = bloom_filter_keys
         # Data-skipping layout knob (the Z-ORDER-lite / CLUSTER BY analog):
         # sort rows by these columns WITHIN each write task before the
         # parquet write (sortWithinPartitions — no extra shuffle). Clustered
@@ -2653,11 +2662,13 @@ class ParquetSnapshotTable(LakeTable):
                 return d
             return d.sortWithinPartitions("_bucket_dir", *cluster)
 
+        bloom = self._bloom_options(approx_rows or 0, n_buckets)
         if prepartitioned:
             # the copart merge already repartitioned by (_bucket_dir[, salt])
             # — the join's exchange IS the write exchange; re-partitioning
             # here would both add a shuffle and break the co-partitioning
-            _clustered(df).write.mode("overwrite").partitionBy("_bucket_dir").parquet(abs_dir)
+            _clustered(df).write.mode("overwrite").options(**bloom) \
+                .partitionBy("_bucket_dir").parquet(abs_dir)
             return
         n_parts, salted = self._write_layout(approx_rows or 0)
         out = df.withColumn("_bucket_dir", bucket_of(n_buckets, self.bucket_keys))
@@ -2668,7 +2679,25 @@ class ParquetSnapshotTable(LakeTable):
             out = out.repartition(n_parts, F.col("_bucket_dir"), salt)
         else:
             out = out.repartition(n_parts, F.col("_bucket_dir"))
-        _clustered(out).write.mode("overwrite").partitionBy("_bucket_dir").parquet(abs_dir)
+        _clustered(out).write.mode("overwrite").options(**bloom) \
+            .partitionBy("_bucket_dir").parquet(abs_dir)
+
+    def _bloom_options(self, approx_rows: int, n_buckets: int) -> dict[str, str]:
+        """Parquet writer options enabling per-key-column bloom filters,
+        sized by the expected distinct keys per bucket file (parquet-mr
+        allocates from expected NDV at ~1% fpp; the unsized default burns
+        ~0.7 MB/column/file). The READ side needs no knob — the parquet
+        reader consults blooms for pushed-down equality predicates
+        (parquet.filter.bloom.enabled defaults true), so ``lookup()``'s
+        key filter skips row groups inside the routed bucket for free."""
+        if not self.bloom_filter_keys:
+            return {}
+        ndv = max(1024, approx_rows // max(1, n_buckets))
+        opts: dict[str, str] = {}
+        for k in self.keys:
+            opts[f"parquet.bloom.filter.enabled#{k}"] = "true"
+            opts[f"parquet.bloom.filter.expected.ndv#{k}"] = str(ndv)
+        return opts
 
     def _write_layout(self, approx_rows: int) -> tuple[int, bool]:
         """(n_partitions, salted) for a bucketed write of ~approx_rows."""
