@@ -669,6 +669,47 @@ def _q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.changes_between(ver, compare_cols=["content_sha"])
 
 
+def _q_cdc_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING changelog source (streaming/changelog_source.py — Delta
+    readChangeFeed analog, a Spark 4 Python DataSource whose offsets are
+    table versions): the same construction as cdc_changelog, but the feed
+    is CONSUMED via spark.readStream — the driver diffs only manifests to
+    find changed buckets; executors diff each bucket's two snapshots in
+    pyarrow (column-pruned, vectorized LWW). Must equal the batch
+    changes_between twin exactly."""
+    from wprdc_etl_spark.streaming.changelog_source import read_changelog_stream
+
+    log = _fixture_log(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    target = os.path.join(FIXTURES, "_targets", f"{label}_clstream")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16, retain_history=8)
+    job = (
+        IngestJob(f"cls-{label}")
+        .source(log)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    job.run_batch(spark, n_chunks=4)
+    ver = max(
+        h["version"] for h in table.history() if h["committed"].get(f"cls-{label}") == 1
+    )
+    ckpt = target + "_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        read_changelog_stream(spark, target, starting_version=ver,
+                              compare_cols=["content_sha"])
+        .writeStream.format("memory")
+        .queryName(f"clstream_{label}".replace(".", "_"))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(f"clstream_{label}".replace(".", "_"))
+
+
 def _q_cdc_modified_since(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental export (Iceberg incremental-read analog on the CURRENT
     snapshot): live rows whose winning version's sequence is at or past the
@@ -2573,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_maintenance": _q_cdc_maintenance,
         "cdc_rollback": _q_cdc_rollback,
         "cdc_changelog": _q_cdc_changelog,
+        "cdc_changelog_stream": _q_cdc_changelog_stream,
         "cdc_modified_since": _q_cdc_modified_since,
         "cdc_scd2": _q_cdc_scd2,
         "cdc_scd2_table": _q_cdc_scd2_table,
@@ -3650,4 +3692,6 @@ WHERE CASE WHEN a.repo IS NULL THEN 'I'
            WHEN b.repo IS NULL THEN 'D'
            WHEN a.content_sha <> b.content_sha THEN 'U' END IS NOT NULL
 """
+    # the STREAMING changelog source must emit the identical net feed
+    out["cdc_changelog_stream"] = out["cdc_changelog"]
     return out
