@@ -669,6 +669,45 @@ def _q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.changes_between(ver, compare_cols=["content_sha"])
 
 
+def _q_cdc_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtractive schema evolution (plans/lake.py::drop_column — ALTER
+    TABLE DROP COLUMN, Iceberg metadata-only semantics): chunk 1 replays,
+    then `lang` is DROPPED mid-replay; chunks 2-4 still carry it (a
+    producer lagging the DDL) and have it ignored — the tombstone blocks
+    name resurrection through additive evolution. Validation is untouched
+    (the job's schema spec still coerces/quarantines on lang), so the
+    oracle is the full golden replay simply projected without the
+    column."""
+    log = _fixture_log(spark, sf_dir)
+    label = _sf_label(sf_dir)
+    target = os.path.join(FIXTURES, "_targets", f"{label}_dropcol")
+    shutil.rmtree(target, ignore_errors=True)
+    table = ParquetSnapshotTable(spark, target, n_buckets=16)
+    job = (
+        IngestJob(f"dropcol-{label}")
+        .source(log)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    cut = (
+        spark.read.parquet(log).agg(F.max("event_sequence")).collect()[0][0] + 1
+    ) // 2
+    # phase 1: [0, cut) under the full schema …
+    job.run_batch(spark, n_chunks=1, max_sequence_exclusive=cut)
+    table.drop_column("lang")
+    # … DDL, then the tail [cut, ∞) under the same job's guard chain
+    tail = (
+        IngestJob(f"dropcol-{label}")
+        .source(log, since_sequence=cut - 1)
+        .schema(IngestJob.default_payload_schema())
+        .sink(table)
+        .build()
+    )
+    tail.run_batch(spark, n_chunks=1, start_batch_id=1)
+    return table.read().select("repo", "path", "commit", "content_sha")
+
+
 def _q_cdc_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING changelog source (streaming/changelog_source.py — Delta
     readChangeFeed analog, a Spark 4 Python DataSource whose offsets are
@@ -2615,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rollback": _q_cdc_rollback,
         "cdc_changelog": _q_cdc_changelog,
         "cdc_changelog_stream": _q_cdc_changelog_stream,
+        "cdc_drop_column": _q_cdc_drop_column,
         "cdc_modified_since": _q_cdc_modified_since,
         "cdc_scd2": _q_cdc_scd2,
         "cdc_scd2_table": _q_cdc_scd2_table,
@@ -3694,4 +3734,10 @@ WHERE CASE WHEN a.repo IS NULL THEN 'I'
 """
     # the STREAMING changelog source must emit the identical net feed
     out["cdc_changelog_stream"] = out["cdc_changelog"]
+    # DROP COLUMN mid-replay: the full golden replay projected without the
+    # dropped column (validation is job-level and unchanged)
+    out["cdc_drop_column"] = golden_final_state_sql(
+        _oracle_log(),
+        select_expr="repo, path, commit, sha256(content) AS content_sha",
+    )
     return out

@@ -143,3 +143,73 @@ def test_time_field_type(spark):
     assert valid.count() == 1 and quarantine.count() == 1
     assert valid.schema["t"].dataType.typeName().startswith("time")
     assert schema.serialize_to_ckan_fields() == [{"id": "t", "type": "time"}]
+
+
+# ---- drop_column (subtractive schema evolution) -----------------------------
+
+
+def _dc_table(spark, tmp):
+    from wprdc_etl_spark.plans.lake import ParquetSnapshotTable
+    from tests.test_lake_merge import SCHEMA, ev
+
+    t = ParquetSnapshotTable(spark, str(tmp / "tbl"), n_buckets=4, retain_history=4)
+    t.ensure(SCHEMA)
+    t.merge(ev(spark, [(0, "I", "r1", "a", "c1", "py", "v1"),
+                       (1, "I", "r2", "b", "c2", "go", "w1")]), job="j", batch_id=0)
+    return t
+
+
+def test_drop_column_metadata_only_and_time_travel(spark, tmp_path):
+    import pytest as _pytest
+    from wprdc_etl_spark.exceptions import SinkCommitError
+    from tests.test_lake_merge import ev
+
+    t = _dc_table(spark, tmp_path)
+    pre = t.current_version()
+    t.drop_column("lang")
+    assert "lang" not in t.read().columns
+    assert {r["content"] for r in t.read().collect()} == {"v1", "w1"}
+    # pre-drop versions still show the column (history manifests carry schemas)
+    assert "lang" in t.read(version=pre).columns
+    # validation: keys and unknowns rejected
+    with _pytest.raises(SinkCommitError, match="key/bucket"):
+        t.drop_column("repo")
+    with _pytest.raises(SinkCommitError, match="does not exist"):
+        t.drop_column("nope")
+
+
+def test_drop_column_tombstone_blocks_resurrection(spark, tmp_path):
+    """A lagging producer still carrying the dropped column has it ignored,
+    and the name can NEVER re-enter via additive evolution — old files
+    still hold the bytes, so a re-add would resurrect stale values."""
+    from tests.test_lake_merge import ev
+
+    t = _dc_table(spark, tmp_path)
+    t.drop_column("lang")
+    # batch still carries lang = 'STALE' — ignored, not evolved back in
+    t.merge(ev(spark, [(2, "U", "r1", "a", "c1", "STALE", "v2")]), job="j", batch_id=1)
+    assert "lang" not in t.read().columns
+    assert {r["content"] for r in t.read().collect()} == {"v2", "w1"}
+    # compact() physically sheds the bytes and the column stays gone
+    t.compact()
+    assert "lang" not in t.read().columns
+    assert {r["content"] for r in t.read().collect()} == {"v2", "w1"}
+
+
+def test_drop_column_rejected_when_referenced(spark, tmp_path):
+    import pytest as _pytest
+    from wprdc_etl_spark.exceptions import SinkCommitError
+
+    t = _dc_table(spark, tmp_path)
+    t.add_constraint("content_nonnull", "content IS NOT NULL")
+    with _pytest.raises(SinkCommitError, match="constraint 'content_nonnull'"):
+        t.drop_column("content")
+    t.drop_constraint("content_nonnull")
+    t.add_generated_column("content_len", "length(content)")
+    with _pytest.raises(SinkCommitError, match="generated 'content_len'"):
+        t.drop_column("content")
+    with _pytest.raises(SinkCommitError, match="drop_generated_column first"):
+        t.drop_column("content_len")
+    t.drop_generated_column("content_len")
+    t.drop_column("content")  # now fine
+    assert "content" not in t.read().columns

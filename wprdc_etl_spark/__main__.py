@@ -41,7 +41,8 @@ def main() -> None:
                              "index-sync", "grep", "scd2-sync", "joinview-sync",
                              "publish-all", "recover-txn", "abort-all",
                              "bootstrap", "add-constraint", "drop-constraint",
-                             "merge-into", "add-generated", "drop-generated"],
+                             "merge-into", "add-generated", "drop-generated",
+                             "drop-column"],
                     default="stream")
     ap.add_argument("--sink", choices=["parquet-snapshot", "iceberg"], default="parquet-snapshot")
     ap.add_argument("--n-buckets", type=int, default=4096)
@@ -333,6 +334,20 @@ def main() -> None:
         else:
             table.drop_constraint(args.constraint_name)
             print(f"constraint {args.constraint_name!r} dropped")
+        spark.stop()
+        return
+    if args.mode == "drop-column":
+        if args.sink == "iceberg":
+            if not args.column:
+                ap.error("--column is required in drop-column mode")
+            spark.sql(f"ALTER TABLE {args.target} DROP COLUMN {args.column}")
+            print(f"column {args.column!r} dropped")
+        else:
+            if not args.column:
+                ap.error("--column is required in drop-column mode")
+            table.drop_column(args.column)
+            print(f"column {args.column!r} dropped (metadata-only; compact() "
+                  f"physically sheds the bytes)")
         spark.stop()
         return
     if args.mode in ("add-generated", "drop-generated"):

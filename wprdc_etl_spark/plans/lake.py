@@ -1966,6 +1966,57 @@ class ParquetSnapshotTable(LakeTable):
             self._stamp_published(man2, man)
             self._swap_manifest(man2)
 
+    def drop_column(self, name: str) -> None:
+        """``ALTER TABLE DROP COLUMN`` — metadata-only, Iceberg semantics:
+        the column leaves the schema in one commit; readers stop projecting
+        it instantly (old files keep the bytes until the next rewrite of
+        their bucket — ``compact()``/``rebucket()`` read through the schema
+        and physically shed them). The name is TOMBSTONED in the
+        ``dropped_columns`` property: a batch still carrying it (a producer
+        lagging the DDL) has the column silently ignored, and additive
+        evolution can never re-add it — this closes the name-based-parquet
+        resurrection hazard (re-adding the name would surface the old bytes
+        still sitting in unrewritten files; Iceberg survives that via field
+        ids, Delta via column mapping — a name-addressed layout must simply
+        retire the name; re-introduce the data under a fresh name).
+        Dropping a column referenced by a CHECK constraint or a generated
+        expression is rejected (drop those first). Time travel still shows
+        the column for pre-drop versions (each history manifest carries its
+        own schema)."""
+        man = self._require_manifest()
+        if name in set(self.keys) | set(man.get("bucket_keys", self.bucket_keys)):
+            raise SinkCommitError(f"cannot drop key/bucket column {name!r}")
+        schema = T.StructType.fromJson(man["schema"])
+        if name not in schema.fieldNames():
+            raise SinkCommitError(f"column {name!r} does not exist")
+        gens = man["properties"].get("generated", {})
+        if name in gens:
+            raise SinkCommitError(
+                f"{name!r} is a generated column — drop_generated_column first"
+            )
+        remaining = self.read().drop(name)
+        for kind, exprs in (("generated", gens),
+                            ("constraint", man["properties"].get("constraints", {}))):
+            for ename, expr in exprs.items():
+                try:
+                    remaining.select(F.expr(expr))
+                except Exception as e:
+                    raise SinkCommitError(
+                        f"cannot drop {name!r}: {kind} {ename!r} ({expr}) "
+                        f"references it"
+                    ) from e
+        man_new = dict(man)
+        man_new["version"] = man["version"] + 1
+        man_new["schema"] = T.StructType(
+            [f for f in schema.fields if f.name != name]
+        ).jsonValue()
+        dropped = list(man["properties"].get("dropped_columns", []))
+        man_new["properties"] = {
+            **man["properties"], "dropped_columns": dropped + [name],
+        }
+        self._stamp_published(man_new, man)
+        self._swap_manifest(man_new)
+
     def drop_generated_column(self, name: str) -> None:
         """Stop generating; stored values stay as ordinary data (Delta
         parity — dropping the expression, not the column)."""
@@ -2108,6 +2159,13 @@ class ParquetSnapshotTable(LakeTable):
         CHECK constraints (see the constraints section above); the full
         merge contract is documented on ``_merge_impl``."""
         man = self._read_manifest()
+        dropped = (man or {}).get("properties", {}).get("dropped_columns", [])
+        stale = [c for c in dropped if c in batch_df.columns]
+        if stale:
+            # a producer lagging the DROP COLUMN DDL: the retired name is
+            # ignored, and can never re-enter via additive evolution (the
+            # name-resurrection hazard — see drop_column)
+            batch_df = batch_df.drop(*stale)
         gens = (man or {}).get("properties", {}).get("generated", {})
         if gens:
             # before constraints: a CHECK may reference a generated column
