@@ -820,8 +820,11 @@ def vocab_sql(
 
 # ASCII whitespace only, deliberately: Java regex \s, Python re \s and
 # DuckDB/RE2 \s disagree on Unicode whitespace (NBSP etc.), so the engine and
-# the oracle share one explicit class instead.
-_ASCII_WS_RUN = r"[ \t\n\r\f\v]+"
+# the oracle share one explicit class instead. Vertical tab is spelled \x0B,
+# not \v: Java regex reads \v as the ENTIRE vertical-whitespace class
+# (adding \x85 U+2028 U+2029) while Python re and RE2 read it as \x0B only —
+# \x0B means the same single character in all three.
+_ASCII_WS_RUN = r"[ \t\n\r\f\x0B]+"
 _CTRL_CLASS = r"[\x00-\x1f\x7f]"
 
 

@@ -58,7 +58,7 @@ from pyspark.sql import functions as F
 
 from wprdc_etl_spark.exceptions import SinkCommitError
 from wprdc_etl_spark.operators.xxhash import bucket_of_py
-from wprdc_etl_spark.plans.lake import LineageCounts, ParquetSnapshotTable
+from wprdc_etl_spark.plans.lake import LineageCounts, ParquetSnapshotTable, load_manifest_keys
 
 
 def trigram_array(col, *, n: int = 3):
@@ -248,6 +248,9 @@ class TrigramIndex:
         self.content_col = content_col
         self.job = job
         self.gram_n = int(gram_n)
+        # restore the source's authoritative keys before deriving the
+        # posting layout from them (see lake.load_manifest_keys)
+        load_manifest_keys(source)
         self._payload = payload_cols  # resolved lazily against the source schema
         # write_mode defaults to merge-on-read: gram hashes spread a sync's
         # delta uniformly over EVERY bucket, so copy-on-write would rewrite

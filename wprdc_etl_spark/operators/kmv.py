@@ -97,9 +97,9 @@ def kmv_estimate(
     bits = _BITS[hash_fn]
     kth = F.element_at(sketch, k).cast("double")
     if hash_fn == "xxhash64":  # signed 64-bit -> (0, 1]
-        u = (kth + float(2**63) + 1.0) / float(2**64)
-    else:  # 60-bit non-negative
-        u = (kth + 1.0) / float(2**60)
+        u = (kth + float(2 ** (bits - 1)) + 1.0) / float(2**bits)
+    else:  # non-negative, _BITS[hash_fn] wide
+        u = (kth + 1.0) / float(2**bits)
     return F.when(F.size(sketch) < k, F.size(sketch).cast("double")).otherwise(
         (F.lit(float(k - 1))) / u
     )
@@ -220,9 +220,24 @@ class KmvRollup:
             )
         else:
             mode = "incremental"
-            new_imgs = self.source.changes_between(last, to_v).where(
-                F.col("change_op") != "D"
+            # changes_between projects to keys + change_op + compare_cols, so
+            # the sketch's columns must be requested explicitly — the default
+            # (content_sha) would drop value_col/group_cols and wedge the
+            # follower on any standard table. Asking for exactly the sketch
+            # columns also narrows the diff: an update that doesn't touch
+            # them emits no 'U' row, and a value already in the sketch needs
+            # no re-fold (insert-only semantics).
+            needed = [
+                c
+                for c in dict.fromkeys([*self.group_cols, self.value_col])
+                if c not in self.source.keys
+            ]
+            changes = (
+                self.source.changes_between(last, to_v, compare_cols=needed)
+                if needed
+                else self.source.changes_between(last, to_v)
             )
+            new_imgs = changes.where(F.col("change_op") != "D")
             fresh = kmv_sketch(
                 new_imgs, self.group_cols, self.value_col, k=self.k,
                 hash_fn=self.hash_fn,

@@ -669,6 +669,15 @@ class IcebergTable(LakeTable):
         source key groups are pre-asserted (Iceberg's MERGE only catches
         matched-side duplicates natively; insert-side dupes would land
         twice) — rejected BEFORE the MERGE runs, so nothing commits."""
+        # same clause validation as the lake verb — a condition without its
+        # clause must error identically on both sinks, not silently merge
+        for cond, clause_on, name in (
+            (update_condition, when_matched_update is not None, "update_condition"),
+            (delete_condition, when_matched_delete, "delete_condition"),
+            (insert_condition, when_not_matched_insert is not None, "insert_condition"),
+        ):
+            if cond is not None and not clause_on:
+                raise SinkCommitError(f"merge_into: {name} given without its clause")
         table_cols = [f.name for f in self.spark.table(self.table).schema.fields]
         data_cols = [c for c in table_cols if not c.startswith("_")]
 
@@ -695,6 +704,13 @@ class IcebergTable(LakeTable):
             )
         except ValueError as e:
             raise SinkCommitError(str(e)) from e
+        # pin the source BEFORE the dup pre-assert: the MERGE re-evaluates
+        # the temp view, so without pinning a nondeterministic source could
+        # pass the guard and still produce insert-side duplicates in the
+        # MERGE's own evaluation (TOCTOU). localCheckpoint computes the
+        # source exactly once; an executor loss afterwards fails the job
+        # loudly instead of recomputing a different batch.
+        source = source.localCheckpoint(eager=True)
         dup = (
             source.groupBy(*self.keys).count().where(F.col("count") > 1).limit(1).count()
         )

@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..exceptions import SinkCommitError
-from .lake import LineageCounts, ParquetSnapshotTable, diff_states
+from .lake import LineageCounts, ParquetSnapshotTable, diff_states, load_manifest_keys
 
 
 class JoinView:
@@ -89,6 +89,12 @@ class JoinView:
         fact_compare_cols: list[str] | None = None,
         dim_compare_cols: list[str] | None = None,
     ) -> None:
+        # Restore both sides' authoritative keys from their manifests BEFORE
+        # using them (see load_manifest_keys): without this, a CLI handle
+        # opened without explicit keys would create the view table keyed by
+        # the engine defaults while sync() later merges batches keyed by the
+        # true fact keys.
+        load_manifest_keys(fact, dim)
         if sorted(on.values()) != sorted(dim.keys):
             raise SinkCommitError(
                 f"join columns {sorted(on.values())} must be exactly the dim "

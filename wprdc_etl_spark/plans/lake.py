@@ -343,6 +343,21 @@ def diff_states(
     )
 
 
+def load_manifest_keys(*tables) -> None:
+    """Force each EXISTING table handle to restore its authoritative
+    keys/bucket_keys from its on-disk manifest (no-op for not-yet-created
+    tables or sinks without a manifest). Call before deriving another
+    table's layout — or validating arguments — from a handle's ``.keys``:
+    a handle opened without explicit keys carries the engine defaults until
+    its first manifest load, and acting on those silently mis-keys the
+    derived table (r3 code review: JoinView/Scd2/codesearch/rollup all
+    snapshot source keys at init)."""
+    for t in tables:
+        require = getattr(t, "_require_manifest", None)
+        if require is not None and t.exists():
+            require()
+
+
 class ParquetSnapshotTable(LakeTable):
     LINEAGE_SCHEMA = T.StructType(
         [
@@ -494,7 +509,18 @@ class ParquetSnapshotTable(LakeTable):
         if not os.path.exists(self._manifest_path):
             return None
         with open(self._manifest_path, "r", encoding="utf-8") as fh:
-            return json.load(fh)
+            man = json.load(fh)
+        # the on-disk layout is authoritative: restore keys on EVERY head
+        # manifest load, not just _require_manifest — followers reach
+        # handles via published_version()/last_committed_batch first, and a
+        # handle opened without explicit keys must never act on the engine
+        # defaults once the real table has been seen (JoinView/Scd2 snapshot
+        # source keys at init).
+        if man.get("keys"):
+            self.keys = list(man["keys"])
+        if man.get("bucket_keys"):
+            self.bucket_keys = list(man["bucket_keys"])
+        return man
 
     _LOCK_TIMEOUT_S = 10.0   # how long a committer waits for the lock
     _LOCK_STALE_S = 60.0     # a lock older than this is a crashed writer's
@@ -1333,18 +1359,9 @@ class ParquetSnapshotTable(LakeTable):
         self._gc_orphans(man)
 
     def _require_manifest(self) -> dict:
-        man = self._read_manifest()
+        man = self._read_manifest()  # restores keys/bucket_keys (see there)
         if man is None:
             raise SinkCommitError(f"table does not exist at {self.root} (call ensure() first)")
-        # the on-disk layout is authoritative: a handle constructed with
-        # different bucket keys must still hash rows where the files are —
-        # and the MERGE KEYS equally so (a CLI/maintenance handle opened
-        # without explicit keys gets the engine defaults, which silently
-        # corrupt LWW and key-presence checks on a custom-keyed table)
-        if man.get("keys"):
-            self.keys = list(man["keys"])
-        if man.get("bucket_keys"):
-            self.bucket_keys = list(man["bucket_keys"])
         return man
 
     # ---- read paths ---------------------------------------------------------
@@ -2038,29 +2055,41 @@ class ParquetSnapshotTable(LakeTable):
         exempt both ways (their payload is null by the merge contract)."""
         from pyspark.errors import AnalysisException
 
-        for name in sorted(gens):
-            expr = F.expr(gens[name])
-            try:
-                batch.select(expr)  # eager analysis: source columns present?
-            except AnalysisException:
-                continue  # absent → ordinary null-fill contract
-            if name not in batch.columns:
-                batch = batch.withColumn(
-                    name, F.when(F.col("op") != "D", expr)
-                )
-            else:
-                ok = (F.col("op") == "D") | F.col(name).eqNullSafe(expr)
-                msg = (
-                    f"{self._GEN_MARK}: generated column {name!r} = "
-                    f"({gens[name]}) violated by a merge batch row"
-                )
-                batch = batch.withColumn(
-                    "event_sequence",
-                    F.when(
-                        F.assert_true(ok, F.lit(msg)).isNull(),
-                        F.col("event_sequence"),
-                    ).cast("long"),
-                )
+        # Fixed-point pass order, not alphabetical: a generated column may
+        # reference ANOTHER generated column (add-time probes against read()
+        # allow it), so a single sorted sweep would silently null-fill any
+        # dependent that sorts before its dependency. Retry until no column
+        # makes progress; only then do the survivors take the null-fill
+        # contract (their source columns are genuinely absent).
+        pending = dict(gens)
+        progress = True
+        while pending and progress:
+            progress = False
+            for name in sorted(pending):
+                expr = F.expr(pending[name])
+                try:
+                    batch.select(expr)  # eager analysis: sources present?
+                except AnalysisException:
+                    continue  # maybe a later generated column provides them
+                if name not in batch.columns:
+                    batch = batch.withColumn(
+                        name, F.when(F.col("op") != "D", expr)
+                    )
+                else:
+                    ok = (F.col("op") == "D") | F.col(name).eqNullSafe(expr)
+                    msg = (
+                        f"{self._GEN_MARK}: generated column {name!r} = "
+                        f"({pending[name]}) violated by a merge batch row"
+                    )
+                    batch = batch.withColumn(
+                        "event_sequence",
+                        F.when(
+                            F.assert_true(ok, F.lit(msg)).isNull(),
+                            F.col("event_sequence"),
+                        ).cast("long"),
+                    )
+                del pending[name]
+                progress = True
         return batch
 
     # ---- CHECK constraints --------------------------------------------------

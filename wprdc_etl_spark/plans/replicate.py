@@ -54,7 +54,7 @@ from pyspark.sql import functions as F
 
 from ..exceptions import SinkCommitError
 from ..operators.fingerprint import state_fingerprint
-from .lake import LineageCounts, ParquetSnapshotTable, diff_states
+from .lake import LineageCounts, ParquetSnapshotTable, diff_states, load_manifest_keys
 
 
 class TableReplicator:
@@ -77,6 +77,9 @@ class TableReplicator:
         job: str = "replicate",
         compare_cols: list[str] | None = None,
     ) -> None:
+        # restore both handles' authoritative keys before comparing them
+        # (see lake.load_manifest_keys)
+        load_manifest_keys(source, replica)
         if list(source.keys) != list(replica.keys):
             raise SinkCommitError(
                 f"replica keys {replica.keys} must equal source keys "

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from ..exceptions import SinkCommitError
 from ..operators.analytics import apply_rollup, changelog_rollup
-from .lake import ParquetSnapshotTable
+from .lake import ParquetSnapshotTable, load_manifest_keys
 
 
 class RollupView:
@@ -73,6 +73,9 @@ class RollupView:
         self.path = path
         self.source = source
         self.group_cols = list(group_cols)
+        # restore the source's authoritative keys before validating the
+        # grouping against them (see lake.load_manifest_keys)
+        load_manifest_keys(source)
         self.count_col = count_col
         self.compare_cols = compare_cols
         # The count-delta algebra (+1 I / −1 D / 0 U) is only sound when the

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wprdc_etl_spark.exceptions import SinkCommitError
-from wprdc_etl_spark.plans.lake import LineageCounts, ParquetSnapshotTable
+from wprdc_etl_spark.plans.lake import LineageCounts, ParquetSnapshotTable, load_manifest_keys
 
 
 class Scd2Table:
@@ -65,6 +65,9 @@ class Scd2Table:
         self.source = source
         self.job = job
         self._track = list(track_cols) if track_cols else None
+        # restore the source's authoritative keys from its manifest before
+        # deriving the history table's key/bucket layout from them
+        load_manifest_keys(source)
         self.table = ParquetSnapshotTable(
             spark,
             root,

@@ -88,7 +88,10 @@ class MultiTablePublish:
                     names.append(n)
             elif n.endswith(_LIVE_SUFFIX):
                 names.append(n)
-        return sorted(names)
+        # numeric txid order, not lexicographic: 'commit-10' sorts before
+        # 'commit-2' as a string, and the documented contract is that
+        # pending()/recover() replay in commit order
+        return sorted(names, key=lambda n: int(n[len(_PREFIX):].split(".")[0]))
 
     def pending(self) -> list[dict]:
         """Decided-but-unfinished transactions (crash evidence). Empty on a

@@ -642,11 +642,19 @@ class IngestJob:
         self._require_built()
         assert self._sink is not None
         cols = set(snapshot_df.columns)
-        missing = [k for k in ("repo", "path", "commit") if k not in cols]
+        # validate against the SINK's actual merge keys, not a hardcoded
+        # (repo, path, commit): custom-keyed sinks must be bootstrappable,
+        # and a snapshot carrying the defaults but missing a custom key
+        # must be rejected (r3 code review)
+        from wprdc_etl_spark.plans.lake import load_manifest_keys
+
+        load_manifest_keys(self._sink)
+        sink_keys = list(getattr(self._sink, "keys", ("repo", "path", "commit")))
+        missing = [k for k in sink_keys if k not in cols]
         if missing:
             raise InvalidConfigException(
                 f"snapshot is missing key column(s) {missing}; a consistent "
-                f"snapshot must carry the full merge key (repo, path, commit)"
+                f"snapshot must carry the sink's full merge key {sink_keys}"
             )
         payload = [
             f
