@@ -30,7 +30,10 @@ now run ``REPEATS`` times with the repetitions INTERLEAVED across queries
 lands on at most one rep of each query instead of both reps of one; the
 reported time is the per-query minimum (least-interfered estimate), and
 ``extra.rep_times`` carries every raw rep so regressions are
-distinguishable from noise after the fact. The scaling-efficiency evidence
+distinguishable from noise after the fact. When the interleaved reps of
+any non-trivial query disagree by >2x — direct evidence the window is
+contended — up to ``MAX_REPEATS`` total repetitions run before reporting
+(``extra.repeats`` records how many actually ran). The scaling-efficiency evidence
 (local[8] vs local[32] / 1 vs 4 executors) lives in
 scripts/scaling_bench.py → BENCH/BASELINE.md.
 
@@ -44,6 +47,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import time
 
@@ -63,6 +67,7 @@ from wprdc_etl_spark.testgen import gen_change_events, write_event_log  # noqa: 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+MAX_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPEATS", str(REPEATS + 2)))
 EVENTS_PER_SF = 20_000_000  # sf0.1 → 2M events
 BENCH_TMP = os.path.join(REPO, ".bench_tmp")
 
@@ -316,11 +321,32 @@ def main() -> None:
     # interleaved repetitions: a noise burst hits one rep of several queries,
     # never every rep of one query; min-per-query is the reported time
     rep_times: dict[str, list[float]] = {name: [] for name, _ in plan}
-    for _rep in range(REPEATS):
+
+    def run_rep() -> None:
         for name, fn in plan:
             t0 = time.monotonic()
             fn()
             rep_times[name].append(round(time.monotonic() - t0, 3))
+
+    for _rep in range(REPEATS):
+        run_rep()
+
+    # contention-adaptive extension: when interleaved reps of the SAME query
+    # disagree by >2x (ignoring sub-second queries, where scheduler jitter
+    # dominates), the whole window is contended — buy up to MAX_REPEATS
+    # total chances at a quiet patch instead of publishing an unlucky
+    # minimum (the seventh bench window measured 3-10x rep swings with an
+    # in-window 6.6 GB/s triad probe; BENCH/BASELINE.md)
+    def spread() -> float:
+        ratios = [
+            statistics.median(ts) / min(ts)
+            for ts in rep_times.values()
+            if ts and min(ts) > 0.5
+        ]
+        return max(ratios, default=1.0)
+
+    while spread() > 2.0 and len(rep_times[plan[0][0]]) < MAX_REPEATS:
+        run_rep()
 
     queries = {name: min(ts) for name, ts in rep_times.items()}
     total = round(sum(queries.values()), 3)
@@ -335,7 +361,7 @@ def main() -> None:
                 "extra": {
                     "n_events": total_events,
                     "cpus": CPUS,
-                    "repeats": REPEATS,
+                    "repeats": len(rep_times[plan[0][0]]),
                     "batch_events_per_sec": round(
                         total_events / queries["cdc_bulk_load"]
                     ),
