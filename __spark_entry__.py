@@ -842,8 +842,9 @@ def _q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintenance ops preserve state: replay, then compact() (tombstone GC
-    below the replay horizon, delta-chain fold) and rebucket() (bucket-layout
-    evolution 16→32) — the final read must STILL equal the golden replay."""
+    below the replay horizon, delta-chain fold, Morton-curve layout via
+    zorder_by — functions/zorder.py) and rebucket() (bucket-layout evolution
+    16→32) — the final read must STILL equal the golden replay."""
     log = _fixture_log(spark, sf_dir)
     label = _sf_label(sf_dir)
     target = os.path.join(FIXTURES, "_targets", f"{label}_maint")
@@ -857,7 +858,7 @@ def _q_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .build()
     )
     job.run_batch(spark, n_chunks=2)
-    table.compact()
+    table.compact(zorder_by=["repo", "lang"])
     table.rebucket(32)
     return table.read().select("repo", "path", "commit", "lang", "content_sha")
 

@@ -59,6 +59,8 @@ def main() -> None:
     ap.add_argument("--continuous", action="store_true",
                     help="stream mode: keep tailing instead of availableNow-drain")
     ap.add_argument("--new-n-buckets", type=int, help="rebucket mode: target bucket count")
+    ap.add_argument("--zorder", help="compact mode: comma-separated columns to "
+                    "lay out along the Morton curve (OPTIMIZE ZORDER BY analog)")
     ap.add_argument("--from-version", type=int, help="changelog mode: starting table version")
     ap.add_argument("--to-version", type=int, default=None,
                     help="changelog mode: ending version (default: current); "
@@ -675,8 +677,10 @@ def main() -> None:
             spark.stop()
             return
         if args.mode == "compact":
-            v = table.compact()
-            print(f"compacted to version {v}")
+            zcols = [c for c in (args.zorder or "").split(",") if c] or None
+            v = table.compact(zorder_by=zcols)
+            print(f"compacted to version {v}"
+                  + (f" (zorder by {zcols})" if zcols else ""))
         elif args.mode == "rebucket":
             if not args.new_n_buckets:
                 ap.error("--new-n-buckets is required in rebucket mode")

@@ -2744,7 +2744,12 @@ class ParquetSnapshotTable(LakeTable):
 
         def _clustered(d: DataFrame) -> DataFrame:
             # in-task sort only (no exchange): clusters values so parquet
-            # row-group min/max stats become selective for these columns
+            # row-group min/max stats become selective for these columns.
+            # A precomputed Morton key (compact(zorder_by=...)) takes
+            # precedence and is dropped after ordering — the projection
+            # preserves the in-partition sort, so the key never hits disk.
+            if "_zkey" in d.columns:
+                return d.sortWithinPartitions("_bucket_dir", "_zkey").drop("_zkey")
             if not cluster:
                 return d
             return d.sortWithinPartitions("_bucket_dir", *cluster)
@@ -3028,15 +3033,33 @@ class ParquetSnapshotTable(LakeTable):
         except ValueError:
             return 1 << 62
 
-    def compact(self, *, drop_tombstones_below_seq: int | None = None) -> int:
+    def compact(
+        self,
+        *,
+        drop_tombstones_below_seq: int | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> int:
         """Full rewrite: fold every bucket's delta chain into one base dir,
         coalesce small files, and GC tombstones whose sequence is below the
         given bound (i.e. no redelivery can still reference them). Returns
-        the new version. Resets the bucket_rows estimates to exact counts."""
+        the new version. Resets the bucket_rows estimates to exact counts.
+
+        ``zorder_by`` lays the rewrite out along the Morton curve of the
+        given columns (Delta ``OPTIMIZE ZORDER BY`` analog;
+        functions/zorder.py): within each bucket every listed column's
+        value range is bounded per row group, so selective scans on ANY of
+        them skip row groups — the multi-column complement to the
+        lexicographic ``cluster_within_buckets`` per-merge knob. Purely a
+        physical layout: the committed state is identical."""
         man = self._require_manifest()
         df = self._resolved(man)
         if drop_tombstones_below_seq is not None:
             df = df.where(~((F.col("_op") == "D") & (F.col("_seq") < drop_tombstones_below_seq)))
+        if zorder_by:
+            from wprdc_etl_spark.functions.zorder import zorder_key, zorder_stats
+
+            stats = zorder_stats(df, list(zorder_by))  # one agg scan
+            df = df.withColumn("_zkey", zorder_key(df, list(zorder_by), stats))
         return self._rewrite_all(man, df, man["n_buckets"])
 
     def rebucket(self, new_n_buckets: int) -> int:
