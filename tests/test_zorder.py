@@ -164,3 +164,32 @@ def test_zorder_bounds_trailing_column_spread(spark, tmp_path):
     assert {tuple(r) for r in lex.read().collect()} == {
         tuple(r) for r in zt.read().collect()
     }
+
+
+# ---- the layout persists as a table property ---------------------------------
+
+
+def test_zorder_property_persists_through_maintenance(spark, tmp_path):
+    """compact(zorder_by=) stamps the property in the same commit; later
+    plain compact()/rebucket() (the scheduled-optimize shape) default to it
+    so auto-maintenance never silently destroys the layout; zorder_by=[]
+    clears it."""
+    t = _seeded(spark, tmp_path, n=2000)
+    t.compact(zorder_by=["repo", "lang"])
+    assert t.properties()["zorder_by"] == ["repo", "lang"]
+    before = {tuple(r) for r in t.read().collect()}
+
+    # a fresh default handle (scheduler shape) compacts and KEEPS the curve
+    h = ParquetSnapshotTable(spark, t.root)
+    h.compact()
+    spread = _chunk_spreads(h, "lang")
+    assert sum(spread) / len(spread) <= 2.5
+    h.rebucket(4)
+    spread = _chunk_spreads(h, "lang")
+    assert sum(spread) / len(spread) <= 2.5
+    assert {tuple(r) for r in h.read().collect()} == before
+
+    # explicit [] clears the property and the next rewrite is unclustered
+    h.compact(zorder_by=[])
+    assert not h.properties().get("zorder_by")
+    assert {tuple(r) for r in h.read().collect()} == before

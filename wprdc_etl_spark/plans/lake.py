@@ -3050,17 +3050,34 @@ class ParquetSnapshotTable(LakeTable):
         value range is bounded per row group, so selective scans on ANY of
         them skip row groups — the multi-column complement to the
         lexicographic ``cluster_within_buckets`` per-merge knob. Purely a
-        physical layout: the committed state is identical."""
+        physical layout: the committed state is identical.
+
+        The columns PERSIST as the ``zorder_by`` table property in the same
+        commit, and later ``compact()``/``rebucket()`` calls (including
+        scheduled ``optimize()``) default to them — an auto-maintenance
+        rewrite must not silently destroy the layout a nightly OPTIMIZE
+        established. Pass ``zorder_by=[]`` to clear the property and
+        rewrite unclustered."""
         man = self._require_manifest()
         df = self._resolved(man)
         if drop_tombstones_below_seq is not None:
             df = df.where(~((F.col("_op") == "D") & (F.col("_seq") < drop_tombstones_below_seq)))
+        props_update = None
+        if zorder_by is not None:
+            props_update = {"zorder_by": list(zorder_by)}
+        else:
+            zorder_by = man.get("properties", {}).get("zorder_by") or None
         if zorder_by:
-            from wprdc_etl_spark.functions.zorder import zorder_key, zorder_stats
+            df = self._with_zorder(df, list(zorder_by))
+        return self._rewrite_all(
+            man, df, man["n_buckets"], props_update=props_update
+        )
 
-            stats = zorder_stats(df, list(zorder_by))  # one agg scan
-            df = df.withColumn("_zkey", zorder_key(df, list(zorder_by), stats))
-        return self._rewrite_all(man, df, man["n_buckets"])
+    def _with_zorder(self, df: DataFrame, cols: list[str]) -> DataFrame:
+        from wprdc_etl_spark.functions.zorder import zorder_key, zorder_stats
+
+        stats = zorder_stats(df, cols)  # one agg scan
+        return df.withColumn("_zkey", zorder_key(df, cols, stats))
 
     def rebucket(self, new_n_buckets: int) -> int:
         """Bucket-layout evolution (Iceberg partition-evolution analog):
@@ -3075,11 +3092,18 @@ class ParquetSnapshotTable(LakeTable):
         if new_n_buckets < 1:
             raise SinkCommitError(f"n_buckets must be >= 1, got {new_n_buckets}")
         man = self._require_manifest()
-        version = self._rewrite_all(man, self._resolved(man), new_n_buckets)
+        df = self._resolved(man)
+        zcols = man.get("properties", {}).get("zorder_by") or None
+        if zcols:  # a rebucket is also a compaction: keep the z-layout
+            df = self._with_zorder(df, list(zcols))
+        version = self._rewrite_all(man, df, new_n_buckets)
         self.n_buckets = new_n_buckets
         return version
 
-    def _rewrite_all(self, man: dict, df: DataFrame, n_buckets: int) -> int:
+    def _rewrite_all(
+        self, man: dict, df: DataFrame, n_buckets: int,
+        props_update: dict | None = None,
+    ) -> int:
         """Shared tail of compact()/rebucket(): write ``df`` fully bucketed
         by ``n_buckets`` and commit it as the table's only data. Full-table
         rewrites never rebase (they touch every bucket by definition), but
@@ -3089,12 +3113,15 @@ class ParquetSnapshotTable(LakeTable):
         version = man["version"] + 1
         token = self._begin_attempt()
         try:
-            return self._rewrite_all_inner(man, df, n_buckets, version, token)
+            return self._rewrite_all_inner(
+                man, df, n_buckets, version, token, props_update=props_update
+            )
         finally:
             self._end_attempt()
 
     def _rewrite_all_inner(
-        self, man: dict, df: DataFrame, n_buckets: int, version: int, token: str
+        self, man: dict, df: DataFrame, n_buckets: int, version: int, token: str,
+        props_update: dict | None = None,
     ) -> int:
         data_rel = f"data/v{version}_w{token}"
         df = df.persist()
@@ -3120,6 +3147,8 @@ class ParquetSnapshotTable(LakeTable):
         man_new["buckets"] = {str(b): [f"{data_rel}/_bucket_dir={b}"] for b in sorted(written)}
         man_new["bucket_rows"] = {str(b): counts_by_bucket.get(b, 0) for b in sorted(written)}
         man_new["bucket_zones"] = {str(b): zones_by_bucket[b] for b in sorted(written) if b in zones_by_bucket}
+        if props_update:
+            man_new["properties"] = {**man.get("properties", {}), **props_update}
         self._stamp_published(man_new, man)
         self._swap_manifest(man_new)
         self._gc_orphans(man_new)
