@@ -97,6 +97,11 @@ def test_maintenance_procedure_sql():
     )
     # unqualified table → session catalog
     assert ice.compact_sql("db.t").startswith("CALL spark_catalog.system.")
+    # zorder: the native sort strategy, the lake compact(zorder_by=) drop-in
+    assert ice.compact_sql("cat.db.t", zorder_by=["repo", "lang"]) == (
+        "CALL cat.system.rewrite_data_files(table => 'db.t', "
+        "strategy => 'sort', sort_order => 'zorder(repo,lang)')"
+    )
 
 
 def test_rebucket_and_write_mode_sql():

@@ -658,8 +658,10 @@ def main() -> None:
             # same verbs, expressed as Iceberg catalog procedures
             # (plans/iceberg.py builders; --from/--to versions are snapshot ids)
             if args.mode == "compact":
-                table.compact()
-                print(f"rewrite_data_files submitted for {args.target}")
+                zcols = [c for c in (args.zorder or "").split(",") if c] or None
+                table.compact(zorder_by=zcols)
+                print(f"rewrite_data_files submitted for {args.target}"
+                      + (f" (zorder {zcols})" if zcols else ""))
             elif args.mode == "rebucket":
                 if not args.new_n_buckets:
                     ap.error("--new-n-buckets is required in rebucket mode")

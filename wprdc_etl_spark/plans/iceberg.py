@@ -185,10 +185,19 @@ def rollback_sql(table: str, snapshot_id: int) -> str:
     )
 
 
-def compact_sql(table: str) -> str:
+def compact_sql(table: str, zorder_by: list[str] | None = None) -> str:
     """compact() analog: bin-pack small files (and MOR delete files) back
-    into full-size data files."""
+    into full-size data files. With ``zorder_by``, the native sort
+    strategy's zorder transform — the same Morton-curve layout
+    ``ParquetSnapshotTable.compact(zorder_by=)`` computes by hand
+    (functions/zorder.py), done Iceberg-side."""
     cat, ident = _catalog_and_ident(table)
+    if zorder_by:
+        cols = ",".join(zorder_by)
+        return (
+            f"CALL {cat}.system.rewrite_data_files(table => '{ident}', "
+            f"strategy => 'sort', sort_order => 'zorder({cols})')"
+        )
     return (
         f"CALL {cat}.system.rewrite_data_files(table => '{ident}', "
         f"strategy => 'binpack')"
@@ -588,10 +597,12 @@ class IcebergTable(LakeTable):
         sink."""
         self.spark.sql(rollback_sql(self.table, snapshot_id))
 
-    def compact(self) -> None:
+    def compact(self, *, zorder_by: list[str] | None = None) -> None:
         """Bin-pack small files (the inline-compaction analog; run it on the
-        cadence MOR delta pressure demands)."""
-        self.spark.sql(compact_sql(self.table))
+        cadence MOR delta pressure demands). ``zorder_by`` rewrites along
+        the Morton curve via the native sort strategy — the
+        ``ParquetSnapshotTable.compact(zorder_by=)`` drop-in."""
+        self.spark.sql(compact_sql(self.table, zorder_by=zorder_by))
 
     def expire_snapshots(self, retain_last: int) -> None:
         if retain_last < 1:
