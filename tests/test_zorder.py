@@ -193,3 +193,17 @@ def test_zorder_property_persists_through_maintenance(spark, tmp_path):
     h.compact(zorder_by=[])
     assert not h.properties().get("zorder_by")
     assert {tuple(r) for r in h.read().collect()} == before
+
+
+def test_drop_column_shrinks_zorder_property(spark, tmp_path):
+    """Dropping a z-ordered column must shrink the persisted layout in the
+    same commit — otherwise the next scheduled compact()/rebucket() fails
+    resolving the stale property."""
+    t = _seeded(spark, tmp_path, n=200)
+    t.compact(zorder_by=["repo", "lang"])
+    t.drop_column("lang")
+    assert t.properties()["zorder_by"] == ["repo"]
+    t.compact()  # must not raise; layout continues on the survivor
+    t.rebucket(4)
+    assert "lang" not in t.read().columns
+    assert t.read().count() == 200

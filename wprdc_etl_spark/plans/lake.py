@@ -2031,6 +2031,13 @@ class ParquetSnapshotTable(LakeTable):
         man_new["properties"] = {
             **man["properties"], "dropped_columns": dropped + [name],
         }
+        # a z-order layout referencing the dropped column shrinks to the
+        # surviving columns in the same commit (it's a layout heuristic,
+        # not a schema surface) — otherwise the next scheduled
+        # compact()/rebucket() would fail resolving the stale property
+        zcols = man["properties"].get("zorder_by") or []
+        if name in zcols:
+            man_new["properties"]["zorder_by"] = [c for c in zcols if c != name]
         self._stamp_published(man_new, man)
         self._swap_manifest(man_new)
 
