@@ -207,3 +207,55 @@ def test_drop_column_shrinks_zorder_property(spark, tmp_path):
     t.rebucket(4)
     assert "lang" not in t.read().columns
     assert t.read().count() == 200
+
+
+# ---- review-pass pins: reserved names, bit width, CLI parsing ----------------
+
+
+def test_reserved_column_names_rejected(spark, tmp_path):
+    """A user column named _zkey (or any engine-internal name) would be
+    silently dropped by the clustered write path — rejected at create time
+    and at additive evolution instead."""
+    from wprdc_etl_spark.exceptions import SinkCommitError
+    from wprdc_etl_spark.plans.lake import plan_schema_changes
+
+    bad = T.StructType(SCHEMA.fields + [T.StructField("_zkey", T.LongType())])
+    t = ParquetSnapshotTable(spark, str(tmp_path / "bad"), n_buckets=2)
+    with pytest.raises(SinkCommitError, match="reserved"):
+        t.ensure(bad)
+    # evolution path: an existing table must reject a batch introducing one
+    t2 = _seeded(spark, tmp_path, n=10)
+    evil = ev(spark, [(100, "I", "rX", "fX", "c1", "py", "x")]).withColumn(
+        "_zkey", F.lit(1)
+    )
+    with pytest.raises(SinkCommitError, match="reserved"):
+        t2.merge(evil, job="seed", batch_id=9)
+    # and the dry-run pre-flight flags it blocking
+    rep = {r["column"]: r for r in plan_schema_changes(
+        SCHEMA, evil.drop("op", "event_sequence").schema,
+        keys=["repo", "path", "commit"],
+    )}
+    assert rep["_zkey"]["kind"] == "reserved_name" and rep["_zkey"]["blocking"]
+
+
+def test_bits_width_validated_in_both_engines(spark):
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    stats = {"x": (0.0, 9.0), "y": (0.0, 9.0)}
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder_key(df, ["x", "y"], stats, bits_per_col=32)
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder_key_py([1, 2], [T.LongType()] * 2, [stats["x"], stats["y"]],
+                      bits_per_col=32)
+    # 31 x 2 = 62 bits is the legal ceiling
+    df.withColumn("z", zorder_key(df, ["x", "y"], stats, bits_per_col=31)).collect()
+
+
+def test_cli_zorder_arg_parsing():
+    from wprdc_etl_spark.__main__ import _parse_zorder
+
+    assert _parse_zorder(None) is None            # keep persisted layout
+    assert _parse_zorder("none") == []            # clear it
+    assert _parse_zorder("NONE") == []
+    assert _parse_zorder("") == []
+    assert _parse_zorder("  ") == []
+    assert _parse_zorder(" repo, lang ") == ["repo", "lang"]  # stripped

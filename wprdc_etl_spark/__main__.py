@@ -26,6 +26,18 @@ from wprdc_etl_spark.plans.lake import ParquetSnapshotTable
 from wprdc_etl_spark.streaming.job import IngestJob
 
 
+def _parse_zorder(arg: str | None) -> list[str] | None:
+    """--zorder value -> compact(zorder_by=...): None (flag absent) keeps
+    the persisted layout, 'none'/'' clears it ([]), otherwise the stripped
+    column list."""
+    if arg is None:
+        return None
+    cols = [c.strip() for c in arg.split(",") if c.strip()]
+    if not cols or arg.strip().lower() == "none":
+        return []
+    return cols
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="wprdc_etl_spark")
     ap.add_argument("--name", required=True, help="job name (lineage / guard key)")
@@ -60,7 +72,9 @@ def main() -> None:
                     help="stream mode: keep tailing instead of availableNow-drain")
     ap.add_argument("--new-n-buckets", type=int, help="rebucket mode: target bucket count")
     ap.add_argument("--zorder", help="compact mode: comma-separated columns to "
-                    "lay out along the Morton curve (OPTIMIZE ZORDER BY analog)")
+                    "lay out along the Morton curve (OPTIMIZE ZORDER BY analog; "
+                    "persists as a table property later maintenance keeps); "
+                    "'none' clears the persisted layout")
     ap.add_argument("--from-version", type=int, help="changelog mode: starting table version")
     ap.add_argument("--to-version", type=int, default=None,
                     help="changelog mode: ending version (default: current); "
@@ -658,7 +672,7 @@ def main() -> None:
             # same verbs, expressed as Iceberg catalog procedures
             # (plans/iceberg.py builders; --from/--to versions are snapshot ids)
             if args.mode == "compact":
-                zcols = [c for c in (args.zorder or "").split(",") if c] or None
+                zcols = _parse_zorder(args.zorder)
                 table.compact(zorder_by=zcols)
                 print(f"rewrite_data_files submitted for {args.target}"
                       + (f" (zorder {zcols})" if zcols else ""))
@@ -679,10 +693,10 @@ def main() -> None:
             spark.stop()
             return
         if args.mode == "compact":
-            zcols = [c for c in (args.zorder or "").split(",") if c] or None
-            v = table.compact(zorder_by=zcols)
+            v = table.compact(zorder_by=_parse_zorder(args.zorder))
             print(f"compacted to version {v}"
-                  + (f" (zorder by {zcols})" if zcols else ""))
+                  + (f" (zorder by {args.zorder})"
+                     if args.zorder and args.zorder.lower() != "none" else ""))
         elif args.mode == "rebucket":
             if not args.new_n_buckets:
                 ap.error("--new-n-buckets is required in rebucket mode")

@@ -125,6 +125,14 @@ def zorder_key(
     if n == 0:
         raise ValueError("zorder needs at least one column")
     bits = bits_per_col or max(1, 30 // n)
+    if bits * n > 63:
+        # bit position (bits-1)*n + (n-1) = bits*n - 1 must stay below the
+        # long's sign bit: a signed Morton key would sort the upper half of
+        # the range FIRST (and silently diverge from the unbounded-int
+        # Python twin)
+        raise ValueError(
+            f"bits_per_col={bits} x {n} columns exceeds 63 bits"
+        )
     schema = {f.name: f.dataType for f in df.schema.fields}
     z = F.lit(0).cast("long")
     for j, c in enumerate(cols):
@@ -146,6 +154,8 @@ def zorder_key_py(
     """Bit-exact Python twin of ``zorder_key`` for one row."""
     n = len(values)
     bits = bits_per_col or max(1, 30 // n)
+    if bits * n > 63:
+        raise ValueError(f"bits_per_col={bits} x {n} columns exceeds 63 bits")
     top = (1 << bits) - 1
     z = 0
     for j, (v, dt, (lo, hi)) in enumerate(zip(values, dtypes, stats)):

@@ -601,8 +601,32 @@ class IcebergTable(LakeTable):
         """Bin-pack small files (the inline-compaction analog; run it on the
         cadence MOR delta pressure demands). ``zorder_by`` rewrites along
         the Morton curve via the native sort strategy — the
-        ``ParquetSnapshotTable.compact(zorder_by=)`` drop-in."""
-        self.spark.sql(compact_sql(self.table, zorder_by=zorder_by))
+        ``ParquetSnapshotTable.compact(zorder_by=)`` drop-in, including the
+        persistence contract: the columns stamp the ``zorder_by`` table
+        property, later plain ``compact()`` calls default to it (scheduled
+        maintenance keeps the layout), ``zorder_by=[]`` clears it."""
+        if zorder_by is not None:
+            if zorder_by:
+                cols = ",".join(zorder_by)
+                self.spark.sql(
+                    f"ALTER TABLE {self.table} SET TBLPROPERTIES "
+                    f"('zorder_by' = '{cols}')"
+                )
+            else:
+                self.spark.sql(
+                    f"ALTER TABLE {self.table} UNSET TBLPROPERTIES "
+                    f"IF EXISTS ('zorder_by')"
+                )
+                zorder_by = None
+        else:
+            stored = {
+                r["key"]: r["value"]
+                for r in self.spark.sql(
+                    f"SHOW TBLPROPERTIES {self.table}"
+                ).collect()
+            }.get("zorder_by")
+            zorder_by = [c for c in stored.split(",") if c] if stored else None
+        self.spark.sql(compact_sql(self.table, zorder_by=zorder_by or None))
 
     def expire_snapshots(self, retain_last: int) -> None:
         if retain_last < 1:

@@ -89,6 +89,11 @@ from wprdc_etl_spark.exceptions import DuplicateBatchException, SinkCommitError
 
 MANIFEST_FORMAT = "wprdc-etl-spark/parquet-snapshot/v1"
 INTERNAL_COLS = ["_seq", "_op"]
+# names the engine claims for itself inside write/merge plans — a user
+# column with one of these would be silently clobbered or dropped (e.g.
+# _clustered drops _zkey after the layout sort), so they are rejected at
+# create time and at additive evolution
+RESERVED_COLS = ("_seq", "_op", "_bucket_dir", "_zkey", "_rid")
 DEFAULT_KEYS = ["repo", "path", "commit"]
 
 
@@ -288,7 +293,11 @@ def plan_schema_changes(
             )
     for name in bf:
         if name not in tf:
-            add(name, "added", "column appends; existing rows read NULL")
+            if name in RESERVED_COLS:
+                add(name, "reserved_name",
+                    "merge raises: name reserved for engine internals", True)
+            else:
+                add(name, "added", "column appends; existing rows read NULL")
     return report
 
 
@@ -472,7 +481,11 @@ class ParquetSnapshotTable(LakeTable):
         # on them skip row groups at read time (parquet filter pushdown is
         # already on); unclustered layouts interleave values and stats prune
         # nothing. Lexicographic multi-column clustering: best for the
-        # leading column, like a secondary index prefix.
+        # leading column, like a secondary index prefix. Deliberately a
+        # WRITER-HANDLE knob (each merge's batch is sorted as it lands),
+        # unlike the zorder_by TABLE property compact() persists: the
+        # Morton layout is a maintenance-time policy the scheduler must
+        # keep, while per-merge clustering is the ingest job's own choice.
         self.cluster_within_buckets = (
             list(cluster_within_buckets) if cluster_within_buckets else None
         )
@@ -1323,6 +1336,12 @@ class ParquetSnapshotTable(LakeTable):
         for k in self.keys:
             if k not in schema.fieldNames():
                 raise SinkCommitError(f"key column {k!r} missing from schema {schema.fieldNames()}")
+        reserved = [c for c in schema.fieldNames() if c in RESERVED_COLS]
+        if reserved:
+            raise SinkCommitError(
+                f"column name(s) {reserved} are reserved for engine "
+                f"internals ({list(RESERVED_COLS)})"
+            )
         os.makedirs(self.root, exist_ok=True)
         self._swap_manifest(
             {
@@ -2290,6 +2309,12 @@ class ParquetSnapshotTable(LakeTable):
             if k not in payload_cols:
                 raise SinkCommitError(f"merge batch missing key column {k!r}")
         new_cols = [c for c in payload_cols if c not in table_schema.fieldNames()]
+        bad = [c for c in new_cols if c in RESERVED_COLS]
+        if bad:
+            raise SinkCommitError(
+                f"batch column name(s) {bad} are reserved for engine "
+                f"internals and cannot evolve into the table"
+            )
         # B9 evolution: additive columns append; shared columns may WIDEN
         # (byte/short/int->long, float->double — metadata-only under
         # SPARK-40876 parquet widening reads). Key/bucket columns must not
@@ -3083,7 +3108,14 @@ class ParquetSnapshotTable(LakeTable):
     def _with_zorder(self, df: DataFrame, cols: list[str]) -> DataFrame:
         from wprdc_etl_spark.functions.zorder import zorder_key, zorder_stats
 
-        stats = zorder_stats(df, cols)  # one agg scan
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"zorder columns not in the data: {missing}")
+        # stats over the COLUMN-PRUNED chain: the resolve re-runs for this
+        # pass, but its parquet scans read only the z columns (+ the narrow
+        # LWW metadata) — far cheaper at scale than caching the payload-wide
+        # chain to save the second pass (r3 code review weighed both)
+        stats = zorder_stats(df.select(*cols), cols)
         return df.withColumn("_zkey", zorder_key(df, cols, stats))
 
     def rebucket(self, new_n_buckets: int) -> int:
