@@ -259,3 +259,69 @@ def test_cli_zorder_arg_parsing():
     assert _parse_zorder("") == []
     assert _parse_zorder("  ") == []
     assert _parse_zorder(" repo, lang ") == ["repo", "lang"]  # stripped
+
+
+# ---- opt-in write-time curve maintenance (liquid-clustering shape) -----------
+
+
+def test_zorder_on_write_clusters_new_deltas_from_persisted_stats(spark, tmp_path):
+    """After OPTIMIZE fits the curve, a zorder_on_write handle sorts each
+    merge's bucket writes by the SAME key built from the persisted bounds
+    (manifest literals — no stats scan), so MOR deltas stay clustered
+    between compactions. Off by default; state identical either way."""
+    t = _seeded(spark, tmp_path, n=400)
+    t.compact(zorder_by=["repo", "lang"])
+    assert set(t.properties()["zorder_stats"]) == {"repo", "lang"}
+
+    langs = ["py", "go", "rs", "js"]
+    delta_rows = [
+        (10_000 + i, "U", f"r{i % 37}", f"f{i}.x", "c1", langs[i % 4], f"v2-{i}")
+        for i in range(0, 400, 2)
+    ]
+    w = ParquetSnapshotTable(
+        spark, t.root, write_mode="mor", zorder_on_write=True
+    )
+    w.merge(ev(spark, delta_rows), job="seed", batch_id=1)
+    man = w._require_manifest()
+    # the fresh delta dirs (chain length > 1) must be curve-clustered
+    import os
+
+    delta_spread = []
+    for b in man["buckets"]:
+        for rel in w._dirs_of(man, b)[1:]:  # deltas only
+            d = os.path.join(w.root, rel)
+            for name in sorted(os.listdir(d)):
+                if name.endswith(".parquet"):
+                    vals = pq.read_table(os.path.join(d, name), columns=["lang"])[
+                        "lang"
+                    ].to_pylist()
+                    for i in range(0, len(vals), 32):
+                        part = vals[i : i + 32]
+                        if len(part) >= 16:
+                            delta_spread.append(len(set(part)))
+    assert delta_spread, "MOR merge produced no delta dirs"
+    assert sum(delta_spread) / len(delta_spread) <= 2.0, delta_spread
+    # and the merged STATE is exactly what a plain handle produces
+    plain = _seeded(spark, tmp_path / "plain", n=400)
+    plain.merge(ev(spark, delta_rows), job="seed", batch_id=1)
+    assert {tuple(r) for r in w.read().collect()} == {
+        tuple(r) for r in plain.read().collect()
+    }
+
+
+def test_zorder_on_write_noop_without_fitted_layout(spark, tmp_path):
+    """The flag is inert until a layout is fitted — no property, no sort,
+    merges behave identically (incl. clamping safety when values drift
+    outside the fitted bounds on a later merge)."""
+    t = ParquetSnapshotTable(
+        spark, str(tmp_path / "tbl"), n_buckets=2, zorder_on_write=True
+    )
+    t.ensure(SCHEMA)
+    t.merge(ev(spark, [(1, "I", "r1", "a", "c1", "py", "A")]), job="j", batch_id=0)
+    assert t.read().count() == 1
+    t.compact(zorder_by=["repo"])
+    # out-of-bounds repo on the next merge: clamps, still lands correctly
+    t.merge(ev(spark, [(2, "I", "zzz-way-out", "b", "c1", "go", "B")]),
+            job="j", batch_id=1)
+    got = {r["repo"] for r in t.read().collect()}
+    assert got == {"r1", "zzz-way-out"}

@@ -404,6 +404,7 @@ class ParquetSnapshotTable(LakeTable):
         cluster_within_buckets: list[str] | None = None,
         optimistic_rebase: bool = True,
         bloom_filter_keys: bool = False,
+        zorder_on_write: bool = False,
     ) -> None:
         """``write_mode`` — the write-amplification control (LSM-style):
 
@@ -489,6 +490,18 @@ class ParquetSnapshotTable(LakeTable):
         self.cluster_within_buckets = (
             list(cluster_within_buckets) if cluster_within_buckets else None
         )
+        # Opt-in write-time curve maintenance (the liquid-clustering idea,
+        # vs Delta's OPTIMIZE-only z-order): when the table carries a
+        # persisted zorder_by layout, sort each merge's bucket writes by
+        # the SAME Morton key built from the persisted zorder_stats bounds
+        # — literals from the manifest, so the hot path gains only the
+        # in-task sort, never a stats scan. New deltas stay curve-
+        # clustered between scheduled compactions; values outside the
+        # fitted bounds clamp (layout heuristic — the next z-ordered
+        # rewrite re-fits). Off by default: ingest jobs that are never
+        # selectively scanned shouldn't pay a write-side sort. Takes
+        # precedence over cluster_within_buckets when both are set.
+        self.zorder_on_write = bool(zorder_on_write)
 
     @property
     def retain_history(self) -> int:
@@ -2057,6 +2070,10 @@ class ParquetSnapshotTable(LakeTable):
         zcols = man["properties"].get("zorder_by") or []
         if name in zcols:
             man_new["properties"]["zorder_by"] = [c for c in zcols if c != name]
+            zstats = man["properties"].get("zorder_stats") or {}
+            man_new["properties"]["zorder_stats"] = {
+                c: v for c, v in zstats.items() if c != name
+            }
         self._stamp_published(man_new, man)
         self._swap_manifest(man_new)
 
@@ -2782,6 +2799,10 @@ class ParquetSnapshotTable(LakeTable):
             # preserves the in-partition sort, so the key never hits disk.
             if "_zkey" in d.columns:
                 return d.sortWithinPartitions("_bucket_dir", "_zkey").drop("_zkey")
+            if self.zorder_on_write:
+                zk = self._write_time_zkey(d)
+                if zk is not None:
+                    return d.sortWithinPartitions("_bucket_dir", zk)
             if not cluster:
                 return d
             return d.sortWithinPartitions("_bucket_dir", *cluster)
@@ -3094,18 +3115,42 @@ class ParquetSnapshotTable(LakeTable):
         df = self._resolved(man)
         if drop_tombstones_below_seq is not None:
             df = df.where(~((F.col("_op") == "D") & (F.col("_seq") < drop_tombstones_below_seq)))
-        props_update = None
         if zorder_by is not None:
-            props_update = {"zorder_by": list(zorder_by)}
+            cols = list(zorder_by)
         else:
-            zorder_by = man.get("properties", {}).get("zorder_by") or None
-        if zorder_by:
-            df = self._with_zorder(df, list(zorder_by))
+            cols = list(man.get("properties", {}).get("zorder_by") or [])
+        props_update = None
+        if cols:
+            df, stats = self._with_zorder(df, cols)
+            # persist the FRESH bounds with the layout: merge-time curve
+            # maintenance (zorder_on_write) keys off these literals, and
+            # every z-ordered rewrite re-fits them to the current data
+            props_update = {
+                "zorder_by": cols,
+                "zorder_stats": {c: list(stats[c]) for c in cols},
+            }
+        elif zorder_by is not None:  # explicit [] — clear the layout
+            props_update = {"zorder_by": [], "zorder_stats": {}}
         return self._rewrite_all(
             man, df, man["n_buckets"], props_update=props_update
         )
 
-    def _with_zorder(self, df: DataFrame, cols: list[str]) -> DataFrame:
+    def _write_time_zkey(self, d: DataFrame):
+        """Morton key for an ordinary merge write, from the PERSISTED
+        layout + bounds (zorder_on_write): manifest literals only — no
+        stats scan on the hot path. None when the table has no fitted
+        layout or the rows lack a layout column (pre-evolution batch)."""
+        props = (self._read_manifest() or {}).get("properties", {})
+        cols = props.get("zorder_by") or []
+        stats_p = props.get("zorder_stats") or {}
+        if not cols or any(c not in d.columns or c not in stats_p for c in cols):
+            return None
+        from wprdc_etl_spark.functions.zorder import zorder_key
+
+        stats = {c: (float(stats_p[c][0]), float(stats_p[c][1])) for c in cols}
+        return zorder_key(d, cols, stats)
+
+    def _with_zorder(self, df: DataFrame, cols: list[str]):
         from wprdc_etl_spark.functions.zorder import zorder_key, zorder_stats
 
         missing = [c for c in cols if c not in df.columns]
@@ -3116,7 +3161,7 @@ class ParquetSnapshotTable(LakeTable):
         # LWW metadata) — far cheaper at scale than caching the payload-wide
         # chain to save the second pass (r3 code review weighed both)
         stats = zorder_stats(df.select(*cols), cols)
-        return df.withColumn("_zkey", zorder_key(df, cols, stats))
+        return df.withColumn("_zkey", zorder_key(df, cols, stats)), stats
 
     def rebucket(self, new_n_buckets: int) -> int:
         """Bucket-layout evolution (Iceberg partition-evolution analog):
@@ -3133,9 +3178,13 @@ class ParquetSnapshotTable(LakeTable):
         man = self._require_manifest()
         df = self._resolved(man)
         zcols = man.get("properties", {}).get("zorder_by") or None
+        props_update = None
         if zcols:  # a rebucket is also a compaction: keep the z-layout
-            df = self._with_zorder(df, list(zcols))
-        version = self._rewrite_all(man, df, new_n_buckets)
+            df, stats = self._with_zorder(df, list(zcols))
+            props_update = {
+                "zorder_stats": {c: list(stats[c]) for c in zcols}
+            }
+        version = self._rewrite_all(man, df, new_n_buckets, props_update=props_update)
         self.n_buckets = new_n_buckets
         return version
 
