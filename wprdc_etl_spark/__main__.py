@@ -109,6 +109,12 @@ def main() -> None:
                     help="write parquet bloom filters on the key columns "
                          "(~1.2 bytes/key per file): point lookups skip "
                          "row groups inside the routed bucket")
+    ap.add_argument("--zorder-on-write", action="store_true",
+                    help="sort each merge's bucket writes by the table's "
+                         "persisted z-order curve (fitted by a prior "
+                         "--mode compact --zorder ...): deltas stay "
+                         "clustered between compactions at the cost of an "
+                         "in-task sort per write")
     ap.add_argument("--column", default=None,
                     help="add-generated/drop-generated modes: the generated "
                          "column name")
@@ -211,6 +217,7 @@ def main() -> None:
             spark, args.target, n_buckets=args.n_buckets,
             retain_history=args.retain_history,
             bloom_filter_keys=args.bloom_keys,
+            zorder_on_write=args.zorder_on_write,
         )
 
     job = (
