@@ -2490,6 +2490,26 @@ def _q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("_rank", "rank")
 
 
+def _q_emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN retrieval through the RP-LSH bucket index (functions/similarity.py:
+    ann_topk_lsh) at FULL probe: probe_all=True unions every 2^n_bits sign
+    bucket, making the bucket-restricted search provably equal to brute force
+    — deterministic (seeded Rademacher hyperplanes, tie-break on
+    (cosine DESC, vec_id)) — so the DuckDB twin is the exact brute-force
+    top-k SQL. Production drops to Hamming-1 multiprobe (~(n_bits+1)/2^n_bits
+    of the corpus per query, recall-tested in pytest); the driver gate proves
+    the whole LSH machinery (plane projection, bucket assignment, probe
+    explode, candidate dedup, exact rescoring) end to end."""
+    from wprdc_etl_spark.functions.similarity import ann_topk_lsh
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_topk_lsh(emb, queries_df, dim=64, k=10, n_bits=4, probe_all=True)
+    return out.withColumnRenamed("_rank", "rank")
+
+
 def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: RP-LSH banded candidates (8 bands ×
     4 sign bits, seeded planes) verified by exact cosine ≥ 0.4. Deterministic
@@ -2624,7 +2644,66 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Driver-sweep ordering (round 4): the driver's CORRECTNESS sweep covers
+    # roughly the first 50 entries, so the registry is ordered by evidential
+    # need — first round-4 additions and the 41 queries that have never had
+    # a driver row (r1-r3), then the 12 with only r1/r2 rows, then the 50
+    # already green in r3.
     return {
+        "emb_ann_lsh_topk": _q_emb_ann_lsh_topk,
+        "events_tumbling": _q_events_tumbling,
+        "events_gapfill": _q_events_gapfill,
+        "events_sliding": _q_events_sliding,
+        "events_topk_per_type": _q_events_topk_per_type,
+        "events_value_quantiles": _q_events_value_quantiles,
+        "events_distinct_users": _q_events_distinct_users,
+        "events_kmv_users": _q_events_kmv_users,
+        "events_interval_join": _q_events_interval_join,
+        "events_pivot": _q_events_pivot,
+        "sales_rollup": _q_sales_rollup,
+        "documents_near_dedup": _q_documents_near_dedup,
+        "doc_dedup_clusters": _q_doc_dedup_clusters,
+        "sales_by_nation": _q_sales_by_nation,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "doc_pack_shards": _q_doc_pack_shards,
+        "doc_normalize": _q_doc_normalize,
+        "doc_unigram_logprob": _q_doc_unigram_logprob,
+        "doc_sample": _q_doc_sample,
+        "doc_weighted_sample": _q_doc_weighted_sample,
+        "doc_mix": _q_doc_mix,
+        "doc_train_split": _q_doc_train_split,
+        "doc_chunks": _q_doc_chunks,
+        "doc_redact": _q_doc_redact,
+        "doc_repetition": _q_doc_repetition,
+        "doc_boilerplate": _q_doc_boilerplate,
+        "doc_paragraph_dedup": _q_doc_paragraph_dedup,
+        "doc_repeated_spans": _q_doc_repeated_spans,
+        "doc_remove_spans": _q_doc_remove_spans,
+        "doc_markup_strip": _q_doc_markup_strip,
+        "doc_top_terms": _q_doc_top_terms,
+        "doc_decontaminate": _q_doc_decontaminate,
+        "doc_cross_dedup": _q_doc_cross_dedup,
+        "doc_training_pipeline": _q_doc_training_pipeline,
+        "events_funnel": _q_events_funnel,
+        "doc_vocab": _q_doc_vocab,
+        "events_retention": _q_events_retention,
+        "events_outliers": _q_events_outliers,
+        "emb_ann_topk": _q_emb_ann_topk,
+        "emb_dedup_clusters": _q_emb_dedup_clusters,
+        "doc_source_pagerank": _q_doc_source_pagerank,
+        "doc_incremental_near_dup": _q_doc_incremental_near_dup,
+        "documents_fingerprint": _q_documents_fingerprint,
+        "documents_exact_dedup": _q_documents_exact_dedup,
+        "doc_token_counts": _q_doc_token_counts,
+        "doc_quality": _q_doc_quality,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
+        "emb_cosine_topk": _q_emb_cosine_topk,
+        "emb_near_dup": _q_emb_near_dup,
+        "doc_minhash_pairs": _q_doc_minhash_pairs,
+        "doc_simhash": _q_doc_simhash,
+        "doc_rolling_fp": _q_doc_rolling_fp,
+        "media_features": _q_media_features,
         "cdc_final_state": _q_cdc_final_state,
         "cdc_multi_log": _q_cdc_multi_log,
         "cdc_bootstrap_handoff": _q_cdc_bootstrap_handoff,
@@ -2675,59 +2754,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase": _q_events_asof_purchase,
         "events_sessions": _q_events_sessions,
         "events_sessions_stream": _q_events_sessions_stream,
-        "events_tumbling": _q_events_tumbling,
-        "events_gapfill": _q_events_gapfill,
-        "events_sliding": _q_events_sliding,
-        "events_topk_per_type": _q_events_topk_per_type,
-        "events_value_quantiles": _q_events_value_quantiles,
-        "events_distinct_users": _q_events_distinct_users,
-        "events_kmv_users": _q_events_kmv_users,
-        "events_interval_join": _q_events_interval_join,
-        "events_pivot": _q_events_pivot,
-        "sales_rollup": _q_sales_rollup,
-        "documents_near_dedup": _q_documents_near_dedup,
-        "doc_dedup_clusters": _q_doc_dedup_clusters,
-        "sales_by_nation": _q_sales_by_nation,
-        "lineitem_pricing": _q_lineitem_pricing,
-        "documents_fingerprint": _q_documents_fingerprint,
-        "documents_exact_dedup": _q_documents_exact_dedup,
-        "doc_token_counts": _q_doc_token_counts,
-        "doc_pack_shards": _q_doc_pack_shards,
-        "doc_quality": _q_doc_quality,
-        "doc_lang_id": _q_doc_lang_id,
-        "doc_normalize": _q_doc_normalize,
-        "doc_unigram_logprob": _q_doc_unigram_logprob,
-        "doc_sample": _q_doc_sample,
-        "doc_weighted_sample": _q_doc_weighted_sample,
-        "doc_mix": _q_doc_mix,
-        "doc_train_split": _q_doc_train_split,
-        "doc_chunks": _q_doc_chunks,
-        "doc_redact": _q_doc_redact,
-        "doc_repetition": _q_doc_repetition,
-        "doc_boilerplate": _q_doc_boilerplate,
-        "doc_paragraph_dedup": _q_doc_paragraph_dedup,
-        "doc_repeated_spans": _q_doc_repeated_spans,
-        "doc_remove_spans": _q_doc_remove_spans,
-        "doc_markup_strip": _q_doc_markup_strip,
-        "doc_top_terms": _q_doc_top_terms,
-        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
-        "doc_decontaminate": _q_doc_decontaminate,
-        "doc_cross_dedup": _q_doc_cross_dedup,
-        "doc_training_pipeline": _q_doc_training_pipeline,
-        "events_funnel": _q_events_funnel,
-        "doc_vocab": _q_doc_vocab,
-        "events_retention": _q_events_retention,
-        "events_outliers": _q_events_outliers,
-        "emb_cosine_topk": _q_emb_cosine_topk,
-        "emb_ann_topk": _q_emb_ann_topk,
-        "emb_near_dup": _q_emb_near_dup,
-        "emb_dedup_clusters": _q_emb_dedup_clusters,
-        "doc_minhash_pairs": _q_doc_minhash_pairs,
-        "doc_source_pagerank": _q_doc_source_pagerank,
-        "doc_incremental_near_dup": _q_doc_incremental_near_dup,
-        "doc_simhash": _q_doc_simhash,
-        "doc_rolling_fp": _q_doc_rolling_fp,
-        "media_features": _q_media_features,
     }
 
 
@@ -3500,6 +3526,8 @@ SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <=
     out["cdc_maintenance"] = out["cdc_final_state"]
     # full-probe IVF (nprobe=n_cells) is provably brute force — same twin
     out["emb_ann_topk"] = out["emb_cosine_topk"]
+    # probe-all RP-LSH (all 2^n_bits buckets) is provably brute force too
+    out["emb_ann_lsh_topk"] = out["emb_cosine_topk"]
     # key-sharded logs unioned must replay to the single-log golden state
     out["cdc_multi_log"] = out["cdc_final_state"]
     # snapshot bootstrap + cut tail reconverges to the identical final state

@@ -5,8 +5,10 @@ names + order-insensitive value multiset against oracle_sql() via DuckDB.
 
 from __future__ import annotations
 
+import json
 import os
 import sys
+import time
 from collections import Counter
 
 import duckdb
@@ -43,14 +45,17 @@ def main() -> int:
     print(f"entry(): {n} rows, schema={edf.columns}")
     assert n > 0
 
+    timings: dict[str, float] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         sdf = fn(spark, SF_DIR)
         srows = [tuple(norm(v) for _, v in sorted(r.asDict().items())) for r in sdf.collect()]
+        timings[name] = round(time.monotonic() - t0, 2)
         sql = oracles.get(name)
         if sql is None:
-            print(f"{name:28s} rows={len(srows)} (rows-only, no oracle)")
+            print(f"{name:28s} rows={len(srows)} (rows-only, no oracle) t={timings[name]}s")
             continue
         cur = con.execute(sql)
         cols = [d[0] for d in cur.description]
@@ -61,7 +66,7 @@ def main() -> int:
         ok_cols = scols == ocols
         ok_vals = Counter(srows) == Counter(orows)
         status = "OK " if (ok_cols and ok_vals) else "FAIL"
-        print(f"{status} {name:28s} spark={len(srows)} duck={len(orows)} cols={'=' if ok_cols else f'{scols} vs {ocols}'}")
+        print(f"{status} {name:28s} spark={len(srows)} duck={len(orows)} t={timings[name]}s cols={'=' if ok_cols else f'{scols} vs {ocols}'}")
         if not (ok_cols and ok_vals):
             failures += 1
             if not ok_vals:
@@ -71,6 +76,9 @@ def main() -> int:
                 print(f"   duck-only:  {diff2}")
     con.close()
     spark.stop()
+    slow = sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    print("SLOWEST (spark-side secs):", json.dumps(dict(slow)))
+    print("TOTAL_SPARK_SECS:", round(sum(timings.values()), 1))
     print("FAILURES:", failures)
     return 1 if failures else 0
 

@@ -122,6 +122,24 @@ def test_minhash_lsh_finds_neardups(spark, neardup_docs):
     assert (1, 102) not in pairs and (2, 102) not in pairs
 
 
+def test_lsh_max_bucket_caps_boilerplate_cluster(spark):
+    """The hot-bucket cap (skewed-shingle blowup guard): a cluster of 30
+    identical boilerplate docs collides in every band (m²/2 pair fodder);
+    with max_bucket=5 all its buckets are excluded while a true near-dup
+    pair outside the cluster survives untouched."""
+    boiler = "cookie consent banner all rights reserved terms " * 10
+    uniq = "the quick brown fox jumps over the lazy dog " * 20
+    rows = [(i, boiler, "s0") for i in range(30)]
+    rows += [(100, uniq, "s0"), (101, uniq.replace("lazy", "sleepy", 2), "s0")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    sigs = minhash_signatures(docs, n_hashes=32, shingle_k=5)
+    uncapped = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, n_bands=8).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in lsh_candidate_pairs(sigs, n_bands=8, max_bucket=5).collect()}
+    assert (0, 1) in uncapped and len(uncapped) >= 30 * 29 // 2
+    assert capped == {(100, 101)}  # cluster gone, true near-dup kept
+
+
 def test_minhash_deterministic(spark, neardup_docs):
     a = minhash_signatures(neardup_docs).collect()
     b = minhash_signatures(neardup_docs).collect()
@@ -189,6 +207,17 @@ def test_ann_lsh_recall_vs_bruteforce(spark, emb):
     assert recall >= 0.2
     # sanity: the approximate result is a strict subset of scored candidates
     assert len(approx_set) <= 25
+
+
+def test_ann_lsh_probe_all_equals_bruteforce(spark, emb):
+    """probe_all=True unions every 2^n_bits bucket, so the LSH search must
+    return EXACTLY the brute-force top-k (same ids, same ranks) — the
+    invariant the emb_ann_lsh_topk driver oracle rests on."""
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(emb, queries, k=5).collect()
+    full = ann_topk_lsh(emb, queries, dim=64, k=5, n_bits=4, probe_all=True).collect()
+    key = lambda r: (r["query_id"], r["_rank"])  # noqa: E731
+    assert {key(r): r["vec_id"] for r in exact} == {key(r): r["vec_id"] for r in full}
 
 
 def test_cosine_near_dup_pairs_vs_bruteforce(spark, emb):

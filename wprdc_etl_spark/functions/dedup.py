@@ -173,6 +173,7 @@ def lsh_candidate_pairs(
     *,
     n_bands: int = 16,
     est_threshold: float | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signatures, bucket-join, emit candidate pairs (a < b) with the
     signature-estimated Jaccard. With r rows per band the candidate curve is
@@ -181,8 +182,29 @@ def lsh_candidate_pairs(
     Scale shape: explode to n_bands rows per doc, groupBy (band, hash) — a
     single shuffle keyed by band hash; buckets are tiny unless docs really
     collide. Self-join happens within buckets only.
+
+    ``max_bucket`` guards the skewed-shingle blowup: a band bucket holding m
+    docs emits m·(m-1)/2 pairs, so one boilerplate cluster shared by 10⁵
+    docs would alone emit ~5·10⁹ candidates. Buckets larger than the cap are
+    excluded from the pair join (one extra narrow count-agg + broadcast
+    anti-join on the ≤handful of hot (band, band_hash) keys). Excluded
+    buckets are boilerplate-dominated groups, not near-dup pairs — members
+    share ONE common block (pairwise Jaccard far below any dedup threshold),
+    and genuinely near-dup pairs inside such a group still collide in their
+    OTHER, non-boilerplate bands. Measured at 10⁶ docs with a planted 30%
+    boilerplate cluster: see BENCH/BASELINE.md round-4 corpus anchors.
     """
     banded = band_rows(sigs, id_col, n_bands=n_bands)
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .where(F.col("_m") > int(max_bucket))
+            .select("band", "band_hash")
+        )
+        banded = banded.join(
+            F.broadcast(hot), ["band", "band_hash"], "left_anti"
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

@@ -106,6 +106,7 @@ def ann_topk_lsh(
     n_bits: int = 8,
     seed: int = 42,
     multiprobe: bool = True,
+    probe_all: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -113,14 +114,24 @@ def ann_topk_lsh(
     """Approximate top-k: score only corpus rows sharing the query's LSH
     bucket (plus Hamming-1 neighbor buckets when ``multiprobe``). At scale
     the corpus is written bucket-partitioned once; each query reads
-    ~|corpus| / 2^n_bits rows instead of all of them."""
+    ~|corpus| / 2^n_bits rows instead of all of them.
+
+    ``probe_all=True`` probes every one of the 2^n_bits buckets, which makes
+    the bucket-restricted search provably identical to brute force — the
+    oracle/verification mode (mirrors IVF's nprobe=n_cells trick): the union
+    of per-bucket candidate sets is the whole corpus, so the exact re-scoring
+    and (cosine DESC, id) tie-break return the brute-force top-k. Production
+    keeps the default Hamming-1 multiprobe."""
     c = corpus.withColumn("_bucket", rp_lsh_bucket(F.col(vec_col), dim, n_bits=n_bits, seed=seed))
     qb = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
         rp_lsh_bucket(F.col(vec_col), dim, n_bits=n_bits, seed=seed).alias("_qbucket"),
     )
-    if multiprobe:
+    if probe_all:
+        probes = F.array(*[F.lit(b).cast("long") for b in range(1 << n_bits)])
+        qb = qb.select(query_id_col, "_qvec", F.explode(probes).alias("_qbucket"))
+    elif multiprobe:
         probes = F.array(
             F.col("_qbucket"),
             *[F.col("_qbucket").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_bits)],

@@ -150,6 +150,80 @@ def gen_change_events(
     return out
 
 
+#: Shared boilerplate paragraph (~40 tokens) planted in ~30% of generated
+#: docs — the skew stressor for shingle/LSH band distributions (a handful of
+#: shingles occur in 300k docs at n=10⁶) and fodder for paragraph-dedup and
+#: repeated-span removal at scale.
+DOC_BOILER = " ".join(f"b{i % 17}" for i in range(40))
+
+_DOC_VOCAB_N = 1000
+
+
+def _doc_word(tag: str, *cols) -> F.Column:
+    """One Zipf-ish vocab token: u = hash/1e6 in [0,1), idx = ⌊V·u^2.5⌋ —
+    low-index words dominate (w0 ≈ 6% of tokens), matching the skewed
+    shingle distributions real corpora show."""
+    u = _pm(tag, 1_000_000, *cols).cast("double") / F.lit(1_000_000.0)
+    idx = F.floor(F.lit(float(_DOC_VOCAB_N)) * F.pow(u, F.lit(2.5))).cast("int")
+    return F.concat(F.lit("w"), F.least(idx, F.lit(_DOC_VOCAB_N - 1)))
+
+
+def _doc_para(cid: F.Column, j: int) -> F.Column:
+    """Paragraph ``j`` of content-id ``cid``: 15–39 Zipf tokens, closed-form."""
+    nw = (F.lit(15) + _pm("nw", 25, cid, F.lit(j))).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), nw - 1),
+        lambda i: _doc_word("w", cid, F.lit(j), i),
+    )
+    return F.array_join(words, " ")
+
+
+def gen_documents(spark: SparkSession, n_docs: int) -> DataFrame:
+    """Large synthetic ``documents``-shaped corpus (doc_id, text, lang,
+    source, n_chars) for at-scale anchors of the training-data tier —
+    same closed-form xxhash64 PRNG as the CDC generator, so any n is
+    reproducible and embarrassingly parallel (no driver loops, no RNG state).
+
+    Planted structure (all deterministic):
+      - ~20% of docs are NEAR-duplicates: content derived from a nearby base
+        doc id with a short mutation suffix — shares all but one paragraph of
+        shingles (MinHash-LSH / SimHash / incremental-index recall fodder);
+      - ~30% carry the shared DOC_BOILER paragraph (exact repeated spans +
+        duplicate paragraphs + the skewed-shingle stress the banding layer
+        must survive: one band key covering ~0.3·n docs);
+      - token distribution is Zipf-ish (idx = ⌊V·u^2.5⌋) so shingle
+        frequencies are heavy-tailed like a real crawl, not uniform.
+    """
+    df = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    e = F.col("doc_id")
+    is_dup = _pm("dup", 5, e) == 4
+    cid = F.when(is_dup, F.greatest(e - 1 - _pm("dupoff", 3, e), F.lit(0))).otherwise(e)
+    paras = [
+        F.when(_pm("bp", 100, cid) < 30, F.lit(DOC_BOILER)).otherwise(_doc_para(cid, 0)),
+        _doc_para(cid, 1),
+        F.when(_pm("np", 2, cid) == 1, _doc_para(cid, 2)).otherwise(F.lit(None)),
+        F.when(is_dup, F.concat(F.lit("mut m"), _pm("mut", 7, e))).otherwise(
+            F.lit(None)
+        ),
+    ]
+    text = F.concat_ws("\n\n", *[p for p in paras])
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in ["en", "de", "fr", "es"]]),
+        (_pm("dlang", 4, cid) + 1).cast("int"),
+    )
+    source = F.element_at(
+        F.array(*[F.lit(x) for x in ["web", "books", "wiki"]]),
+        (_pm("dsrc", 3, e) + 1).cast("int"),
+    )
+    return df.select(
+        e,
+        text.alias("text"),
+        lang.alias("lang"),
+        source.alias("source"),
+        F.length(text).alias("n_chars"),
+    )
+
+
 def write_event_log(
     df: DataFrame,
     path: str,
