@@ -53,12 +53,21 @@ def main() -> int:
     t: dict[str, float] = {}
     c: dict[str, int] = {}
 
+    def phase(name, key=None):
+        disk = shutil.disk_usage("/tmp")
+        print(
+            f"## phase={name} t={t.get(name)} count={c.get(key or name)} "
+            f"disk_free_gb={disk.free / 1e9:.1f}",
+            flush=True,
+        )
+
     t0 = time.monotonic()
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         testgen.gen_documents(spark, args.n_docs).repartition(64).write.mode(
             "overwrite"
         ).parquet(path)
     t["gen"] = round(time.monotonic() - t0, 2)
+    phase("gen")
 
     docs = spark.read.parquet(path)
 
@@ -75,6 +84,7 @@ def main() -> int:
     t0 = time.monotonic()
     c["lsh_pairs_capped"] = lsh_run(args.max_bucket)
     t["minhash_lsh"] = round(time.monotonic() - t0, 2)
+    phase("minhash_lsh", "lsh_pairs_capped")
 
     # skew probe: the same run UNCAPPED — quantifies what the hot-bucket cap
     # saves on the planted 30% boilerplate cluster (may be much slower).
@@ -82,6 +92,7 @@ def main() -> int:
         t0 = time.monotonic()
         c["lsh_pairs_uncapped"] = lsh_run(None)
         t["minhash_lsh_uncapped"] = round(time.monotonic() - t0, 2)
+        phase("minhash_lsh_uncapped", "lsh_pairs_uncapped")
 
     # --- 2. Paragraph dedup (keep-first) ----------------------------------
     from wprdc_etl_spark.functions.text import dedup_paragraphs
@@ -93,6 +104,7 @@ def main() -> int:
     ).collect()[0]
     c["para_docs"], c["para_removed"] = int(row["n"]), int(row["rm"])
     t["para_dedup"] = round(time.monotonic() - t0, 2)
+    phase("para_dedup", "para_removed")
 
     # --- 3. Repeated-window spans -----------------------------------------
     from wprdc_etl_spark.functions.spans import repeated_windows
@@ -102,6 +114,7 @@ def main() -> int:
         docs, window=40, min_count=2, winnow_k=8
     ).count()
     t["spans"] = round(time.monotonic() - t0, 2)
+    phase("spans", "span_windows")
 
     # --- 4. Incremental near-dup index: bulk build + probe batch ----------
     from wprdc_etl_spark.functions.neardup_index import NearDupIndex
@@ -113,14 +126,16 @@ def main() -> int:
     probe = docs.where(F.col("doc_id") >= cut)
     idx = NearDupIndex(
         spark, idx_root, n_hashes=32, shingle_k=5, n_bands=8,
-        n_buckets=64, est_threshold=0.5,
+        n_buckets=64, est_threshold=0.5, max_bucket=args.max_bucket,
     )
     t0 = time.monotonic()
     idx.add(base, batch_id=0).count()
     t["index_build"] = round(time.monotonic() - t0, 2)
+    phase("index_build")
     t0 = time.monotonic()
     c["index_probe_pairs"] = idx.add(probe, batch_id=1).count()
     t["index_probe"] = round(time.monotonic() - t0, 2)
+    phase("index_probe", "index_probe_pairs")
 
     total = round(sum(t.values()) - t["gen"], 2)
     print(json.dumps({

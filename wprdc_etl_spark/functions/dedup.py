@@ -207,7 +207,16 @@ def lsh_candidate_pairs(
         )
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    # est_jaccard is computed IN the join projection and the threshold filter
+    # applied BEFORE dropDuplicates, so the dedup exchange shuffles a narrow
+    # (id_a, id_b, est) row (~20 B) instead of both 32-long signatures
+    # (~600 B/row) — a pair colliding in k bands is emitted k times by the
+    # join, and at 10⁶ docs that pre-dedup stream is the dominant shuffle.
+    # Output-identical: est is a pure function of the pair, so every
+    # duplicate emission carries the same value and filter∘dedup ≡
+    # dedup∘filter. (Measured at 300k docs in the index-probe twin of this
+    # join: 453 s → 32 s. BENCH/BASELINE.md round-4 corpus anchors.)
+    out = (
         left.join(
             right,
             on=[
@@ -219,18 +228,14 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.signature").alias("_sa"),
-            F.col("r.signature").alias("_sb"),
+            sig_est_jaccard(F.col("l.signature"), F.col("r.signature")).alias(
+                "est_jaccard"
+            ),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    out = pairs.select(
-        "id_a", "id_b",
-        sig_est_jaccard(F.col("_sa"), F.col("_sb")).alias("est_jaccard"),
     )
     if est_threshold is not None:
         out = out.where(F.col("est_jaccard") >= est_threshold)
-    return out
+    return out.dropDuplicates(["id_a", "id_b"])
 
 
 def simhash(
