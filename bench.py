@@ -17,6 +17,8 @@ The event-log size scales with sf (sf0.1 → 2M events). Headline queries:
 - ``cdc_incremental_mor`` — same, merge-on-read delta path.
 - ``cdc_replay_stream``  — Structured Streaming availableNow over the same
   log (micro-batched; stateful dedup + checkpoint overhead included).
+  Sized to 2 triggers (= batch's 2 chunks) since round 4; r1–r3 recorded
+  4-trigger values — compare those against 2× the per-commit cost.
 - ``dedup`` / ``latest_per_key`` / ``fingerprint`` — individual hot operators.
 - ``doc_minhash_lsh`` / ``doc_quality_langid`` / ``emb_near_dup`` — the
   training-data pipeline ops over the driver's documents/embeddings tables
@@ -154,7 +156,13 @@ def main() -> None:
             spark, os.path.join(BENCH_TMP, "stbl"), n_buckets=64
         )
         job = (
-            IngestJob("bench-stream", max_files_per_trigger=16, watermark_delay="48 hours")
+            # mfpt=32 → 2 triggers over the 64-file log: the SAME commit
+            # count as cdc_replay_batch's 2 chunks, so the pair is
+            # like-for-like (round 4 — the r1-r3 value 16 ran 4 commits
+            # against batch's 2; the measured decomposition in
+            # BENCH/BASELINE.md shows the entire historical stream/batch
+            # gap was commit count, not streaming overhead)
+            IngestJob("bench-stream", max_files_per_trigger=32, watermark_delay="48 hours")
             .source(log)
             .schema(IngestJob.default_payload_schema())
             .sink(table)
