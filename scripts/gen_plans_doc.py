@@ -171,6 +171,21 @@ sections.append(("Trigram grep (pruned posting intersection + contains verify)",
   "The index scan lists only the literal's gram bucket dirs (driver-side pruning, like the near-dup probe); the AND-of-posting-lists is one narrow hash agg (map-side partial over ~50-byte posting rows); the surviving candidates BROADCAST into the source verify join, whose scan is itself pruned to the candidates' key buckets — the corpus is never scanned, and content bytes appear only in the final contains() filter.",
   cap(tgi.grep("a1b"))))
 
+from wprdc_etl_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures
+sigs = minhash_signatures(docs, n_hashes=32, shingle_k=5)
+sections.append(("MinHash-LSH candidate pairs (est-filter before the pair dedup)",
+  "The band bucket-join's pair stream is deduped on a NARROW row: est_jaccard is computed in the join projection and the threshold filter sits BELOW HashAggregate(keys=[id_a, id_b, est]) — the dedup exchange shuffles ~20-byte (id, id, double) rows, never the two 32-long signature arrays (the round-4 fix that took the 300k-doc index build from 575 s to 48 s). The hot-bucket cap is the small count-agg + BroadcastHashJoin LeftAnti feeding both join sides.",
+  cap(lsh_candidate_pairs(sigs, n_bands=8, est_threshold=0.5, max_bucket=2000))))
+
+from wprdc_etl_spark.functions.text import (dup_line_char_frac, dup_line_frac,
+                                            top_bigram_char_frac)
+sections.append(("Gopher repetition metrics (in-row sort + run-length scan)",
+  "All three rules compile to ONE whole-stage-codegen Project over the corpus scan — no exchange, no Python. Occurrence counting is array_sort + a run-length aggregate (struct accumulator) instead of a per-distinct-element filter sweep, making each rule O(n log n) per document in interpreted-HOF evals (the round-4 rewrite: 30.5 s -> 1.2 s on the oracle corpus).",
+  cap(docs.select("doc_id",
+                  dup_line_frac(F.col("text")).alias("dlf"),
+                  dup_line_char_frac(F.col("text")).alias("dlcf"),
+                  top_bigram_char_frac(F.col("text")).alias("tbcf")))))
+
 with open("/root/repo/docs/PLANS.md", "w") as fh:
     fh.write("# Physical plans of the hot paths (captured via explain('formatted'))\n\n")
     fh.write("Regenerate with `python scripts/gen_plans_doc.py` (this file is evidence\nthat pushdown/pruning/broadcast/partial-agg actually happen — SURVEY §5).\n")
