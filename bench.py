@@ -358,6 +358,24 @@ def main() -> None:
 
     queries = {name: min(ts) for name, ts in rep_times.items()}
     total = round(sum(queries.values()), 3)
+
+    # Self-document the hardware window: one STREAM-triad sweep set
+    # (scripts/hwprobe.py methodology). Quiet-box reference is ~6+ GB/s
+    # single-process; round-4 measured windows as low as 0.28 GB/s, which
+    # inflates every wall clock above 2-5x — an artifact reader needs to
+    # know which kind of window produced these numbers.
+    try:
+        import numpy as _np
+
+        _a, _b = _np.ones(40_000_000), _np.full(40_000_000, 2.0)
+        _c = _np.zeros(40_000_000)
+        _t0 = time.monotonic()
+        for _ in range(5):
+            _np.add(_a, 1.5 * _b, out=_c)
+        hw_triad_gbps = round(3 * 8 * 40_000_000 * 5 / (time.monotonic() - _t0) / 1e9, 2)
+        del _a, _b, _c
+    except Exception:
+        hw_triad_gbps = None
     print(
         json.dumps(
             {
@@ -380,6 +398,7 @@ def main() -> None:
                         total_events / queries["cdc_replay_stream"]
                     ),
                     "rep_times": rep_times,
+                    "hw_triad_gbps": hw_triad_gbps,
                 },
             }
         )
