@@ -130,6 +130,20 @@ def main() -> None:
         worker(args.cpus, args.events, args.storage, args.content_reps, args.n_chunks)
         return
 
+    def hw_window() -> dict | None:
+        """One scripts/hwprobe.py run — self-attribute the measurement
+        window (round 4: a DRAM-degraded box produced a 0.516 rep that the
+        probe cleanly attributed; bracket every run so artifacts carry it)."""
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "scripts", "hwprobe.py")],
+                capture_output=True, text=True, timeout=900, check=True,
+            )
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception:
+            return None
+
+    hw_before = hw_window()
     levels = [int(x) for x in args.levels.split(",")]
     results: dict[int, dict] = {}
     per_rep: list[dict[int, dict]] = []
@@ -178,6 +192,8 @@ def main() -> None:
             k: round(sum(v) / len(v), 3) for k, v in rep_effs.items()
         },
         "final_rows_identical": True,
+        "hw_window_before": hw_before,
+        "hw_window_after": hw_window(),
     }
     print(json.dumps(report))
     with open(os.path.join(REPO, "BENCH", "scaling_last.json"), "w", encoding="utf-8") as fh:
