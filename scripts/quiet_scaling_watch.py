@@ -31,9 +31,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = os.path.join(REPO, "BENCH", "quiet_watch_log.jsonl")
 OUT = os.path.join(REPO, "BENCH", "scaling_r4_quiet.json")
 
-# Quietness gates (see BENCH/BASELINE.md S0 window-quality rule):
-TRIAD_X1_MIN_GBPS = 5.2    # quiet reference ~6+; <3 is an environment report
-TRIAD_SCALING_MIN = 0.45   # box-level 1->4-process DRAM scaling
+# Quietness gates (see BENCH/BASELINE.md S0 window-quality rule).  The
+# session-3 box plateaus at ~4.9 GB/s single-process even fully idle (the
+# historical ~6.6 quiet reference is unreachable this boot), so the x1 gate
+# sits just under that plateau; the scaling gate is the discriminator —
+# session-2's bad legs all ran at box-level DRAM scaling 0.18-0.50.
+TRIAD_X1_MIN_GBPS = 4.5    # this boot's idle plateau ~4.8-4.9
+TRIAD_SCALING_MIN = 0.55   # box-level 1->4-process DRAM scaling
 LOAD1_MAX = 4.0            # don't fire on top of other work (incl. our own)
 PROBE_INTERVAL_S = 420     # between probes while waiting
 MAX_ATTEMPTS = 3           # scaling runs to attempt before giving up
