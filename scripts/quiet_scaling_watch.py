@@ -67,16 +67,27 @@ def probe() -> dict | None:
 
 
 def quiet(hw: dict) -> tuple[bool, str]:
+    """Two acceptable window shapes (observed session 3):
+
+    (a) classic quiet — x1 near the boot's idle plateau AND box DRAM
+        scaling decent; the absolute numbers are trustworthy;
+    (b) throttled-but-linear — external pressure caps per-process
+        bandwidth (x1 low) but 1->4-process aggregate still scales ~1.0:
+        both scaling legs inflate proportionally, so the EFFICIENCY RATIO
+        (the north_rule figure) is preserved even though wall clocks are
+        environment-inflated.  The poison mode is the inverse (high x1,
+        scaling 0.2-0.5): the 4-exec leg alone starves.
+    """
     x1 = sorted(hw["triad"]["x1_reps"])[len(hw["triad"]["x1_reps"]) // 2]
     sc = hw["triad"]["scaling_median"]
     load = hw.get("host_load1", 99.0)
     if load > LOAD1_MAX:
         return False, f"load1 {load} > {LOAD1_MAX}"
-    if x1 < TRIAD_X1_MIN_GBPS:
-        return False, f"triad x1 median {x1} < {TRIAD_X1_MIN_GBPS} GB/s"
-    if sc < TRIAD_SCALING_MIN:
-        return False, f"triad scaling {sc} < {TRIAD_SCALING_MIN}"
-    return True, f"quiet: x1 {x1} GB/s, scaling {sc}, load1 {load}"
+    if x1 >= TRIAD_X1_MIN_GBPS and sc >= TRIAD_SCALING_MIN:
+        return True, f"quiet: x1 {x1} GB/s, scaling {sc}, load1 {load}"
+    if sc >= 0.70 and x1 >= 2.0:
+        return True, f"throttled-but-linear: x1 {x1} GB/s, scaling {sc}, load1 {load}"
+    return False, f"x1 {x1} GB/s / scaling {sc} fit neither window shape"
 
 
 def ensure_fixture() -> None:
