@@ -29,7 +29,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = os.path.join(REPO, "BENCH", "quiet_watch_log.jsonl")
-OUT = os.path.join(REPO, "BENCH", "scaling_r4_quiet.json")
+OUT = os.path.join(
+    REPO, "BENCH", os.environ.get("WATCH_OUT", "scaling_r4_quiet.json"))
 
 # Quietness gates (see BENCH/BASELINE.md S0 window-quality rule).  The
 # session-3 box plateaus at ~4.9 GB/s single-process even fully idle (the
@@ -40,9 +41,9 @@ TRIAD_X1_MIN_GBPS = 4.5    # this boot's idle plateau ~4.8-4.9
 TRIAD_SCALING_MIN = 0.55   # box-level 1->4-process DRAM scaling
 LOAD1_MAX = 4.0            # don't fire on top of other work (incl. our own)
 PROBE_INTERVAL_S = 420     # between probes while waiting
-MAX_ATTEMPTS = 3           # scaling runs to attempt before giving up
-PASS_EFF = 0.80            # north_rule bar
-DEADLINE_S = 5.0 * 3600    # stop watching after this long
+MAX_ATTEMPTS = int(os.environ.get("WATCH_MAX_ATTEMPTS", "3"))
+PASS_EFF = float(os.environ.get("WATCH_PASS_EFF", "0.80"))  # north_rule bar
+DEADLINE_S = float(os.environ.get("WATCH_DEADLINE_H", "5.0")) * 3600
 
 EVENTS = 20_000_000        # same input as every prior scaling artifact
 
