@@ -2644,62 +2644,17 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Driver-sweep ordering (round 4): the driver's CORRECTNESS sweep covers
-    # roughly the first 50 entries, so the registry is ordered by evidential
-    # need — first round-4 additions and the 41 queries that have never had
-    # a driver row (r1-r3), then the 12 with only r1/r2 rows, then the 50
-    # already green in r3.
+    # Driver-sweep ordering (round 5): OLDEST DRIVER EVIDENCE FIRST. The
+    # driver's CORRECTNESS sweep covers roughly the first 50 entries, so each
+    # round the registry is rotated so the queries whose latest green driver
+    # row is oldest come first: the 4 r2-only rows (doc_minhash_pairs,
+    # doc_simhash, doc_rolling_fp, media_features), then the 50 r3-vintage
+    # cdc_*/events_* family, then the 50 queries already refreshed green in
+    # r4 (CORRECTNESS_r04.json) at the tail. Standing rule for future rounds:
+    # re-sort by "round of latest green driver row, ascending" before each
+    # driver run; docs/EVIDENCE.md (scripts/gen_evidence_map.py) records the
+    # per-query vintage.
     return {
-        "emb_ann_lsh_topk": _q_emb_ann_lsh_topk,
-        "events_tumbling": _q_events_tumbling,
-        "events_gapfill": _q_events_gapfill,
-        "events_sliding": _q_events_sliding,
-        "events_topk_per_type": _q_events_topk_per_type,
-        "events_value_quantiles": _q_events_value_quantiles,
-        "events_distinct_users": _q_events_distinct_users,
-        "events_kmv_users": _q_events_kmv_users,
-        "events_interval_join": _q_events_interval_join,
-        "events_pivot": _q_events_pivot,
-        "sales_rollup": _q_sales_rollup,
-        "documents_near_dedup": _q_documents_near_dedup,
-        "doc_dedup_clusters": _q_doc_dedup_clusters,
-        "sales_by_nation": _q_sales_by_nation,
-        "lineitem_pricing": _q_lineitem_pricing,
-        "doc_pack_shards": _q_doc_pack_shards,
-        "doc_normalize": _q_doc_normalize,
-        "doc_unigram_logprob": _q_doc_unigram_logprob,
-        "doc_sample": _q_doc_sample,
-        "doc_weighted_sample": _q_doc_weighted_sample,
-        "doc_mix": _q_doc_mix,
-        "doc_train_split": _q_doc_train_split,
-        "doc_chunks": _q_doc_chunks,
-        "doc_redact": _q_doc_redact,
-        "doc_repetition": _q_doc_repetition,
-        "doc_boilerplate": _q_doc_boilerplate,
-        "doc_paragraph_dedup": _q_doc_paragraph_dedup,
-        "doc_repeated_spans": _q_doc_repeated_spans,
-        "doc_remove_spans": _q_doc_remove_spans,
-        "doc_markup_strip": _q_doc_markup_strip,
-        "doc_top_terms": _q_doc_top_terms,
-        "doc_decontaminate": _q_doc_decontaminate,
-        "doc_cross_dedup": _q_doc_cross_dedup,
-        "doc_training_pipeline": _q_doc_training_pipeline,
-        "events_funnel": _q_events_funnel,
-        "doc_vocab": _q_doc_vocab,
-        "events_retention": _q_events_retention,
-        "events_outliers": _q_events_outliers,
-        "emb_ann_topk": _q_emb_ann_topk,
-        "emb_dedup_clusters": _q_emb_dedup_clusters,
-        "doc_source_pagerank": _q_doc_source_pagerank,
-        "doc_incremental_near_dup": _q_doc_incremental_near_dup,
-        "documents_fingerprint": _q_documents_fingerprint,
-        "documents_exact_dedup": _q_documents_exact_dedup,
-        "doc_token_counts": _q_doc_token_counts,
-        "doc_quality": _q_doc_quality,
-        "doc_lang_id": _q_doc_lang_id,
-        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
-        "emb_cosine_topk": _q_emb_cosine_topk,
-        "emb_near_dup": _q_emb_near_dup,
         "doc_minhash_pairs": _q_doc_minhash_pairs,
         "doc_simhash": _q_doc_simhash,
         "doc_rolling_fp": _q_doc_rolling_fp,
@@ -2754,6 +2709,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase": _q_events_asof_purchase,
         "events_sessions": _q_events_sessions,
         "events_sessions_stream": _q_events_sessions_stream,
+        "emb_ann_lsh_topk": _q_emb_ann_lsh_topk,
+        "events_tumbling": _q_events_tumbling,
+        "events_gapfill": _q_events_gapfill,
+        "events_sliding": _q_events_sliding,
+        "events_topk_per_type": _q_events_topk_per_type,
+        "events_value_quantiles": _q_events_value_quantiles,
+        "events_distinct_users": _q_events_distinct_users,
+        "events_kmv_users": _q_events_kmv_users,
+        "events_interval_join": _q_events_interval_join,
+        "events_pivot": _q_events_pivot,
+        "sales_rollup": _q_sales_rollup,
+        "documents_near_dedup": _q_documents_near_dedup,
+        "doc_dedup_clusters": _q_doc_dedup_clusters,
+        "sales_by_nation": _q_sales_by_nation,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "doc_pack_shards": _q_doc_pack_shards,
+        "doc_normalize": _q_doc_normalize,
+        "doc_unigram_logprob": _q_doc_unigram_logprob,
+        "doc_sample": _q_doc_sample,
+        "doc_weighted_sample": _q_doc_weighted_sample,
+        "doc_mix": _q_doc_mix,
+        "doc_train_split": _q_doc_train_split,
+        "doc_chunks": _q_doc_chunks,
+        "doc_redact": _q_doc_redact,
+        "doc_repetition": _q_doc_repetition,
+        "doc_boilerplate": _q_doc_boilerplate,
+        "doc_paragraph_dedup": _q_doc_paragraph_dedup,
+        "doc_repeated_spans": _q_doc_repeated_spans,
+        "doc_remove_spans": _q_doc_remove_spans,
+        "doc_markup_strip": _q_doc_markup_strip,
+        "doc_top_terms": _q_doc_top_terms,
+        "doc_decontaminate": _q_doc_decontaminate,
+        "doc_cross_dedup": _q_doc_cross_dedup,
+        "doc_training_pipeline": _q_doc_training_pipeline,
+        "events_funnel": _q_events_funnel,
+        "doc_vocab": _q_doc_vocab,
+        "events_retention": _q_events_retention,
+        "events_outliers": _q_events_outliers,
+        "emb_ann_topk": _q_emb_ann_topk,
+        "emb_dedup_clusters": _q_emb_dedup_clusters,
+        "doc_source_pagerank": _q_doc_source_pagerank,
+        "doc_incremental_near_dup": _q_doc_incremental_near_dup,
+        "documents_fingerprint": _q_documents_fingerprint,
+        "documents_exact_dedup": _q_documents_exact_dedup,
+        "doc_token_counts": _q_doc_token_counts,
+        "doc_quality": _q_doc_quality,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
+        "emb_cosine_topk": _q_emb_cosine_topk,
+        "emb_near_dup": _q_emb_near_dup,
     }
 
 

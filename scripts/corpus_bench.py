@@ -40,6 +40,9 @@ def main() -> int:
     ap.add_argument("--n-docs", type=int, default=1_000_000)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--max-bucket", type=int, default=2_000)
+    ap.add_argument("--trickle", type=int, default=0,
+                    help="N trickle batches of 1%% each after a (100-N)%% "
+                         "bulk build (streaming-cadence anchor); 0 = skip")
     args = ap.parse_args()
 
     spark = build_session(
@@ -137,11 +140,56 @@ def main() -> int:
     t["index_probe"] = round(time.monotonic() - t0, 2)
     phase("index_probe", "index_probe_pairs")
 
+    # --- 5. Streaming-side anchor: trickle indexing (round-4 ask #6) ------
+    # The batch anchors above are bulk-shaped; the streaming-adjacent path
+    # is a *sequence* of small probe batches against a warm index — the
+    # IngestJob.follow cadence. Bulk-build on the first (1 - K%) of the
+    # corpus, then feed K consecutive 1% batches through NearDupIndex.add
+    # and record each batch's wall. Steady state = median of the batches
+    # after the first (the first pays plan/codegen warmup); expected shape
+    # is O(batch + touched index buckets) + one commit — NOT O(corpus).
+    trickle = {}
+    if args.trickle > 0:
+        k = args.trickle
+        tr_root = os.path.join(REPO, ".fixtures", f"corpus_trickle_n{args.n_docs}")
+        shutil.rmtree(tr_root, ignore_errors=True)
+        cut0 = int(args.n_docs * (1 - 0.01 * k))
+        tidx = NearDupIndex(
+            spark, tr_root, n_hashes=32, shingle_k=5, n_bands=8,
+            n_buckets=64, est_threshold=0.5, max_bucket=args.max_bucket,
+        )
+        t0 = time.monotonic()
+        tidx.add(docs.where(F.col("doc_id") < cut0), batch_id=0).count()
+        trickle["bulk_sec"] = round(time.monotonic() - t0, 2)
+        step = int(args.n_docs * 0.01)
+        walls, pair_counts = [], []
+        for b in range(k):
+            lo = cut0 + b * step
+            hi = args.n_docs if b == k - 1 else lo + step
+            batch = docs.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            t0 = time.monotonic()
+            pair_counts.append(tidx.add(batch, batch_id=b + 1).count())
+            walls.append(round(time.monotonic() - t0, 2))
+            phase(f"trickle_b{b}")
+        mid = sorted(walls[1:])
+        trickle.update({
+            "n_batches": k,
+            "batch_docs": step,
+            "per_batch_sec": walls,
+            "steady_state_sec": mid[len(mid) // 2],
+            "pairs_per_batch": pair_counts,
+        })
+        shutil.rmtree(tr_root, ignore_errors=True)
+
     total = round(sum(t.values()) - t["gen"], 2)
-    print(json.dumps({
+    out = {
         "n_docs": args.n_docs, "cpus": args.cpus, "max_bucket": args.max_bucket,
         "gen_sec": t.pop("gen"), "total_op_sec": total, "ops": t, "counts": c,
-    }))
+    }
+    if trickle:
+        out["trickle"] = trickle
+    print(json.dumps(out))
     spark.stop()
     return 0
 

@@ -124,25 +124,40 @@ def run_scaling() -> dict | None:
     env = dict(os.environ)
     env["SCALING_TOPOLOGY"] = "executors"
     env["SCALING_EXEC_CORES"] = "1"
+    # Never let a hunt attempt overwrite the curated scaling_last.json pointer;
+    # the watcher itself copies a PASSING report there (see main()).
+    env["SCALING_SKIP_LAST"] = "1"
     t0 = time.monotonic()
     try:
+        # Own process group so a timeout can kill the bench AND the executor
+        # JVMs it spawned (orphans would load the box and wedge the load1 gate).
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts", "scaling_bench.py"),
              "--events", str(EVENTS), "--levels", "1,4", "--repeats", "2",
              "--storage", "tmpfs"],
             capture_output=True, text=True, env=env, timeout=2.5 * 3600,
-            check=True,
+            check=True, start_new_session=True,
         )
     except subprocess.CalledProcessError as exc:
         log({"kind": "scaling_error", "rc": exc.returncode,
              "tail": (exc.stderr or "")[-800:]})
         return None
     except subprocess.TimeoutExpired:
+        _sweep_orphans()
         log({"kind": "scaling_timeout"})
         return None
     report = json.loads(out.stdout.strip().splitlines()[-1])
     report["watcher_wall_s"] = round(time.monotonic() - t0, 1)
     return report
+
+
+def _sweep_orphans() -> None:
+    """subprocess.run only kills the direct child on timeout; the executor
+    JVMs it spawned would otherwise survive, load the box, and wedge the
+    load1 gate for every later probe.  Sweep them by cmdline."""
+    subprocess.run(["pkill", "-9", "-f", "scaling_bench.py"], check=False)
+    subprocess.run(
+        ["pkill", "-9", "-f", "CoarseGrainedExecutorBackend"], check=False)
 
 
 def main() -> None:
@@ -164,12 +179,13 @@ def main() -> None:
         if not ok:
             time.sleep(PROBE_INTERVAL_S)
             continue
-        attempts += 1
-        log({"kind": "attempt_start", "n": attempts})
+        log({"kind": "attempt_start", "n": attempts + 1})
         report = run_scaling()
         if report is None:
+            # transient error/timeout: don't burn a completed-attempt slot
             time.sleep(PROBE_INTERVAL_S)
             continue
+        attempts += 1
         eff_best = max(report["scaling_efficiency_per_rep"]["1->4"])
         log({"kind": "attempt_done", "n": attempts,
              "eff_best_rep": eff_best,
@@ -186,8 +202,12 @@ def main() -> None:
             log({"kind": "pass", "out": OUT})
             return
     if best is not None:
-        with open(OUT.replace("_quiet", "_best_attempt"), "w",
-                  encoding="utf-8") as fh:
+        # Derive the non-pass artifact name explicitly so a failed best
+        # attempt can never be written to the PASS filename.
+        stem, ext = os.path.splitext(OUT)
+        if stem.endswith("_quiet"):
+            stem = stem[: -len("_quiet")]
+        with open(stem + "_best_attempt" + ext, "w", encoding="utf-8") as fh:
             json.dump(best, fh, indent=1)
     log({"kind": "exhausted", "attempts": attempts})
 

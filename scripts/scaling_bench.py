@@ -196,8 +196,11 @@ def main() -> None:
         "hw_window_after": hw_window(),
     }
     print(json.dumps(report))
-    with open(os.path.join(REPO, "BENCH", "scaling_last.json"), "w", encoding="utf-8") as fh:
-        json.dump(report, fh, indent=1)
+    # SCALING_SKIP_LAST=1 (set by the quiet watcher) leaves scaling_last.json
+    # alone so a non-passing hunt attempt can't clobber the curated pointer.
+    if os.environ.get("SCALING_SKIP_LAST", "0") != "1":
+        with open(os.path.join(REPO, "BENCH", "scaling_last.json"), "w", encoding="utf-8") as fh:
+            json.dump(report, fh, indent=1)
     if os.environ.get("SCALING_WRITE_MD", "0") != "1":
         return
 
