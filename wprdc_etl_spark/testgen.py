@@ -86,6 +86,7 @@ def gen_change_events(
     with_anomalies: bool = True,
     n_entities: int | None = None,
     content_reps_max: int = 150,
+    start: int = 0,
 ) -> DataFrame:
     """The ordered CDC log (FIXTURES.md §2). Closed-form per event index.
 
@@ -96,9 +97,21 @@ def gen_change_events(
     delete referencing a real key without any generation-time join.
     Whether a 'D' outranks the key's other events is decided purely by
     event_sequence, identically in the engine and the DuckDB oracle.
+
+    ``start`` shifts the sequence window: events [start, start+n_events).
+    Because every column is a pure function of the event index ``i``,
+    chunk-wise generation is exactly equal to the same slice of a full-log
+    generation — which is what lets the rolling-log replay anchor
+    (scripts/replay_anchor_rolling.py) materialize a 10^9-event log one
+    segment at a time inside a bounded disk budget. ``n_entities`` must be
+    passed explicitly when chunking (the default derives from ``n_events``,
+    which is per-chunk here). Not combinable with ``include_license``
+    (its 90%-boundary is defined against a [0, n_events) log).
     """
+    if include_license and start:
+        raise ValueError("include_license is defined for start=0 logs only")
     n_entities = n_entities or max(64, n_events // 3)
-    df = spark.range(n_events).withColumnRenamed("id", "i")
+    df = spark.range(start, start + n_events).withColumnRenamed("id", "i")
     i = F.col("i")
 
     r_op = _pm("op", 100, i)
