@@ -136,6 +136,13 @@ def run_rolling(
         if last_seg is not None:
             shutil.rmtree(last_seg, ignore_errors=True)
         last_seg = seg
+        # Retire the PREVIOUS chunks' shuffle files too: ContextCleaner only
+        # deletes them after a driver-JVM GC collects the ShuffleDependency
+        # weak refs, and a 128 GB-heap driver never GCs on its own — the
+        # first 10^9 attempt died of a 58 GB blockmgr dir at chunk 6 while
+        # the table itself was 12 GB.  One System.gc() per multi-minute
+        # chunk is microseconds of pause for a bounded scratch footprint.
+        spark.sparkContext._jvm.System.gc()
         if progress:
             free_gb = shutil.disk_usage("/").free / 1e9
             print(
@@ -187,7 +194,11 @@ def main() -> int:
             master=f"local[{args.cpus}]",
             shuffle_partitions=64,
             n_buckets=args.n_buckets,
-            extra_conf={"spark.ui.showConsoleProgress": "false"},
+            extra_conf={
+                "spark.ui.showConsoleProgress": "false",
+                # backstop for the per-chunk System.gc() shuffle retirement
+                "spark.cleaner.periodicGC.interval": "5min",
+            },
         )
     )
     spark.sparkContext.setLogLevel("ERROR")
