@@ -87,13 +87,23 @@ def run_rolling(
     keep_last_segment: bool = True,
     gen_files_per_chunk: int | None = None,
     progress: bool = True,
+    write_mode: str = "mor",
 ) -> tuple[dict, "IngestJob", "ParquetSnapshotTable", str | None]:
     """Chunk-wise generate → scan → apply → retire. Returns (report, job,
     table, last_segment_path). Shared by the anchor CLI and the tiny-scale
-    equivalence test."""
+    equivalence test.
+
+    ``write_mode`` defaults to 'mor' (merge-on-read deltas + staggered
+    inline compaction): every anchor batch touches all buckets, so COW
+    rewrites the whole table per commit (write amplification ≈
+    table/batch ≈ 7x at steady state) — the documented wrong choice for
+    steady-state CDC. MOR is the LSM-style steady-state path the engine's
+    own write_mode docstring prescribes; per-commit cost is O(batch +
+    table/max_deltas), which is what a sustained-rate anchor should
+    measure."""
     target = os.path.join(scratch, "rolling_target")
     shutil.rmtree(target, ignore_errors=True)
-    table = ParquetSnapshotTable(spark, target, n_buckets=n_buckets)
+    table = ParquetSnapshotTable(spark, target, n_buckets=n_buckets, write_mode=write_mode)
     job = (
         IngestJob("replay-anchor-rolling")
         .source(os.path.join(scratch, "rolling_seg_*"))
@@ -181,6 +191,7 @@ def main() -> int:
     ap.add_argument("--n-entities", type=int, default=34_333_677)
     ap.add_argument("--content-reps", type=int, default=4)
     ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--write-mode", choices=("auto", "cow", "mor"), default="mor")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "replay_anchor_1e9.json"))
     ap.add_argument("--skip-probes", action="store_true")
@@ -215,7 +226,9 @@ def main() -> int:
         content_reps=args.content_reps,
         n_buckets=args.n_buckets,
         scratch=scratch,
+        write_mode=args.write_mode,
     )
+    report["write_mode"] = args.write_mode
     report["cpus"] = args.cpus
     cols = sorted(table.read().columns)
     report["final_rows"] = table.read().count()

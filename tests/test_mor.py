@@ -127,3 +127,76 @@ def test_time_travel_into_mor_delta_version(spark, tmp_path):
     s3 = st(3)
     assert s3["r1"] == "d1" and s3["r2"] == "d2" and s3["r3"] == "v3"
     assert st()["r3"] == "d3"
+
+
+def test_mor_staggered_compaction_spreads_across_commits(spark, tmp_path):
+    """Broad-touch CDC batches (every bucket touched every commit) must NOT
+    compact every bucket in the same commit: uniform thresholds make all
+    chains cross max_deltas together — a periodic full-table-rewrite stall
+    (the 10^9 replay anchor died of exactly this). The cohort trigger
+    (version % max_deltas == bucket % max_deltas past max(2, max_deltas//2))
+    spreads compaction ~1/max_deltas of the buckets per commit, while the
+    hard bound (chain <= max_deltas + 1) is unchanged."""
+    t = mk(spark, tmp_path, write_mode="mor", max_deltas=4, n_buckets=4)
+    keys = [(f"r{i}", f"p{i}", f"c{i}") for i in range(16)]
+    chains = []
+    for v in range(12):
+        rows = [
+            (v * 16 + i, "I" if v == 0 else "U", r, p, c, "py", f"v{v}")
+            for i, (r, p, c) in enumerate(keys)
+        ]
+        t.merge(ev(spark, rows), job="j", batch_id=v)
+        man = t._read_manifest()
+        chains.append({b: len(d) for b, d in man["buckets"].items()})
+    # hard bound holds at every version
+    assert all(n <= 5 for ch in chains for n in ch.values())
+    populated = len(chains[-1])
+    assert populated >= 3  # 16 hashed keys spread over >=3 of the 4 buckets
+    # a compaction resets a bucket's chain to the single compacted dir
+    resets = [
+        sum(1 for b in cur if cur[b] == 1 and prev.get(b, 0) >= 2)
+        for prev, cur in zip(chains, chains[1:])
+    ]
+    steady = resets[5:]
+    assert any(r > 0 for r in steady)          # compaction does happen
+    assert max(steady) < populated             # ...but never all at once
+    assert state(t) == {k: "v11" for k in keys}
+
+
+def test_bucket_rows_exact_under_cow_updates(spark, tmp_path):
+    """COW replaces each bucket's whole chain, so bucket_rows must equal the
+    rewritten dirs' physical rows — update-heavy batches must not inflate
+    it (the accumulate-only estimate once doubled a table's count and
+    flipped the 'auto' policy to MOR on a false table-size signal)."""
+    t = mk(spark, tmp_path, write_mode="cow")
+    rows = [(i, "I", f"r{i}", f"p{i}", f"c{i}", "py", "x") for i in range(20)]
+    t.merge(ev(spark, rows), job="j", batch_id=0)
+    t.merge(
+        ev(spark, [(100 + i, "U", f"r{i}", f"p{i}", f"c{i}", "py", "y") for i in range(20)]),
+        job="j", batch_id=1,
+    )
+    man = t._read_manifest()
+    assert sum(int(n) for n in man["bucket_rows"].values()) == 20
+    assert t.read().count() == 20
+
+
+def test_bucket_rows_track_physical_rows_under_mor(spark, tmp_path):
+    """Under MOR, bucket_rows must equal the chain's physical parquet rows
+    (deltas add exact increments; inline compaction resets to the resolved
+    count) — it is the auto policy's and the compaction sizer's input."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = mk(spark, tmp_path, write_mode="mor", max_deltas=2, n_buckets=1)
+    for v in range(6):
+        t.merge(
+            ev(spark, [(v, "I" if v == 0 else "U", "r", "p", "c", "py", f"v{v}")]),
+            job="j", batch_id=v,
+        )
+    man = t._read_manifest()
+    phys = 0
+    for rel in man["buckets"]["0"]:
+        for f in glob.glob(os.path.join(str(tmp_path / "tbl"), rel, "*.parquet")):
+            phys += pq.ParquetFile(f).metadata.num_rows
+    assert sum(int(n) for n in man["bucket_rows"].values()) == phys

@@ -417,6 +417,13 @@ class ParquetSnapshotTable(LakeTable):
           same LWW the merge already defines). Write cost = O(batch).
           Buckets whose delta chain exceeds ``max_deltas`` are compacted
           inline within the same atomic commit, bounding read amplification.
+          Compaction is STAGGERED: each bucket also has a round-robin
+          cohort slot (``version % max_deltas == bucket % max_deltas``)
+          that compacts it once its chain passes ``max(2, max_deltas//2)``,
+          so broad-touch CDC batches compact ~1/max_deltas of the buckets
+          per commit instead of every bucket in the same commit (a
+          periodic full-table-rewrite stall). The hard chain bound
+          ``max_deltas + 1`` is unchanged.
         - 'auto': 'mor' when the batch is below ``mor_batch_fraction`` of
           the affected current rows (steady-state CDC), else 'cow'
           (bulk loads / backfills).
@@ -1055,9 +1062,10 @@ class ParquetSnapshotTable(LakeTable):
           data-dir GC never waits for this) and makes optimize a true no-op
           on young tables.
 
-        ``bucket_rows`` are commit-time estimates (exact after any
-        compact/rebucket, additive under MOR), which is the right fidelity
-        for a scheduling decision.
+        ``bucket_rows`` are exact physical counts (parquet-footer-exact
+        after COW/compact/rebucket; exact delta increments under MOR, so a
+        chain's count includes superseded row versions — which is what
+        read/compact cost), the right fidelity for a scheduling decision.
         """
         man = self._require_manifest()
         threshold = compact_chain_threshold or max(2, self.max_deltas // 2)
@@ -2607,11 +2615,20 @@ class ParquetSnapshotTable(LakeTable):
                     new_buckets[str(b)] = [f"{data_rel}/_bucket_dir={b}"]
             new_bucket_rows = dict(old_rows)
             new_zones = dict(man.get("bucket_zones", {}))
+            # COW replaced each affected bucket's whole chain, so its row
+            # count is exactly the new dir's — read it from parquet footers
+            # (driver-side metadata). The old accumulate-only estimate
+            # double-counted updates and, fed into the 'auto' policy's
+            # current_rows, flipped steady-state tables to MOR on an
+            # inflated table-size signal.
+            exact = self._footer_rows(os.path.join(self.root, data_rel))
             for r in stats:
                 b = str(int(r["_bucket"]))
-                # upper-bound estimate (updates double-count until compact());
-                # only used to size output file counts, never for correctness
-                new_bucket_rows[b] = int(old_rows.get(b, 0)) + int(r["n"])
+                new_bucket_rows[b] = (
+                    exact[int(b)]
+                    if int(b) in exact
+                    else int(old_rows.get(b, 0)) + int(r["n"])
+                )
                 new_zones[b] = _merge_zone(new_zones.get(b), r["min_seq"], r["max_seq"])
             man_new = dict(man)
             man_new["version"] = version
@@ -2687,7 +2704,27 @@ class ParquetSnapshotTable(LakeTable):
             if b in written:
                 new_buckets[str(b)] = new_buckets.get(str(b), []) + [f"{data_rel}/_bucket_dir={b}"]
 
-        overfull = [b for b, dirs in new_buckets.items() if len(dirs) > self.max_deltas]
+        # Staggered compaction: with CDC batches that touch EVERY bucket, a
+        # uniform "chain > max_deltas" trigger makes all chains cross the
+        # limit in the SAME commit — a periodic all-bucket inline compaction,
+        # i.e. a full-table-rewrite stall (the 10^9 replay anchor died of
+        # exactly this colliding with disk headroom). Keep the hard bound
+        # (chain never exceeds max_deltas+1), but also give each bucket a
+        # round-robin cohort slot (version % max_deltas == bucket %
+        # max_deltas) that compacts it early once its chain passes
+        # max(2, max_deltas // 2): at steady state ~1/max_deltas of the
+        # buckets compact per commit, so write cost per commit is
+        # O(batch + table/max_deltas) instead of a periodic O(table) spike.
+        floor = max(2, self.max_deltas // 2)
+        overfull = [
+            b
+            for b, dirs in new_buckets.items()
+            if len(dirs) > self.max_deltas
+            or (
+                len(dirs) > floor
+                and version % self.max_deltas == int(b) % self.max_deltas
+            )
+        ]
         if overfull:
             full = T.StructType(
                 list(evolved_schema.fields)
@@ -2709,10 +2746,21 @@ class ParquetSnapshotTable(LakeTable):
 
         new_bucket_rows = dict(old_rows)
         new_zones = dict(man.get("bucket_zones", {}))
+        delta_exact = self._footer_rows(os.path.join(self.root, data_rel))
         for r in stats:
             b = str(int(r["_bucket"]))
-            new_bucket_rows[b] = int(old_rows.get(b, 0)) + int(r["n"])
+            # delta append adds exactly the written rows (physical count,
+            # superseded versions included — that is what read/compact cost)
+            new_bucket_rows[b] = int(old_rows.get(b, 0)) + int(
+                delta_exact.get(int(b), int(r["n"]))
+            )
             new_zones[b] = _merge_zone(new_zones.get(b), r["min_seq"], r["max_seq"])
+        if overfull:
+            # compaction LWW-resolved these chains: reset to exact counts
+            comp_exact = self._footer_rows(os.path.join(self.root, comp_rel))
+            for b in overfull:
+                if int(b) in comp_exact:
+                    new_bucket_rows[b] = comp_exact[int(b)]
         man_new = dict(man)
         man_new["version"] = version
         man_new["schema"] = evolved_schema.jsonValue()
@@ -2861,6 +2909,29 @@ class ParquetSnapshotTable(LakeTable):
             for name in os.listdir(abs_dir)
             if name.startswith("_bucket_dir=")
         }
+
+    def _footer_rows(self, abs_dir: str) -> dict[int, int]:
+        """Exact per-bucket row counts of a freshly written version dir,
+        from parquet footer metadata — driver-side only, one footer read
+        per file, no data scan. Keeps manifest ``bucket_rows`` exact
+        (the 'auto' write-mode policy reads them; an accumulate-only
+        estimate once inflated a COW table's count 2x and flipped a
+        steady-state workload to MOR on a false table-size signal)."""
+        import pyarrow.parquet as pq
+
+        out: dict[int, int] = {}
+        if not os.path.isdir(abs_dir):
+            return out
+        for name in os.listdir(abs_dir):
+            if not name.startswith("_bucket_dir="):
+                continue
+            bdir = os.path.join(abs_dir, name)
+            n = 0
+            for f in os.listdir(bdir):
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
+            out[int(name.split("=", 1)[1])] = n
+        return out
 
     def _write_lineage(
         self,
