@@ -136,6 +136,10 @@ def run_rolling(
         )
         t_gen = time.monotonic() - t0
         per_gen.append(round(t_gen, 1))
+        # retire the PREVIOUS apply's shuffle files before this apply's
+        # merge+compaction transient starts (deletion is async after the
+        # GC; firing here gives the cleaner the whole apply to drain)
+        spark.sparkContext._jvm.System.gc()
 
         t0 = time.monotonic()
         src = job._decode(spark.read.schema(job._scan_schema()).parquet(seg))

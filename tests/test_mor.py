@@ -134,7 +134,7 @@ def test_mor_staggered_compaction_spreads_across_commits(spark, tmp_path):
     compact every bucket in the same commit: uniform thresholds make all
     chains cross max_deltas together — a periodic full-table-rewrite stall
     (the 10^9 replay anchor died of exactly this). The cohort trigger
-    (version % max_deltas == bucket % max_deltas past max(2, max_deltas//2))
+    (version % max_deltas == bucket % max_deltas once the chain exceeds 2)
     spreads compaction ~1/max_deltas of the buckets per commit, while the
     hard bound (chain <= max_deltas + 1) is unchanged."""
     t = mk(spark, tmp_path, write_mode="mor", max_deltas=4, n_buckets=4)

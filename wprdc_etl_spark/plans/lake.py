@@ -419,11 +419,10 @@ class ParquetSnapshotTable(LakeTable):
           inline within the same atomic commit, bounding read amplification.
           Compaction is STAGGERED: each bucket also has a round-robin
           cohort slot (``version % max_deltas == bucket % max_deltas``)
-          that compacts it once its chain passes ``max(2, max_deltas//2)``,
-          so broad-touch CDC batches compact ~1/max_deltas of the buckets
-          per commit instead of every bucket in the same commit (a
-          periodic full-table-rewrite stall). The hard chain bound
-          ``max_deltas + 1`` is unchanged.
+          that compacts it once its chain exceeds 2, so broad-touch CDC
+          batches compact ~1/max_deltas of the buckets per commit instead
+          of every bucket in the same commit (a periodic full-table-rewrite
+          stall). The hard chain bound ``max_deltas + 1`` is unchanged.
         - 'auto': 'mor' when the batch is below ``mor_batch_fraction`` of
           the affected current rows (steady-state CDC), else 'cow'
           (bulk loads / backfills).
@@ -2712,10 +2711,17 @@ class ParquetSnapshotTable(LakeTable):
         # (chain never exceeds max_deltas+1), but also give each bucket a
         # round-robin cohort slot (version % max_deltas == bucket %
         # max_deltas) that compacts it early once its chain passes
-        # max(2, max_deltas // 2): at steady state ~1/max_deltas of the
-        # buckets compact per commit, so write cost per commit is
-        # O(batch + table/max_deltas) instead of a periodic O(table) spike.
-        floor = max(2, self.max_deltas // 2)
+        # the floor: at steady state ~1/max_deltas of the buckets compact
+        # per commit, so write cost per commit is O(batch + table/max_deltas)
+        # instead of a periodic O(table) spike. The floor is a CONSTANT 2,
+        # not a max_deltas fraction: after any hard-bound compaction a
+        # bucket's refill phase is off its slot, and a higher floor makes it
+        # skip its next slot and hit the hard bound again — hard-bound sync
+        # groups then persist and re-fire together (observed as recurring
+        # multi-cohort compaction spikes at 10^9 scale). With floor 2 the
+        # bucket re-pins to its slot on the next pass at the cost of one
+        # cheap short-chain compaction.
+        floor = 2
         overfull = [
             b
             for b, dirs in new_buckets.items()
